@@ -1,0 +1,301 @@
+"""Streaming + batch audio feature frontend (AudioFeatures).
+
+API-compatible re-design of the reference's ``AudioFeatures``
+(reference openwakeword/utils.py:33-463): the same streaming contract --
+80 ms (1280-sample) accumulation with remainder carry-over, a 76-frame mel
+window per embedding, ring-buffer history, reset semantics -- but with all
+compute expressed as jitted JAX programs instead of frozen ONNX/TFLite
+graphs run by a C++ runtime.
+
+Split of responsibilities (TPU-first):
+  * Host: O(1) bookkeeping only -- sample accumulation/remainder logic and
+    small numpy ring buffers mirroring device outputs (so the reference's
+    introspection APIs like ``get_features(start_ndx=...)`` keep working).
+  * Device: every FLOP -- the fused STFT+mel matmul program, the embedding
+    CNN, batched over all windows of a call at once (the reference loops
+    per-window through its interpreter; we batch).
+
+For the pure-device multi-stream path (thousands of streams, donated-buffer
+scan) see ``openwakeword_tpu.parallel``.
+"""
+
+import logging
+from typing import Callable, List, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openwakeword_tpu import config
+from openwakeword_tpu.models import embedding as embedding_model
+from openwakeword_tpu.ops import melspec as melspec_ops
+
+
+# Module-level jitted programs, shared by all AudioFeatures instances so each
+# (function, shape) pair compiles exactly once per process. top_db is a
+# static arg so config.MEL_TOP_DB is read live at every call site.
+_melspec_jit = jax.jit(lambda x, top_db: melspec_ops.melspectrogram(x, top_db=top_db),
+                       static_argnums=1)
+_embed_folded_jit = jax.jit(embedding_model.apply_folded)
+_embed_raw_jit = jax.jit(embedding_model.apply)
+
+
+def _load_embedding_params(embedding_model_path: str = "", rng_seed: int = 42):
+    """Resolve embedding CNN params: explicit checkpoint path, the bundled
+    registry artifact, or (with a warning) a deterministic random init so the
+    full pipeline stays runnable in artifact-less environments."""
+    import os
+    from openwakeword_tpu import registry
+    path = embedding_model_path or registry.FEATURE_MODELS["embedding"]["model_path"]
+    if path and os.path.exists(path):
+        from openwakeword_tpu.io.loaders import load_model_file
+        kind, params, _ = load_model_file(path)
+        if kind not in ("embedding", "unknown"):
+            raise ValueError(f"Checkpoint at {path} is a '{kind}' model, expected an embedding model")
+        return params
+    logging.warning(
+        "No speech-embedding checkpoint found at '%s'; falling back to a deterministic "
+        "random initialization. Scores will not match pretrained models -- import real "
+        "weights with openwakeword_tpu.io (download_models / convert).", path)
+    return embedding_model.init_params(jax.random.PRNGKey(rng_seed))
+
+
+class AudioFeatures():
+    """Streaming/batch computation of mel-spectrograms and speech embeddings."""
+
+    def __init__(self,
+                 melspec_model_path: str = "",
+                 embedding_model_path: str = "",
+                 sr: int = config.SAMPLE_RATE,
+                 ncpu: int = 1,
+                 inference_framework: str = "jax",
+                 device: str = "",
+                 embedding_params=None,
+                 fold_embedding_batchnorm: bool = True,
+                 rng_seed: int = 0):
+        """Args mirror the reference's constructor; ``ncpu``/``device`` are
+        accepted for API compatibility (XLA owns threading/placement here).
+        ``melspec_model_path`` is accepted but unused: the mel frontend is an
+        analytic JAX program, not a learned artifact."""
+        if inference_framework not in ("jax", "tflite", "onnx"):
+            raise ValueError(f"Unknown inference_framework '{inference_framework}'")
+        self.sr = sr
+        self._np_rng = np.random.default_rng(rng_seed)
+
+        if embedding_params is None:
+            embedding_params = _load_embedding_params(embedding_model_path)
+        self._embedding_params_raw = embedding_params
+        if fold_embedding_batchnorm:
+            self._embedding_params = embedding_model.fold_batchnorm(embedding_params)
+            self._embed_fn = _embed_folded_jit
+        else:
+            self._embedding_params = embedding_params
+            self._embed_fn = _embed_raw_jit
+        self._melspec_fn = _melspec_jit
+
+        # Streaming state (host mirrors; all FLOPs happen on device)
+        self.raw_data_buffer = np.zeros(0, dtype=np.int16)   # <= 10 s of PCM
+        self.raw_data_buffer_max = sr * 10
+        self.melspectrogram_buffer = np.ones((76, 32), dtype=np.float32)
+        self.melspectrogram_max_len = config.MEL_BUFFER_MAX_FRAMES
+        self.accumulated_samples = 0
+        self.raw_data_remainder = np.empty(0, dtype=np.int16)
+        self.feature_buffer = self._get_embeddings(self._seed_noise())
+        self.feature_buffer_max_len = config.FEATURE_BUFFER_MAX
+
+    # ------------------------------------------------------------------
+    # Core feature computations (device)
+    # ------------------------------------------------------------------
+
+    def _seed_noise(self):
+        """4 s of random int16 noise used to seed the feature buffer
+        (reference utils.py:169)."""
+        return self._np_rng.integers(-1000, 1000, self.sr * config.FEATURE_SEED_SECONDS,
+                                     dtype=np.int64).astype(np.int16)
+
+    def _check_pcm(self, x) -> np.ndarray:
+        x = np.array(x).astype(np.int16) if isinstance(x, list) else x
+        if x.dtype != np.int16:
+            raise ValueError("Input data must be 16-bit integers (i.e., 16-bit PCM audio)."
+                             f"You provided {x.dtype} data.")
+        return x
+
+    def _get_melspectrogram(self, x: Union[np.ndarray, List],
+                            melspec_transform: Callable = None):
+        """Transformed log-mel spectrogram of raw int16 PCM -> (T, 32) float32.
+
+        The default transform (spec/10 + 2) is fused into the device program;
+        a custom ``melspec_transform`` is applied host-side for parity with the
+        reference's signature (utils.py:180)."""
+        x = self._check_pcm(x)
+        if x.ndim < 2:
+            x = x[None, :]
+        spec = np.asarray(self._melspec_fn(jnp.asarray(x.astype(np.float32)), config.MEL_TOP_DB))
+        spec = np.squeeze(spec)
+        if melspec_transform is not None:
+            # undo fused default, then apply user transform to the raw dB values
+            spec = melspec_transform((spec - config.MEL_TRANSFORM_SHIFT) / config.MEL_TRANSFORM_SCALE)
+        return spec
+
+    def _get_embeddings_from_melspec(self, melspec: np.ndarray) -> np.ndarray:
+        """(76, 32[, 1]) or (B, 76, 32[, 1]) mel window(s) -> (B, 96) embeddings."""
+        m = np.asarray(melspec, dtype=np.float32)
+        if m.ndim == 2:
+            m = m[None]
+        if m.ndim == 4:
+            m = m[..., 0]
+        out = np.asarray(self._embed_fn(self._embedding_params, jnp.asarray(m)))
+        return out.squeeze() if out.shape[0] == 1 else out
+
+    def _get_embeddings(self, x: np.ndarray, window_size: int = config.EMB_WINDOW_FRAMES,
+                        step_size: int = config.EMB_STEP_FRAMES, **kwargs) -> np.ndarray:
+        """Raw PCM clip -> (n_windows, 96) embeddings (all windows batched in
+        one device call; the reference loops per window)."""
+        spec = self._get_melspectrogram(x, **kwargs)
+        starts = [i for i in range(0, spec.shape[0], step_size) if i + window_size <= spec.shape[0]]
+        if not starts:
+            return np.zeros((0, config.EMB_DIM), dtype=np.float32)
+        windows = np.stack([spec[i:i + window_size] for i in starts]).astype(np.float32)
+        out = np.asarray(self._embed_fn(self._embedding_params, jnp.asarray(windows)))
+        return out.reshape(len(starts), config.EMB_DIM)
+
+    def get_embedding_shape(self, audio_length: float, sr: int = None):
+        """Output embedding array shape for a clip of ``audio_length`` seconds."""
+        sr = sr or self.sr
+        x = (np.random.uniform(-1, 1, int(audio_length * sr)) * 32767).astype(np.int16)
+        return self._get_embeddings(x).shape
+
+    # ------------------------------------------------------------------
+    # Batch path (training feature pre-compute)
+    # ------------------------------------------------------------------
+
+    def _get_melspectrogram_batch(self, x: np.ndarray, batch_size: int = 128, ncpu: int = 1):
+        """(N, samples) PCM -> (N, frames, 32) mel, batched on device.
+
+        Matches the reference CPU path's per-clip top_db clamp scope
+        (utils.py:243-290 maps _get_melspectrogram over rows)."""
+        n_frames = melspec_ops.num_frames(x.shape[1])
+        out = np.empty((x.shape[0], n_frames, config.N_MELS), dtype=np.float32)
+        for i in range(0, x.shape[0], batch_size):
+            batch = x[i:i + batch_size].astype(np.float32)
+            out[i:i + batch.shape[0]] = np.asarray(
+                self._melspec_fn(jnp.asarray(batch), config.MEL_TOP_DB))
+        return out
+
+    def _get_embeddings_batch(self, x: np.ndarray, batch_size: int = 128, ncpu: int = 1):
+        """(N, frames, 32[, 1]) mel -> (N, n_windows, 96) embeddings."""
+        if x.ndim == 4:
+            x = x[..., 0]
+        if x.shape[1] < 76:
+            raise ValueError("Embedding model requires the input melspectrograms to have at least 76 frames")
+        n_windows = (x.shape[1] - config.EMB_WINDOW_FRAMES) // config.EMB_STEP_FRAMES + 1
+        out = np.empty((x.shape[0], n_windows, config.EMB_DIM), dtype=np.float32)
+        # Slice all windows of a clip on host (cheap views) and batch clips so
+        # each device call sees a (B*n_windows, 76, 32) tensor.
+        clip_batch = max(1, batch_size // max(1, n_windows))
+        for i in range(0, x.shape[0], clip_batch):
+            chunk = x[i:i + clip_batch]
+            windows = np.stack([chunk[:, j * 8:j * 8 + 76] for j in range(n_windows)], axis=1)
+            flat = windows.reshape(-1, 76, 32).astype(np.float32)
+            emb = np.asarray(self._embed_fn(self._embedding_params, jnp.asarray(flat)))
+            out[i:i + chunk.shape[0]] = emb.reshape(chunk.shape[0], n_windows, config.EMB_DIM)
+        return out
+
+    def embed_clips(self, x: np.ndarray, batch_size: int = 128, ncpu: int = 1):
+        """(N, samples) PCM -> (N, n_windows, 96) embeddings."""
+        melspecs = self._get_melspectrogram_batch(x, batch_size=batch_size, ncpu=ncpu)
+        return self._get_embeddings_batch(melspecs, batch_size=batch_size, ncpu=ncpu)
+
+    # ------------------------------------------------------------------
+    # Streaming path
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        """Reset the internal buffers (reference utils.py:172-178)."""
+        self.raw_data_buffer = np.zeros(0, dtype=np.int16)
+        self.melspectrogram_buffer = np.ones((76, 32), dtype=np.float32)
+        self.accumulated_samples = 0
+        self.raw_data_remainder = np.empty(0, dtype=np.int16)
+        self.feature_buffer = self._get_embeddings(self._seed_noise())
+
+    def _buffer_raw_data(self, x):
+        x = np.asarray(x, dtype=np.int16)
+        self.raw_data_buffer = np.concatenate([self.raw_data_buffer, x])[-self.raw_data_buffer_max:]
+
+    def _streaming_melspectrogram(self, n_samples):
+        """Mel frames for the newest n_samples, recomputing a 480-sample
+        (3-hop) look-back so streaming matches whole-clip output
+        (reference utils.py:387-401). The top_db clamp scope is the whole
+        per-call window, exactly like the frozen graph saw it."""
+        if len(self.raw_data_buffer) < 400:
+            raise ValueError("The number of input frames must be at least 400 samples @ 16khz (25 ms)!")
+        window = self.raw_data_buffer[-n_samples - config.MEL_LOOKBACK_SAMPLES:]
+        new = np.atleast_2d(self._get_melspectrogram(window))
+        self.melspectrogram_buffer = np.vstack((self.melspectrogram_buffer, new))
+        if self.melspectrogram_buffer.shape[0] > self.melspectrogram_max_len:
+            self.melspectrogram_buffer = self.melspectrogram_buffer[-self.melspectrogram_max_len:, :]
+
+    def _streaming_features(self, x) -> int:
+        """Accumulate PCM into 1280-sample chunks; when ready, compute mel
+        frames once for the whole accumulation and one embedding per 80 ms
+        sub-chunk (all sub-chunk windows batched into a single device call).
+        Returns the number of samples processed this call (reference
+        utils.py:409-452 contract)."""
+        processed_samples = 0
+        x = np.asarray(x, dtype=np.int16).reshape(-1)
+
+        if self.raw_data_remainder.shape[0] != 0:
+            x = np.concatenate((self.raw_data_remainder, x))
+            self.raw_data_remainder = np.empty(0, dtype=np.int16)
+
+        if self.accumulated_samples + x.shape[0] >= config.CHUNK_SAMPLES:
+            remainder = (self.accumulated_samples + x.shape[0]) % config.CHUNK_SAMPLES
+            if remainder != 0:
+                x_even_chunks = x[0:-remainder]
+                self._buffer_raw_data(x_even_chunks)
+                self.accumulated_samples += len(x_even_chunks)
+                self.raw_data_remainder = x[-remainder:]
+            else:
+                self._buffer_raw_data(x)
+                self.accumulated_samples += x.shape[0]
+        else:
+            self.accumulated_samples += x.shape[0]
+            self._buffer_raw_data(x)
+
+        if self.accumulated_samples >= config.CHUNK_SAMPLES \
+           and self.accumulated_samples % config.CHUNK_SAMPLES == 0:
+            self._streaming_melspectrogram(self.accumulated_samples)
+
+            # One 76-frame window per 80 ms sub-chunk, oldest first
+            # (reference utils.py:437-443), batched into a single device call.
+            n_chunks = self.accumulated_samples // config.CHUNK_SAMPLES
+            buf_len = len(self.melspectrogram_buffer)
+            windows = []
+            for i in range(n_chunks - 1, -1, -1):
+                end = buf_len - 8 * i
+                if end - 76 >= 0:
+                    windows.append(self.melspectrogram_buffer[end - 76:end])
+            if windows:
+                batch = np.stack(windows).astype(np.float32)
+                emb = np.asarray(self._embed_fn(self._embedding_params, jnp.asarray(batch)))
+                self.feature_buffer = np.vstack((self.feature_buffer,
+                                                 emb.reshape(len(windows), config.EMB_DIM)))
+
+            processed_samples = self.accumulated_samples
+            self.accumulated_samples = 0
+
+        if self.feature_buffer.shape[0] > self.feature_buffer_max_len:
+            self.feature_buffer = self.feature_buffer[-self.feature_buffer_max_len:, :]
+
+        return processed_samples if processed_samples != 0 else self.accumulated_samples
+
+    def get_features(self, n_feature_frames: int = 16, start_ndx: int = -1) -> np.ndarray:
+        """Last-N (or indexed) feature window, shaped (1, N, 96) float32."""
+        if start_ndx != -1:
+            end_ndx = start_ndx + int(n_feature_frames) \
+                if start_ndx + n_feature_frames != 0 else len(self.feature_buffer)
+            return self.feature_buffer[start_ndx:end_ndx, :][None, ].astype(np.float32)
+        return self.feature_buffer[int(-1 * n_feature_frames):, :][None, ].astype(np.float32)
+
+    def __call__(self, x) -> int:
+        return self._streaming_features(x)

@@ -1,0 +1,86 @@
+"""Noise suppression: ctypes binding to the native C++ spectral-subtraction
+library (native/ns.cpp), the TPU build's equivalent of the reference's
+SpeexDSP dependency (reference model.py:200-205, 481-504). Operates
+statefully on 160-sample (10 ms) int16 frames at 16 kHz.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "native", "libowwns.so")
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        # Build on demand (g++ is part of the supported toolchain)
+        native_dir = os.path.dirname(_LIB_PATH)
+        src = os.path.join(native_dir, "ns.cpp")
+        if os.path.exists(src):
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True)
+        else:
+            raise ImportError(
+                f"Native noise-suppression library not found at {_LIB_PATH} "
+                "and sources are unavailable to build it.")
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.owwns_create.restype = ctypes.c_void_p
+    lib.owwns_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.owwns_process.restype = None
+    lib.owwns_process.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_short),
+                                  ctypes.POINTER(ctypes.c_short)]
+    lib.owwns_destroy.restype = None
+    lib.owwns_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NoiseSuppression:
+    """Stateful single-channel noise suppressor (10 ms frame granularity)."""
+
+    def __init__(self, frame_size: int = 160, sample_rate: int = 16000):
+        self._lib = _load_lib()
+        self.frame_size = frame_size
+        self._state = self._lib.owwns_create(frame_size, sample_rate)
+        if not self._state:
+            raise RuntimeError("Failed to create native noise-suppression state")
+
+    def process(self, frame: np.ndarray) -> np.ndarray:
+        """Suppress noise in one ``frame_size``-sample int16 frame."""
+        frame = np.ascontiguousarray(frame, dtype=np.int16)
+        out = np.empty_like(frame)
+        self._lib.owwns_process(
+            self._state,
+            frame.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_short)))
+        return out
+
+    def process_frames(self, x: np.ndarray) -> np.ndarray:
+        """Suppress noise across an arbitrary-length int16 buffer, frame by
+        frame (reference model.py:481-504 contract)."""
+        x = np.ascontiguousarray(x, dtype=np.int16)
+        out = np.empty_like(x)
+        fs = self.frame_size
+        for i in range(0, x.shape[0], fs):
+            chunk = x[i:i + fs]
+            if chunk.shape[0] == fs:
+                out[i:i + fs] = self.process(chunk)
+            else:
+                out[i:i + chunk.shape[0]] = chunk
+        return out
+
+    def __del__(self):
+        try:
+            if getattr(self, "_state", None):
+                self._lib.owwns_destroy(self._state)
+                self._state = None
+        except Exception:
+            pass

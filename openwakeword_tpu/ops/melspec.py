@@ -1,0 +1,198 @@
+"""TPU-native log-mel spectrogram frontend.
+
+Re-implements, in pure JAX, the numerics of the reference's frozen
+``melspectrogram.onnx`` graph (a torchlibrosa export -- see reference
+``notebooks/converting_google_speech_embedding_model.ipynb`` cell 15 and
+``openwakeword/utils.py:180-208``):
+
+    STFT:  win_length=400 (25 ms), hop=160 (10 ms), n_fft=512, center=False,
+           periodic Hann window zero-padded (centered) to 512, power=2
+    Mel:   32 slaney-normalized triangular filters, 60-3800 Hz, htk=False
+    dB:    10*log10(clamp(mel, 1e-10)) - 10*log10(max(1e-10, ref=1.0)),
+           then clamp(min = max - top_db(=80)) where the max is taken over the
+           whole per-example spectrogram (data-dependent!).
+    Affine: spec/10 + 2 applied downstream (reference utils.py:180).
+
+Design notes (TPU-first):
+  * The STFT is expressed as one (T, 512) x (512, 514) matmul against a
+    combined cos/-sin DFT basis rather than an FFT: at streaming shapes
+    (8 frames) and at multi-stream batch shapes ((S*8, 512)) this maps
+    straight onto the MXU and fuses with the (257, 32) mel projection.
+  * Everything is static-shape and jit/vmap/pjit friendly: frame counts are
+    derived from the (static) input length.
+  * Inputs are *raw int16-range* float32 values, NOT normalized to [-1, 1]
+    (reference utils.py:194-199 feeds raw PCM values to the graph).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openwakeword_tpu import config
+
+
+# ---------------------------------------------------------------------------
+# Constant factories (host-side, float64 precision, cached)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def hann_window(win_length: int = config.WIN_LENGTH, n_fft: int = config.N_FFT):
+    """Periodic Hann window of ``win_length``, zero-padded (centered) to ``n_fft``.
+
+    Matches scipy.signal.get_window('hann', win_length, fftbins=True) followed
+    by librosa-style pad_center, which is what torchlibrosa bakes into its conv
+    weights.
+    """
+    n = np.arange(win_length, dtype=np.float64)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    pad_left = (n_fft - win_length) // 2
+    full = np.zeros(n_fft, dtype=np.float64)
+    full[pad_left:pad_left + win_length] = w
+    return full
+
+
+def _hz_to_mel_slaney(freqs):
+    """Slaney-style (librosa default, htk=False) Hz -> mel."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = freqs / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = freqs >= min_log_hz
+    mels = np.where(log_t, min_log_mel + np.log(np.maximum(freqs, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz_slaney(mels):
+    mels = np.asarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = mels * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_t = mels >= min_log_mel
+    freqs = np.where(log_t, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank(sr: int = config.SAMPLE_RATE,
+                   n_fft: int = config.N_FFT,
+                   n_mels: int = config.N_MELS,
+                   fmin: float = config.FMIN,
+                   fmax: float = config.FMAX):
+    """Slaney-normalized triangular mel filterbank, shape (n_fft//2+1, n_mels).
+
+    Equivalent to librosa.filters.mel(..., htk=False, norm='slaney').T, which
+    is the matrix torchlibrosa registers (LogmelFilterBank.melW).
+    """
+    n_freqs = 1 + n_fft // 2
+    fftfreqs = np.linspace(0.0, sr / 2.0, n_freqs)
+    mel_f = _mel_to_hz_slaney(np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2))
+
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    enorm = 2.0 / (mel_f[2:n_mels + 2] - mel_f[:n_mels])
+    weights = weights * enorm[:, None]
+    return weights.T  # (n_freqs, n_mels)
+
+
+@functools.lru_cache(maxsize=None)
+def stft_power_basis(n_fft: int = config.N_FFT,
+                     win_length: int = config.WIN_LENGTH):
+    """Windowed real-DFT basis, shape (n_fft, 2*(n_fft//2+1)).
+
+    Column 2k holds window*cos(2*pi*k*n/n_fft), column 2k+1 holds
+    window*(-sin(...)); a frame matmul against this basis yields interleaved
+    (real, imag) spectra so |X|^2 = basis_out[..., 0::2]^2 + [..., 1::2]^2.
+    Expressing the STFT as a single matmul keeps it on the MXU.
+    """
+    n_freqs = 1 + n_fft // 2
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_freqs, dtype=np.float64)
+    angles = 2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, n_freqs)
+    w = hann_window(win_length, n_fft)[:, None]
+    basis = np.empty((n_fft, 2 * n_freqs), dtype=np.float64)
+    basis[:, 0::2] = w * np.cos(angles)
+    basis[:, 1::2] = w * -np.sin(angles)
+    return basis
+
+
+def _f32(x):
+    return jnp.asarray(np.asarray(x, dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# JAX ops
+# ---------------------------------------------------------------------------
+
+def num_frames(n_samples: int,
+               n_fft: int = config.N_FFT,
+               hop: int = config.HOP_LENGTH) -> int:
+    """Frame count for center=False STFT (reference utils.py:270 computes
+    the same value as ceil(n/160 - 3) for hop-aligned inputs)."""
+    if n_samples < n_fft:
+        return 0
+    return (n_samples - n_fft) // hop + 1
+
+
+def frame_signal(x: jnp.ndarray,
+                 n_fft: int = config.N_FFT,
+                 hop: int = config.HOP_LENGTH) -> jnp.ndarray:
+    """Slice (..., N) audio into (..., T, n_fft) frames, center=False."""
+    n = x.shape[-1]
+    t = num_frames(n, n_fft, hop)
+    if t <= 0:
+        raise ValueError(f"Input of {n} samples is shorter than one {n_fft}-sample STFT frame")
+    idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
+    return x[..., idx]
+
+
+def power_to_db(mel: jnp.ndarray,
+                amin: float = config.MEL_AMIN,
+                ref: float = config.MEL_REF,
+                top_db: float = config.MEL_TOP_DB) -> jnp.ndarray:
+    """librosa-style power_to_db exactly as baked into the reference export
+    (conversion notebook cell 15): the top_db floor is data-dependent, taken
+    over each example's full (T, n_mels) spectrogram."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(mel, amin))
+    log_spec = log_spec - 10.0 * np.log10(max(amin, ref))
+    if top_db is not None:
+        peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        log_spec = jnp.maximum(log_spec, peak - top_db)
+    return log_spec
+
+
+def melspectrogram(x: jnp.ndarray,
+                   apply_transform: bool = True,
+                   top_db: float = config.MEL_TOP_DB) -> jnp.ndarray:
+    """Log-mel spectrogram of raw int16-range audio, shape (..., T, 32).
+
+    With ``apply_transform`` the downstream affine spec/10 + 2 (reference
+    utils.py:180) is fused in, i.e. this returns exactly what the reference's
+    ``AudioFeatures._get_melspectrogram`` returns.
+    """
+    x = x.astype(jnp.float32)
+    frames = frame_signal(x)                                   # (..., T, 512)
+    basis = _f32(stft_power_basis())                           # (512, 514)
+    spec = jnp.matmul(frames, basis, precision=jax.lax.Precision.HIGHEST)
+    power = spec[..., 0::2] ** 2 + spec[..., 1::2] ** 2        # (..., T, 257)
+    melw = _f32(mel_filterbank())                              # (257, 32)
+    mel = jnp.matmul(power, melw, precision=jax.lax.Precision.HIGHEST)
+    out = power_to_db(mel, top_db=top_db)
+    if apply_transform:
+        out = out * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
+    return out
+
+
+def log_mel_features(x: jnp.ndarray) -> jnp.ndarray:
+    """Alias for the fully-transformed mel features fed to the embedding CNN."""
+    return melspectrogram(x, apply_transform=True)

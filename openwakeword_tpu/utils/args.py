@@ -1,0 +1,19 @@
+"""Small argument-handling helpers."""
+
+import logging
+
+
+def re_arg(kwarg_map):
+    """Decorator mapping deprecated keyword-argument names to current ones,
+    with a deprecation warning (same contract as reference utils.py:677-688)."""
+    def decorator(func):
+        def wrapped(*args, **kwargs):
+            new_kwargs = {}
+            for k, v in kwargs.items():
+                if k in kwarg_map:
+                    logging.warning(f"DEPRECATION: keyword argument '{k}' is no longer valid and "
+                                    f"will be removed in future releases. Use '{kwarg_map[k]}' instead.")
+                new_kwargs[kwarg_map.get(k, k)] = v
+            return func(*args, **new_kwargs)
+        return wrapped
+    return decorator

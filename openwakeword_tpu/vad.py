@@ -1,0 +1,64 @@
+"""Voice activity detection with the reference's VAD class contract
+(reference openwakeword/vad.py:54-130): stateful 480-sample-frame scoring,
+explicit (2, B, 64) recurrent state across calls, chunked averaging, and a
+125-entry (~10 s) score history used by the Model's VAD gate."""
+
+import logging
+import os
+from collections import deque
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openwakeword_tpu import config, registry
+from openwakeword_tpu.models import vad_net
+
+
+class VAD():
+    """Stateful voice-activity detector."""
+
+    def __init__(self, model_path: str = "", n_threads: int = 1, params=None):
+        """``model_path`` may be a native .npz checkpoint; defaults to the
+        registry's bundled VAD. ``n_threads`` is accepted for API parity."""
+        if params is None:
+            path = model_path or registry.VAD_MODELS["silero_vad"]["model_path"]
+            if path and os.path.exists(path):
+                from openwakeword_tpu.io.loaders import load_model_file
+                kind, params, _ = load_model_file(path)
+                if kind not in ("vad", "unknown"):
+                    raise ValueError(f"Checkpoint at {path} is a '{kind}' model, expected a VAD model")
+            else:
+                logging.warning(
+                    "No VAD checkpoint found at '%s'; using a deterministic random "
+                    "initialization. Train or import weights for meaningful VAD scores.", path)
+                params = vad_net.init_params(jax.random.PRNGKey(7))
+        self.params = params
+        self._step = jax.jit(vad_net.apply)
+
+        self.prediction_buffer: deque = deque(maxlen=config.VAD_BUFFER_MAX)
+        self.sample_rate = np.array(config.SAMPLE_RATE).astype(np.int64)
+        self.reset_states()
+
+    def reset_states(self, batch_size: int = 1):
+        self._h = np.zeros((config.VAD_STATE_LAYERS, batch_size, config.VAD_STATE_DIM), dtype=np.float32)
+        self._c = np.zeros((config.VAD_STATE_LAYERS, batch_size, config.VAD_STATE_DIM), dtype=np.float32)
+
+    def predict(self, x: np.ndarray, frame_size: int = config.VAD_FRAME_SAMPLES) -> float:
+        """Average VAD score over ``frame_size``-sample chunks of ``x``
+        (16 kHz int16), advancing the recurrent state chunk by chunk."""
+        scores = []
+        h, c = jnp.asarray(self._h), jnp.asarray(self._c)
+        for i in range(0, x.shape[0], frame_size):
+            chunk = (x[i:i + frame_size] / 32767).astype(np.float32)
+            if chunk.shape[0] < vad_net.FRAME_SAMPLES:
+                chunk = np.pad(chunk, (0, vad_net.FRAME_SAMPLES - chunk.shape[0]))
+            elif chunk.shape[0] > vad_net.FRAME_SAMPLES:
+                chunk = chunk[:vad_net.FRAME_SAMPLES]
+            score, h, c = self._step(self.params, jnp.asarray(chunk[None]), h, c)
+            scores.append(float(score[0]))
+        self._h, self._c = np.asarray(h), np.asarray(c)
+        return float(np.mean(scores))
+
+    def __call__(self, x, frame_size: int = config.VAD_CALL_FRAME_SAMPLES):
+        self.prediction_buffer.append(self.predict(x, frame_size))

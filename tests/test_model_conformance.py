@@ -1,0 +1,285 @@
+"""Behavioral conformance suite: the reference's tested invariants
+(SURVEY.md section 4 / reference tests/test_models.py), exercised against the
+TPU-native engine. Heads use deterministic random weights (no frozen
+artifacts in this environment), which tests every streaming/state/logic
+contract -- score *values* vs the ONNX reference are covered by the gated
+parity tests in test_weight_import.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import openwakeword_tpu as oww
+from openwakeword_tpu import config
+
+
+@pytest.fixture(scope="module")
+def alexa_model():
+    return oww.Model(wakeword_models=["alexa"])
+
+
+class TestModels:
+    def test_load_by_name_and_predict(self, alexa_model, rng):
+        prediction = alexa_model.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        assert 0 <= prediction["alexa"] <= 1
+
+    def test_load_all_pretrained_names(self, rng):
+        m = oww.Model()
+        preds = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        assert set(m.models.keys()) == {"alexa", "hey_mycroft", "hey_jarvis",
+                                        "hey_rhasspy", "timer", "weather"}
+        # multiclass labels are expanded through the class mapping
+        assert "1_minute_timer" in preds
+        for v in preds.values():
+            assert 0 <= v <= 1
+
+    def test_unknown_model_name_raises(self):
+        with pytest.raises(ValueError):
+            oww.Model(wakeword_models=["definitely_not_a_model"])
+
+    def test_chunk_size_invariance_exact(self, test_clips, monkeypatch):
+        """Max clip score must be invariant to chunk size (reference
+        test_models.py:68-100). With the data-dependent top_db clamp scoped
+        per call, tiny boundary differences are inherent (the reference
+        author documents the same, utils.py:388-392); with it disabled the
+        pipeline must be exactly chunk-size invariant."""
+        monkeypatch.setattr(config, "MEL_TOP_DB", None)
+        # new jit closure picks up config at trace time; clear caches
+        scores = {}
+        for chunk in (1280, 2560, 1024, 2048):
+            m = oww.Model(wakeword_models=["alexa"])
+            preds = m.predict_clip(test_clips["alexa"], chunk_size=chunk)
+            scores[chunk] = max(p["alexa"] for p in preds)
+        base = scores[1280]
+        for chunk, s in scores.items():
+            np.testing.assert_approx_equal(s, base, significant=5)
+
+    def test_chunk_size_invariance_default(self, test_clips):
+        """With default config the max score must still be stable to the
+        tolerance the clamp scoping allows."""
+        scores = []
+        for chunk in (1280, 2560):
+            m = oww.Model(wakeword_models=["alexa"])
+            preds = m.predict_clip(test_clips["alexa"], chunk_size=chunk)
+            scores.append(max(p["alexa"] for p in preds))
+        assert abs(scores[0] - scores[1]) < 0.05
+
+    def test_multiclass_chunk_size_invariance(self, test_clips, monkeypatch):
+        monkeypatch.setattr(config, "MEL_TOP_DB", None)
+        scores = []
+        for chunk in (1280, 2560):
+            m = oww.Model(wakeword_models=["timer"])
+            preds = m.predict_clip(test_clips["alexa"], chunk_size=chunk)
+            scores.append(max(p["1_minute_timer"] for p in preds))
+        assert abs(scores[0] - scores[1]) < 1e-5
+
+    def test_warmup_zeroing(self, rng):
+        """Scores are zeroed for the first 5 predict calls (model.py:330-333)."""
+        m = oww.Model(wakeword_models=["alexa"])
+        outs = [m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))["alexa"]
+                for _ in range(8)]
+        assert all(o == 0.0 for o in outs[:5])
+
+    def test_reset_clears_state(self, rng):
+        m = oww.Model(wakeword_models=["alexa"])
+        for _ in range(10):
+            m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        assert len(m.prediction_buffer["alexa"]) == 10
+        feat_before = m.preprocessor.feature_buffer.copy()
+        m.reset()
+        assert len(m.prediction_buffer) == 0
+        assert m.preprocessor.accumulated_samples == 0
+        assert not np.array_equal(m.preprocessor.feature_buffer, feat_before)
+        # warm-up re-applies after reset
+        out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        assert out["alexa"] == 0.0
+
+    def test_patience_requires_threshold(self, rng):
+        m = oww.Model(wakeword_models=["alexa"])
+        with pytest.raises(ValueError):
+            m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16),
+                      patience={"alexa": 3})
+
+    def test_patience_and_debounce_mutually_exclusive(self, rng):
+        m = oww.Model(wakeword_models=["alexa"])
+        with pytest.raises(ValueError):
+            m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16),
+                      patience={"alexa": 3}, threshold={"alexa": 0.5},
+                      debounce_time=1.0)
+
+    def test_patience_suppresses_until_consecutive(self, rng):
+        """With patience=N and a threshold never met by history, scores are
+        forced to 0 (model.py:346-352)."""
+        m = oww.Model(wakeword_models=["alexa"])
+        for _ in range(10):
+            out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16),
+                            patience={"alexa": 30}, threshold={"alexa": 1.1})
+            assert out["alexa"] == 0.0
+
+    def test_debounce_single_activation(self, test_clips, monkeypatch):
+        """A wake phrase must activate exactly once with debounce enabled
+        (reference test_models.py:217-231). Random heads have no trained
+        activation, so inject a deterministic score spike via a stub head."""
+        m = oww.Model(wakeword_models=["alexa"])
+        calls = {"n": 0}
+
+        def fake_pred(x):
+            calls["n"] += 1
+            score = 0.9 if 10 <= calls["n"] <= 20 else 0.01
+            return np.array([[score]], dtype=np.float32)
+        m.model_prediction_function["alexa"] = fake_pred
+
+        activations = 0
+        rng = np.random.default_rng(1)
+        for _ in range(30):
+            out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16),
+                            debounce_time=2.0, threshold={"alexa": 0.5})
+            if out["alexa"] >= 0.5:
+                activations += 1
+        assert activations == 1
+
+    def test_prediction_buffer_appends_and_caps(self, rng):
+        m = oww.Model(wakeword_models=["alexa"])
+        for _ in range(40):
+            m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        assert len(m.prediction_buffer["alexa"]) == config.PREDICTION_BUFFER_MAX
+
+    def test_timing_dict(self, rng):
+        m = oww.Model(wakeword_models=["alexa"])
+        preds, timing = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16),
+                                  timing=True)
+        assert "preprocessor" in timing["models"]
+        assert "alexa" in timing["models"]
+
+    def test_custom_class_mapping(self, rng, tmp_path):
+        from openwakeword_tpu.io.checkpoints import save_checkpoint
+        from openwakeword_tpu.models import heads
+        import jax
+        params = heads.init_params(jax.random.PRNGKey(0), "mlp", 34, 3, 32)
+        path = str(tmp_path / "mc_model.npz")
+        save_checkpoint(path, "head", params)
+        mapping = {"0": "none", "1": "foo", "2": "bar"}
+        m = oww.Model(wakeword_models=[path],
+                      class_mapping_dicts=[{"mc_model": mapping}])
+        preds = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        assert set(preds.keys()) == {"none", "foo", "bar"}
+
+    def test_get_parent_model_from_label(self):
+        m = oww.Model(wakeword_models=["timer"])
+        assert m.get_parent_model_from_label("1_minute_timer") == "timer"
+        assert m.get_parent_model_from_label("timer") == "timer"
+
+    def test_sub1280_chunks_recycle_score(self, rng):
+        """Chunks below 1280 samples return the previous score until a full
+        frame accumulates (model.py:303-311)."""
+        m = oww.Model(wakeword_models=["alexa"])
+        for _ in range(8):
+            m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        last = m.prediction_buffer["alexa"][-1]
+        out = m.predict(rng.integers(-1000, 1000, 640).astype(np.int16))
+        assert out["alexa"] == last
+
+    def test_larger_chunks_max_pool_subframes(self, rng):
+        """>1280-sample calls score every 80 ms sub-frame and return the max
+        (model.py:287-298)."""
+        m = oww.Model(wakeword_models=["alexa"])
+        for _ in range(8):
+            m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        seen = []
+        orig = m.model_prediction_function["alexa"]
+
+        def spy(x):
+            out = orig(x)
+            seen.append(x.shape[0])
+            return out
+        m.model_prediction_function["alexa"] = spy
+        m.predict(rng.integers(-1000, 1000, 3840).astype(np.int16))
+        assert seen and seen[-1] == 3  # 3 sub-frame windows in one batch
+
+    def test_positive_prediction_frames(self, test_clips):
+        m = oww.Model(wakeword_models=["alexa"])
+        # threshold 0 harvests every frame; features are (N, 16, 96)
+        data = m._get_positive_prediction_frames(test_clips["alexa"], threshold=0.0)
+        assert "alexa" in data
+        assert data["alexa"].shape[1:] == (16, 96)
+        assert data["alexa"].shape[0] > 0
+
+    def test_input_type_check(self):
+        m = oww.Model(wakeword_models=["alexa"])
+        with pytest.raises(ValueError):
+            m.predict([0] * 1280)
+
+
+class TestVADGate:
+    def test_vad_gate_zeroes_when_silent(self, rng):
+        m = oww.Model(wakeword_models=["alexa"], vad_threshold=0.5)
+        # inject deterministic VAD scores: all silence
+        m.vad.predict = lambda x, frame_size=640: 0.0
+        for _ in range(10):
+            out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        assert out["alexa"] == 0.0
+
+    def test_vad_gate_passes_when_voiced(self, rng):
+        m = oww.Model(wakeword_models=["alexa"], vad_threshold=0.5)
+        m.vad.predict = lambda x, frame_size=640: 1.0
+        outs = []
+        for _ in range(10):
+            outs.append(m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))["alexa"])
+        # after warm-up, scores flow through unmodified (nonzero for random head)
+        assert any(o > 0 for o in outs[config.WARMUP_FRAMES + 2:])
+
+    def test_vad_state_and_buffer(self, rng):
+        from openwakeword_tpu.vad import VAD
+        v = VAD()
+        x = rng.integers(-2000, 2000, 1280).astype(np.int16)
+        s1 = v.predict(x)
+        assert 0.0 <= s1 <= 1.0
+        h_after = v._h.copy()
+        v.reset_states()
+        assert not np.array_equal(v._h, h_after) or np.allclose(h_after, 0)
+        v(x)
+        assert len(v.prediction_buffer) == 1
+
+
+class TestAudioFeatures:
+    def test_embedding_shape_contract(self):
+        from openwakeword_tpu.features import AudioFeatures
+        af = AudioFeatures()
+        # 12560 samples -> 76 mel frames -> exactly one embedding window
+        assert af.get_embedding_shape(12560 / 16000) == (1, 96)
+        # 4 s -> 41 windows (this also sizes the feature-buffer noise seed)
+        assert af.get_embedding_shape(4.0) == (41, 96)
+
+    def test_embed_clips_batch(self, rng):
+        from openwakeword_tpu.features import AudioFeatures
+        af = AudioFeatures()
+        clips = (rng.uniform(-1, 1, (3, 32000)) * 20000).astype(np.int16)
+        emb = af.embed_clips(clips, batch_size=64)
+        n_windows = ((32000 // 160 - 3) - 76) // 8 + 1
+        assert emb.shape == (3, n_windows, 96)
+
+    def test_streaming_remainder_handling(self, rng):
+        from openwakeword_tpu.features import AudioFeatures
+        af = AudioFeatures()
+        # 1024-sample chunks: first call accumulates, second processes 1280
+        n1 = af(rng.integers(-1000, 1000, 1024).astype(np.int16))
+        assert n1 == 1024  # accumulated, nothing processed
+        n2 = af(rng.integers(-1000, 1000, 1024).astype(np.int16))
+        assert n2 == 1280  # one chunk processed, 768 remainder held
+        assert af.raw_data_remainder.shape[0] == 768
+
+    def test_pcm_dtype_check(self):
+        from openwakeword_tpu.features import AudioFeatures
+        af = AudioFeatures()
+        with pytest.raises(ValueError):
+            af._get_melspectrogram(np.zeros(1280, dtype=np.float32))
+
+    def test_feature_buffer_cap(self, rng):
+        from openwakeword_tpu.features import AudioFeatures
+        af = AudioFeatures()
+        for _ in range(130):
+            af(rng.integers(-1000, 1000, 1280).astype(np.int16))
+        assert af.feature_buffer.shape[0] == config.FEATURE_BUFFER_MAX
+        assert af.melspectrogram_buffer.shape[0] <= config.MEL_BUFFER_MAX_FRAMES
