@@ -160,6 +160,11 @@ def forward(params: Dict, x: jnp.ndarray, meta: Dict, inference: bool = True) ->
 
     if n_classes == 1:
         return jax.nn.sigmoid(logits)
+    # The reference's multiclass nets apply ReLU as the last activation
+    # (train.py:75) and wrap softmax at export (train.py:152-165); heads
+    # trained that way carry relu_logits=True in their metadata.
+    if meta.get("relu_logits", True):
+        logits = jnp.maximum(logits, 0.0)
     if inference:
         return jax.nn.softmax(logits, axis=-1)
     return logits

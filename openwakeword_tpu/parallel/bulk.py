@@ -1,0 +1,76 @@
+"""Batched bulk prediction: the TPU replacement for the reference's
+multiprocessing ``bulk_predict`` (reference utils.py:467-539).
+
+Instead of forking ``ncpu`` OS processes each owning a private engine, clips
+are zero-padded to a common length and scored as one multi-stream batch in a
+single scanned XLA program. ``ncpu`` is accepted for API compatibility and
+ignored (XLA owns parallelism).
+"""
+
+import wave
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from openwakeword_tpu import config
+
+
+def _read_wav(path: str) -> np.ndarray:
+    with wave.open(path, mode="rb") as f:
+        return np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+
+
+def bulk_predict(file_paths: List[str],
+                 wakeword_models: Sequence[str],
+                 prediction_function: str = "predict_clip",
+                 ncpu: int = 1,
+                 inference_framework: str = "jax",
+                 batch_size: int = 1024,
+                 padding: int = 1,
+                 **kwargs) -> Dict[str, list]:
+    """Predict on many WAV files at once.
+
+    Returns {filepath: [per-frame {label: score} dicts]}, matching
+    Model.predict_clip output per file.
+    """
+    if prediction_function != "predict_clip":
+        # Fall back to the generic path for exotic prediction functions
+        from openwakeword_tpu.model import Model
+        m = Model(wakeword_models=list(wakeword_models), **{
+            k: v for k, v in kwargs.items() if k in Model.__init__.__code__.co_varnames})
+        func = getattr(m, prediction_function)
+        func_kwargs = {k: v for k, v in kwargs.items() if k in func.__code__.co_varnames}
+        out = {}
+        for fp in file_paths:
+            out[fp] = func(fp, **func_kwargs)
+            m.reset()
+        return out
+
+    from openwakeword_tpu.parallel.engine import MultiStreamEngine
+
+    results: Dict[str, list] = {}
+    for i in range(0, len(file_paths), batch_size):
+        batch_paths = file_paths[i:i + batch_size]
+        clips = [_read_wav(p) for p in batch_paths]
+        pad = 16000 * padding
+        # per-clip frame count under the reference predict_clip contract
+        frame_counts = [max(0, -(-(len(c) + 2 * pad - config.CHUNK_SAMPLES)
+                                 // config.CHUNK_SAMPLES)) for c in clips]
+        max_len = max(len(c) for c in clips)
+        batch = np.zeros((len(clips), max_len), dtype=np.int16)
+        for j, c in enumerate(clips):
+            batch[j, :len(c)] = c
+
+        engine = MultiStreamEngine(wakeword_models=list(wakeword_models),
+                                   n_streams=len(clips), **{
+                                       k: v for k, v in kwargs.items()
+                                       if k in ("vad_threshold", "patience", "threshold",
+                                                "debounce_time", "mesh", "rng_seed")})
+        scores = engine.predict_clips(batch, padding=padding)   # (T, S, L)
+        for j, path in enumerate(batch_paths):
+            t_j = frame_counts[j]
+            results[path] = [
+                {lbl: float(scores[t, j, k]) for k, lbl in enumerate(engine.labels)}
+                for t in range(min(t_j, scores.shape[0]))
+            ]
+    return results

@@ -1,0 +1,383 @@
+"""Multi-stream wake-word engine: the TPU-native replacement for the
+reference's process-pool parallelism.
+
+The reference scales by forking OS processes, each owning a private Model
+(reference utils.py:467-539). Here the *entire* per-stream state machine --
+PCM look-back, mel ring, embedding ring, score history, VAD state, warm-up /
+patience / debounce / VAD-gate logic -- lives in one fixed-shape ``StreamState``
+pytree with a leading stream axis. One jitted, donated ``step`` advances every
+stream by 80 ms: a fused XLA program (STFT matmul -> mel -> embedding CNN ->
+all heads -> post-processing) that is ``vmap``-free by construction (all ops
+are written batched) and shards across chips with a 1-D ``Mesh`` over the
+stream axis, so scaling is pure data parallelism over ICI with zero
+cross-stream collectives (SURVEY.md section 2.3).
+
+Numerics match the single-stream ``Model`` on the fixed-1280-chunk streaming
+path (tested in tests/test_parallel.py), including the reference's quirks:
+first-call 5-frame mel push, noise-seeded feature ring, 5-call warm-up
+zeroing, and the VAD gate over scores 0.4-0.56 s back.
+"""
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from openwakeword_tpu import config, registry
+from openwakeword_tpu.models import embedding as embedding_model
+from openwakeword_tpu.models import heads as heads_lib
+from openwakeword_tpu.models import vad_net
+from openwakeword_tpu.ops import melspec as melspec_ops
+
+MEL_RING = config.EMB_WINDOW_FRAMES          # 76 frames (chunk=1280 => k=1)
+VAD_RING = 7                                 # enough for the [-7:-4] gate window
+
+
+def _resolve_heads(wakeword_models: Sequence[str]) -> List[Tuple[str, Dict, Dict]]:
+    """(name, params, class_mapping) per head, via the Model loader."""
+    from openwakeword_tpu.model import Model
+    import os
+    pretrained = registry.get_pretrained_model_paths()
+    resolved = []
+    names = []
+    if not wakeword_models:
+        resolved = pretrained
+        names = list(registry.MODELS.keys())
+    else:
+        for i in wakeword_models:
+            if os.path.exists(i):
+                resolved.append(i)
+                names.append(os.path.splitext(os.path.basename(i))[0])
+            else:
+                matching = [j for j in pretrained if i.replace(" ", "_") in j.split(os.path.sep)[-1]]
+                if not matching:
+                    raise ValueError(f"Could not find pretrained model for model name '{i}'")
+                resolved.append(matching[0])
+                names.append(i)
+    out = []
+    for path, name in zip(resolved, names):
+        params, meta = Model._load_head(path, name)
+        if meta.get("class_mapping"):
+            mapping = dict(meta["class_mapping"])
+        elif registry.model_class_mappings.get(name):
+            mapping = registry.model_class_mappings[name]
+        else:
+            mapping = {str(i): str(i) if int(params["__meta__"]["n_classes"]) > 1 else name
+                       for i in range(int(params["__meta__"]["n_classes"]))}
+        out.append((name, params, mapping))
+    return out
+
+
+class MultiStreamEngine:
+    """Scores ``n_streams`` independent 16 kHz streams, one 80 ms frame per
+    step, entirely on device.
+
+    Gating options (vad_threshold / patience / threshold / debounce_time) are
+    engine-static: they compile into the fused step. Per-call overrides, which
+    the single-stream Model supports, would force retraces at 50k-stream scale.
+    """
+
+    def __init__(self,
+                 wakeword_models: Sequence[str] = (),
+                 n_streams: int = 256,
+                 vad_threshold: float = 0.0,
+                 patience: Optional[Dict[str, int]] = None,
+                 threshold: Optional[Dict[str, float]] = None,
+                 debounce_time: float = 0.0,
+                 embedding_params=None,
+                 vad_params=None,
+                 mesh: Optional[Mesh] = None,
+                 rng_seed: int = 0):
+        if patience and debounce_time > 0:
+            raise ValueError("The `patience` and `debounce_time` arguments cannot be used together!")
+        if (patience or debounce_time > 0) and not threshold:
+            raise ValueError("When using `patience` or `debounce_time`, `threshold` must be provided!")
+
+        self.n_streams = int(n_streams)
+        self.vad_threshold = float(vad_threshold)
+        self.mesh = mesh
+
+        # ---- heads ----
+        heads = _resolve_heads(wakeword_models)
+        self.model_names = [h[0] for h in heads]
+        self._head_metas = []
+        head_params = {}
+        self.labels: List[str] = []
+        label_head_slices = []
+        for name, params, mapping in heads:
+            meta = dict(params["__meta__"])
+            head_params[name] = {k: v for k, v in params.items() if k != "__meta__"}
+            n_cls = int(meta["n_classes"])
+            start = len(self.labels)
+            if n_cls == 1:
+                self.labels.append(name)
+                cols = (0,)
+            else:
+                # label order follows the class mapping's integer keys; the
+                # built-in timer map intentionally omits class 0, matching the
+                # reference's emitted label set (model.py:313-317)
+                keys = sorted(mapping.keys(), key=int)
+                cols = tuple(int(k) for k in keys)
+                for int_label in keys:
+                    self.labels.append(mapping[int_label])
+            self._head_metas.append((name, meta, cols))
+            label_head_slices.append((start, len(self.labels), name, n_cls, mapping))
+        self._label_slices = label_head_slices
+        self.max_head_frames = max(int(m["input_frames"]) for _, m, _ in self._head_metas)
+
+        # static per-label gating vectors
+        n_labels = len(self.labels)
+        self._patience_vec = np.zeros(n_labels, dtype=np.int32)
+        self._threshold_vec = np.full(n_labels, np.inf, dtype=np.float32)
+        self._debounce_frames = int(np.ceil(debounce_time / 0.08)) if debounce_time > 0 else 0
+        for start, end, name, n_cls, mapping in label_head_slices:
+            if threshold and name in threshold:
+                self._threshold_vec[start:end] = threshold[name]
+            if patience and name in patience:
+                self._patience_vec[start:end] = patience[name]
+        self._use_patience = bool(patience)
+        self._use_debounce = debounce_time > 0
+
+        # ---- shared frontend params ----
+        if embedding_params is None:
+            from openwakeword_tpu.features import _load_embedding_params
+            embedding_params = _load_embedding_params()
+        emb_folded = embedding_model.fold_batchnorm(embedding_params)
+
+        if self.vad_threshold > 0 and vad_params is None:
+            import os
+            path = registry.VAD_MODELS["silero_vad"]["model_path"]
+            if path and os.path.exists(path):
+                from openwakeword_tpu.io.loaders import load_model_file
+                _, vad_params, _ = load_model_file(path)
+            else:
+                vad_params = vad_net.init_params(jax.random.PRNGKey(7))
+
+        self.params = {"embedding": emb_folded, "heads": head_params}
+        if self.vad_threshold > 0:
+            self.params["vad"] = vad_params
+
+        # ---- compiled programs ----
+        self._step_fn = jax.jit(self._build_step(), donate_argnums=(1,))
+        self._scan_fn = jax.jit(self._build_scan(), donate_argnums=(1,))
+
+        # ---- state ----
+        self._rng_seed = rng_seed
+        self.state = self.init_state(self.n_streams)
+        if mesh is not None:
+            self.shard(mesh)
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, n_streams: int, rng_seed: Optional[int] = None):
+        """Fresh per-stream state, reproducing reference init semantics:
+        mel ring of ones (utils.py:165), feature ring seeded with embeddings
+        of 4 s of random noise (utils.py:169)."""
+        seed = self._rng_seed if rng_seed is None else rng_seed
+        rng = np.random.default_rng(seed)
+        # One shared noise seed broadcast to all streams: streams are
+        # identically initialized (the reference seeds per-instance noise,
+        # utils.py:169; at 50k streams per-stream seeding would cost ~2M
+        # embedding windows for no behavioral benefit).
+        noise = rng.integers(-1000, 1000, 16000 * config.FEATURE_SEED_SECONDS).astype(np.float32)
+        F = self.max_head_frames
+
+        @jax.jit
+        def _seed(emb_params, noise):
+            spec = melspec_ops.melspectrogram(noise, top_db=config.MEL_TOP_DB)  # (397, 32)
+            n_windows = (spec.shape[0] - 76) // 8 + 1
+            wins = jnp.stack([spec[i * 8:i * 8 + 76] for i in range(n_windows)])  # (W, 76, 32)
+            emb = embedding_model.apply_folded(emb_params, wins)                  # (W, 96)
+            return emb[-F:, :]
+
+        seed_ring = _seed(self.params["embedding"], jnp.asarray(noise))
+        feat_ring = jnp.broadcast_to(seed_ring[None], (n_streams, F, config.EMB_DIM))
+        feat_ring = jnp.array(feat_ring)  # materialize (broadcast views can't be donated)
+        S = n_streams
+        state = {
+            "pcm_tail": jnp.zeros((S, config.MEL_LOOKBACK_SAMPLES), jnp.float32),
+            "mel_ring": jnp.ones((S, MEL_RING, config.N_MELS), jnp.float32),
+            "feat_ring": feat_ring,
+            "score_hist": jnp.zeros((S, len(self.labels), config.PREDICTION_BUFFER_MAX), jnp.float32),
+            "frames_seen": jnp.zeros((S,), jnp.int32),
+        }
+        if self.vad_threshold > 0:
+            state["vad_h"] = jnp.zeros((S, config.VAD_STATE_LAYERS, config.VAD_STATE_DIM), jnp.float32)
+            state["vad_c"] = jnp.zeros((S, config.VAD_STATE_LAYERS, config.VAD_STATE_DIM), jnp.float32)
+            state["vad_ring"] = jnp.full((S, VAD_RING), -1.0, jnp.float32)
+        return state
+
+    def reset(self):
+        self.state = self.init_state(self.n_streams)
+        if self.mesh is not None:
+            self.shard(self.mesh)
+
+    def shard(self, mesh: Mesh):
+        """Lay out state (and replicate params) over a 1-D stream mesh; the
+        jitted step then runs SPMD over ICI with no collectives."""
+        self.mesh = mesh
+        stream_sharding = NamedSharding(mesh, P("streams"))
+        replicated = NamedSharding(mesh, P())
+        self.state = jax.tree.map(lambda x: jax.device_put(x, stream_sharding), self.state)
+        self.params = jax.tree.map(lambda x: jax.device_put(x, replicated), self.params)
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        head_metas = list(self._head_metas)
+        label_slices = list(self._label_slices)
+        n_labels = len(self.labels)
+        F = self.max_head_frames
+        vad_on = self.vad_threshold > 0
+        vad_threshold = self.vad_threshold
+        use_patience, use_debounce = self._use_patience, self._use_debounce
+        patience_vec = jnp.asarray(self._patience_vec)
+        threshold_vec = jnp.asarray(self._threshold_vec)
+        debounce_frames = self._debounce_frames
+        top_db = config.MEL_TOP_DB
+        HIST = config.PREDICTION_BUFFER_MAX
+
+        def step(params, state, chunk):
+            """(params, state, (S, 1280) float32 raw PCM) -> (state', (S, L) scores)."""
+            chunk = chunk.astype(jnp.float32)
+            window = jnp.concatenate([state["pcm_tail"], chunk], axis=-1)     # (S, 1760)
+            mel_raw = melspec_ops.melspectrogram(window, apply_transform=False,
+                                                 top_db=None)                 # (S, 8, 32) dB
+
+            # First call after init/reset has no PCM look-back: the reference
+            # computes only 5 frames there (utils.py:393-397, window shorter
+            # than n+480). Frames 0..2 of our fixed window are fabricated from
+            # the zero tail then, so exclude them from the ring AND from the
+            # data-dependent top_db peak (clamp scope = the frames the
+            # reference's per-call graph invocation actually saw).
+            is_first = (state["frames_seen"] == 0)
+            frame_valid = jnp.arange(8)[None, :] >= jnp.where(is_first, 3, 0)[:, None]  # (S, 8)
+            if top_db is not None:
+                peak = jnp.max(jnp.where(frame_valid[:, :, None], mel_raw, -jnp.inf),
+                               axis=(-2, -1), keepdims=True)
+                mel_raw = jnp.maximum(mel_raw, peak - top_db)
+            mel = mel_raw * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
+
+            ring8 = jnp.concatenate([state["mel_ring"][:, 8:], mel], axis=1)
+            ring5 = jnp.concatenate([state["mel_ring"][:, 5:], mel[:, 3:]], axis=1)
+            mel_ring = jnp.where(is_first[:, None, None], ring5, ring8)
+
+            emb = embedding_model.apply_folded(params["embedding"], mel_ring)  # (S, 96)
+            feat_ring = jnp.concatenate([state["feat_ring"][:, 1:], emb[:, None, :]], axis=1)
+
+            score_parts = []
+            for name, meta, cols in head_metas:
+                w = feat_ring[:, F - int(meta["input_frames"]):, :]
+                out = heads_lib.forward(params["heads"][name], w, meta)
+                if cols != tuple(range(out.shape[-1])):
+                    out = out[:, list(cols)]
+                score_parts.append(out)
+            scores = jnp.concatenate(score_parts, axis=-1)                     # (S, L)
+
+            # Warm-up: zero scores for the first 5 frames (model.py:330-333)
+            warm = (state["frames_seen"] >= config.WARMUP_FRAMES)[:, None]
+            scores = jnp.where(warm, scores, 0.0)
+
+            hist = state["score_hist"]                                         # (S, L, HIST)
+            if use_patience:
+                # last `patience` history entries must clear threshold
+                idx = jnp.arange(HIST)[None, None, :]
+                in_window = idx >= (HIST - patience_vec[None, :, None])
+                cnt = jnp.sum((hist >= threshold_vec[None, :, None]) & in_window, axis=-1)
+                ok = cnt >= patience_vec[None, :]
+                scores = jnp.where((scores != 0.0) & (patience_vec[None, :] > 0) & ~ok, 0.0, scores)
+            elif use_debounce:
+                recent = hist[:, :, HIST - debounce_frames:]
+                fired_recently = jnp.any(recent >= threshold_vec[None, :, None], axis=-1)
+                suppress = (scores >= threshold_vec[None, :]) & fired_recently
+                scores = jnp.where(suppress, 0.0, scores)
+
+            hist = jnp.concatenate([hist[:, :, 1:], scores[:, :, None]], axis=-1)
+
+            new_state = {
+                "pcm_tail": window[:, -config.MEL_LOOKBACK_SAMPLES:],
+                "mel_ring": mel_ring,
+                "feat_ring": feat_ring,
+                "score_hist": hist,
+                "frames_seen": state["frames_seen"] + 1,
+            }
+
+            if vad_on:
+                # reference VAD call path: 640-sample chunks, truncated to the
+                # 480-sample model frame, scores averaged (vad.py:98-130)
+                h = jnp.swapaxes(state["vad_h"], 0, 1)                         # (2, S, 64)
+                c = jnp.swapaxes(state["vad_c"], 0, 1)
+                s1, h, c = vad_net.apply(params["vad"], chunk[:, 0:480] / 32767.0, h, c)
+                s2, h, c = vad_net.apply(params["vad"], chunk[:, 640:1120] / 32767.0, h, c)
+                vad_score = (s1 + s2) / 2.0
+                vad_ring = jnp.concatenate([state["vad_ring"][:, 1:], vad_score[:, None]], axis=-1)
+                gate_window = vad_ring[:, 0:3]                                 # == buffer[-7:-4]
+                gate_max = jnp.max(jnp.where(gate_window >= 0.0, gate_window, 0.0), axis=-1)
+                scores = jnp.where((gate_max < vad_threshold)[:, None], 0.0, scores)
+                new_state["vad_h"] = jnp.swapaxes(h, 0, 1)
+                new_state["vad_c"] = jnp.swapaxes(c, 0, 1)
+                new_state["vad_ring"] = vad_ring
+
+            return new_state, scores
+
+        return step
+
+    def _build_scan(self):
+        step = self._build_step()
+
+        def scan_clips(params, state, frames):
+            """frames: (T, S, 1280) -> (state', (T, S, L) scores)."""
+            def body(st, fr):
+                return step(params, st, fr)
+            return jax.lax.scan(body, state, frames)
+
+        return scan_clips
+
+    # ------------------------------------------------------------------
+
+    def predict(self, chunks: np.ndarray) -> np.ndarray:
+        """Advance every stream by one 80 ms frame.
+
+        Args:
+            chunks: (n_streams, 1280) int16/float PCM.
+        Returns:
+            (n_streams, n_labels) float32 scores, ordered like ``self.labels``.
+        """
+        x = jnp.asarray(np.asarray(chunks), dtype=jnp.float32)
+        if self.mesh is not None:
+            x = jax.device_put(x, NamedSharding(self.mesh, P("streams")))
+        self.state, scores = self._step_fn(self.params, self.state, x)
+        return np.asarray(scores)
+
+    def predict_frames(self, frames: np.ndarray) -> np.ndarray:
+        """Advance every stream by T frames in one device program.
+
+        Args:
+            frames: (T, n_streams, 1280) PCM.
+        Returns:
+            (T, n_streams, n_labels) scores.
+        """
+        x = jnp.asarray(np.asarray(frames), dtype=jnp.float32)
+        if self.mesh is not None:
+            x = jax.device_put(x, NamedSharding(self.mesh, P(None, "streams")))
+        self.state, scores = self._scan_fn(self.params, self.state, x)
+        return np.asarray(scores)
+
+    def predict_clips(self, clips: np.ndarray, padding: int = 1) -> np.ndarray:
+        """Score a batch of equal-length clips (n_streams, samples), with the
+        reference predict_clip's 1 s zero padding. Returns (T, S, L) scores."""
+        S, n = clips.shape
+        if S != self.n_streams:
+            raise ValueError(f"Engine built for {self.n_streams} streams, got {S} clips")
+        if padding:
+            z = np.zeros((S, 16000 * padding), dtype=clips.dtype)
+            clips = np.concatenate([z, clips, z], axis=1)
+        n = clips.shape[1]
+        # reference predict_clip frame count: len(range(0, n-1280, 1280))
+        T = -(-(n - config.CHUNK_SAMPLES) // config.CHUNK_SAMPLES)
+        frames = np.stack([clips[:, i * 1280:(i + 1) * 1280] for i in range(T)])
+        self.reset()
+        return self.predict_frames(frames)

@@ -1,0 +1,155 @@
+"""Multi-stream engine tests: numerical equivalence with the single-stream
+Model, sharding over a virtual 8-device mesh, and bulk prediction."""
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+import openwakeword_tpu as oww
+from openwakeword_tpu.parallel import MultiStreamEngine, bulk_predict
+
+
+@pytest.fixture(scope="module")
+def audio(rng_seed=3):
+    rng = np.random.default_rng(rng_seed)
+    return (rng.uniform(-1, 1, (2, 20 * 1280)) * 8000).astype(np.int16)
+
+
+class TestEngineEquivalence:
+    def test_matches_single_stream_model(self, audio):
+        """The fused on-device step must reproduce the Model's 1280-chunk
+        streaming scores exactly (same noise seed => same init state)."""
+        engine = MultiStreamEngine(wakeword_models=["alexa", "timer"], n_streams=2, rng_seed=0)
+        ref = oww.Model(wakeword_models=["alexa", "timer"])
+        assert ref.preprocessor._np_rng.bit_generator.state["state"]["state"] is not None
+
+        eng_scores = []
+        ref_scores = []
+        for t in range(20):
+            chunks = audio[:, t * 1280:(t + 1) * 1280]
+            eng_scores.append(engine.predict(chunks))
+            ref_scores.append(ref.predict(chunks[0]))
+
+        for t in range(20):
+            for k, lbl in enumerate(engine.labels):
+                assert abs(eng_scores[t][0, k] - ref_scores[t][lbl]) < 2e-4, \
+                    f"frame {t} label {lbl}: {eng_scores[t][0, k]} vs {ref_scores[t][lbl]}"
+
+    def test_predict_clips_matches_predict_clip(self, test_clips):
+        import wave
+        with wave.open(test_clips["alexa"], "rb") as f:
+            data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0)
+        scores = engine.predict_clips(np.stack([data, data]))      # (T, 2, 1)
+        ref = oww.Model(wakeword_models=["alexa"])
+        ref_scores = [p["alexa"] for p in ref.predict_clip(test_clips["alexa"])]
+        assert scores.shape[0] == len(ref_scores)
+        np.testing.assert_allclose(scores[:, 0, 0], ref_scores, atol=2e-4)
+        np.testing.assert_allclose(scores[:, 0, 0], scores[:, 1, 0], atol=1e-6)
+
+    def test_streams_are_independent(self, audio):
+        """A loud stream must not perturb a quiet stream's scores."""
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0)
+        loud = (audio[1].astype(np.int32) * 4).clip(-32768, 32767).astype(np.int16)
+        for t in range(10):
+            s = engine.predict(np.stack([audio[0, t * 1280:(t + 1) * 1280],
+                                         loud[t * 1280:(t + 1) * 1280]]))
+        engine2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0)
+        for t in range(10):
+            s2 = engine2.predict(np.stack([audio[0, t * 1280:(t + 1) * 1280],
+                                           audio[0, t * 1280:(t + 1) * 1280]]))
+        np.testing.assert_allclose(s[0], s2[0], atol=1e-6)
+
+
+class TestEngineGating:
+    def test_warmup_zeroing(self, audio):
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2)
+        for t in range(5):
+            s = engine.predict(audio[:, t * 1280:(t + 1) * 1280])
+            assert (s == 0).all(), f"frame {t} not zeroed during warm-up"
+        s = engine.predict(audio[:, 5 * 1280:6 * 1280])
+        assert (s != 0).any()
+
+    def test_debounce(self, audio):
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                   debounce_time=2.0, threshold={"alexa": 0.2})
+        activations = np.zeros(2)
+        for t in range(20):
+            s = engine.predict(audio[:, t * 1280:(t + 1) * 1280])
+            activations += (s[:, 0] >= 0.2)
+        # random-weight head sits around ~0.4 on noise; debounce must allow
+        # at most one activation per 2 s window (25 frames > 20 run here)
+        assert (activations <= 1).all()
+
+    def test_patience_blocks_until_consecutive(self, audio):
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                   patience={"alexa": 30}, threshold={"alexa": 1.1})
+        for t in range(15):
+            s = engine.predict(audio[:, t * 1280:(t + 1) * 1280])
+            assert (s == 0).all()
+
+    def test_vad_gate(self, audio):
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, vad_threshold=1.1)
+        for t in range(15):
+            s = engine.predict(audio[:, t * 1280:(t + 1) * 1280])
+        # impossible threshold: everything gated to zero
+        assert (s == 0).all()
+
+    def test_vad_matches_single_stream(self, audio):
+        """Engine-internal VAD state/gating must match the VAD class +
+        Model gate combination."""
+        from openwakeword_tpu.vad import VAD
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, vad_threshold=0.5)
+        v = VAD()
+        for t in range(10):
+            chunk = audio[0, t * 1280:(t + 1) * 1280]
+            engine.predict(np.stack([chunk, chunk]))
+            v(chunk)
+        eng_ring = np.asarray(engine.state["vad_ring"][0])
+        ref_ring = np.array(list(v.prediction_buffer))[-7:]
+        np.testing.assert_allclose(eng_ring, ref_ring, atol=1e-5)
+
+
+class TestSharding:
+    def test_sharded_matches_unsharded(self, audio):
+        devices = jax.devices()
+        assert len(devices) == 8, "conftest must provide 8 virtual CPU devices"
+        mesh = Mesh(np.array(devices), ("streams",))
+        e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=16, rng_seed=0, mesh=mesh)
+        e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=16, rng_seed=0)
+        chunks = np.tile(audio[0, :1280], (16, 1))
+        for t in range(8):
+            c = np.tile(audio[0, t * 1280:(t + 1) * 1280], (16, 1))
+            s1 = e1.predict(c)
+            s2 = e2.predict(c)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        # state leaves actually live sharded over the mesh
+        sh = e1.state["feat_ring"].sharding
+        assert sh.is_fully_replicated is False
+
+    def test_scan_sharded(self, audio):
+        devices = jax.devices()
+        mesh = Mesh(np.array(devices), ("streams",))
+        e = MultiStreamEngine(wakeword_models=["alexa"], n_streams=8, mesh=mesh)
+        frames = np.stack([np.tile(audio[0, t * 1280:(t + 1) * 1280], (8, 1))
+                           for t in range(6)])
+        out = e.predict_frames(frames)
+        assert out.shape == (6, 8, 1)
+
+
+class TestBulkPredict:
+    def test_bulk_matches_predict_clip(self, test_clips):
+        paths = [test_clips["alexa"], test_clips["hey_mycroft"]]
+        results = bulk_predict(paths, wakeword_models=["alexa"])
+        assert set(results.keys()) == set(paths)
+        for p in paths:
+            # fresh Model per clip: scores in the first ~16 frames depend on
+            # the random noise-seeded feature buffer (reference utils.py:169),
+            # so engines must start from the same rng draw to compare exactly
+            m = oww.Model(wakeword_models=["alexa"])
+            ref = m.predict_clip(p)
+            assert len(results[p]) == len(ref)
+            got = [r["alexa"] for r in results[p]]
+            want = [r["alexa"] for r in ref]
+            np.testing.assert_allclose(got, want, atol=2e-4)
