@@ -1,12 +1,17 @@
 """Throughput benchmark: concurrent real-time 16 kHz streams per TPU chip.
 
 Runs the fused multi-stream step (mel frontend + embedding CNN + all heads)
-over S streams for T frames via a scanned device program and reports how many
-streams fit in real time (one 80 ms frame per stream per 80 ms wall clock).
+over S streams for T frames as ONE scanned device program and reports how
+many streams fit in real time (one 80 ms frame per stream per 80 ms wall).
+
+Timing notes for this environment: the axon backend's block_until_ready does
+not block and per-call dispatch over the TPU tunnel costs ~100 ms, so the
+benchmark (a) folds all T frames into a single dispatch via lax.scan and
+(b) synchronizes by fetching a scalar that depends on every score.
 
 Baseline (BASELINE.md): the reference runs 15-20 models real-time on one
-Raspberry Pi 3 core -- effectively ~1 stream/core; the BASELINE.json north
-star is >= 50,000 concurrent streams per v5e chip.
+Raspberry Pi 3 core; BASELINE.json's north star is >= 50,000 concurrent
+streams per v5e chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,7 +19,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import logging
 import os
-import sys
 import time
 
 import numpy as np
@@ -22,41 +26,48 @@ import numpy as np
 logging.disable(logging.WARNING)
 
 
-def _bench_streams(n_streams: int, n_frames: int = 25, repeats: int = 3):
+def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     import jax
+    import jax.numpy as jnp
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
     engine = MultiStreamEngine(wakeword_models=[], n_streams=n_streams)
-    rng = np.random.default_rng(0)
-    frames = rng.integers(-2000, 2000, (n_frames, n_streams, 1280)).astype(np.float32)
-    x = jax.numpy.asarray(frames)
+    step = engine._build_step()
 
-    # warm-up / compile
-    state0 = jax.tree.map(lambda a: a.copy(), engine.state)
-    st, scores = engine._scan_fn(engine.params, engine.state, x)
-    jax.block_until_ready(scores)
-    engine.state = st
+    def run(params, state, frames):
+        def body(st, fr):
+            return step(params, st, fr)
+        state, scores = jax.lax.scan(body, state, frames)
+        return state, jnp.mean(scores)
+
+    run_jit = jax.jit(run, donate_argnums=(1,))
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(-2000, 2000, (n_frames, n_streams, 1280))
+                         .astype(np.float32))
+
+    # compile + warm-up (first fetch also forces the transfer program)
+    state, mean = run_jit(engine.params, engine.state, frames)
+    _ = float(mean)
 
     best = float("inf")
     for _ in range(repeats):
-        engine.state, t0 = engine.state, time.perf_counter()
-        engine.state, scores = engine._scan_fn(engine.params, engine.state, x)
-        jax.block_until_ready(scores)
+        t0 = time.perf_counter()
+        state, mean = run_jit(engine.params, state, frames)
+        _ = float(mean)            # scalar fetch = true synchronization
         best = min(best, time.perf_counter() - t0)
-    frames_per_sec = n_streams * n_frames / best
-    return frames_per_sec, best
+    return n_streams * n_frames / best, best
 
 
 def main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "8192"))
-    n_frames = int(os.environ.get("BENCH_FRAMES", "25"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "50"))
 
     fps, wall = _bench_streams(n_streams, n_frames)
-    # real-time bar: 12.5 frames per stream-second (80 ms frames)
-    realtime_streams = fps / 12.5
+    realtime_streams = fps / 12.5   # 12.5 80-ms frames per stream-second
 
-    # vs_baseline: reference real-time capacity ~= 15-20 models on one Pi core
-    # (README.md:121); treat 20 concurrent model-streams as the baseline.
+    # vs_baseline: the reference sustains ~20 real-time model-streams on one
+    # Raspberry Pi 3 core (reference README.md:121).
     baseline_streams = 20.0
     result = {
         "metric": "concurrent_realtime_16khz_streams_per_chip",

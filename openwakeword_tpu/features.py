@@ -85,8 +85,8 @@ class AudioFeatures():
         if embedding_params is None:
             embedding_params = _load_embedding_params(embedding_model_path)
         self._embedding_params_raw = embedding_params
-        if fold_embedding_batchnorm:
-            self._embedding_params = embedding_model.fold_batchnorm(embedding_params)
+        if fold_embedding_batchnorm or embedding_model.is_folded(embedding_params):
+            self._embedding_params = embedding_model.ensure_folded(embedding_params)
             self._embed_fn = _embed_folded_jit
         else:
             self._embedding_params = embedding_params

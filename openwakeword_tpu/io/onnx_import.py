@@ -1,0 +1,218 @@
+"""Import reference .onnx artifacts into native param pytrees.
+
+Handles the three artifact families the reference distributes (SURVEY.md
+section 2.2): classifier heads (torch.onnx exports: Gemm/MatMul+Add chains
+with decomposed LayerNorm, Sigmoid/Softmax tails), the speech-embedding CNN
+(Conv/BatchNormalization/MaxPool graph), and rejects unknown graphs with a
+clear error. Import is order-based against the known fixed architectures:
+the graphs are frozen exports, so parameter order is deterministic.
+"""
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from openwakeword_tpu.io import onnx_proto as op
+from openwakeword_tpu.models import embedding as embedding_model
+
+
+def _classify(graph: Dict) -> str:
+    ins = [i for i in graph["inputs"] if i["name"] not in graph["initializers"]]
+    if ins:
+        shape = ins[0]["shape"]
+        concrete = [d for d in shape if isinstance(d, int)]
+        if len(shape) == 4 and concrete[-2:] in ([32, 1],) or \
+           (len(shape) == 4 and 76 in concrete and 32 in concrete):
+            return "embedding"
+        if len(shape) == 3 and concrete and concrete[-1] == 96:
+            return "head"
+        if len(shape) == 2:
+            ops = {n["op_type"] for n in graph["nodes"]}
+            if "Conv" in ops and any(n["op_type"] in ("Gemm", "MatMul") for n in graph["nodes"]) is False:
+                return "melspectrogram"
+            return "head"
+    ops = [n["op_type"] for n in graph["nodes"]]
+    if ops.count("Conv") > 10:
+        return "embedding"
+    if "LSTM" in ops:
+        return "vad"
+    return "head"
+
+
+# ---------------------------------------------------------------------------
+# Heads
+# ---------------------------------------------------------------------------
+
+def _extract_linears_and_lns(graph: Dict) -> Tuple[List[Dict], List[Dict], Dict]:
+    """Walk nodes in graph order collecting Linear layers and LayerNorms.
+
+    Linear: Gemm (with optional transB) or MatMul followed by Add-with-vector.
+    LayerNorm: a Div whose denominator chain contains Sqrt, followed by
+    Mul(gamma initializer) and Add(beta initializer) -- covers both this
+    package's exporter and torch's opset-13 decomposition.
+    """
+    inits = graph["initializers"]
+    producers = {}
+    for n in graph["nodes"]:
+        for o in n["output"]:
+            producers[o] = n
+
+    linears: List[Dict] = []
+    lns: List[Dict] = []
+    consumed_adds = set()
+    tail = {"activation": None, "relu_before_softmax": False}
+
+    def _from_sqrt(name, depth=0):
+        n = producers.get(name)
+        if n is None or depth > 4:
+            return False
+        if n["op_type"] == "Sqrt":
+            return True
+        return any(_from_sqrt(i, depth + 1) for i in n["input"])
+
+    nodes = graph["nodes"]
+    for idx, n in enumerate(nodes):
+        t = n["op_type"]
+        if t == "Gemm":
+            w = np.asarray(inits[n["input"][1]], np.float32)
+            b = np.asarray(inits[n["input"][2]], np.float32) if len(n["input"]) > 2 else np.zeros(w.shape[-1], np.float32)
+            trans_b = n["attributes"].get("transB", {}).get("i", 0)
+            if trans_b:
+                w = w.T
+            linears.append({"w": w, "b": b})
+        elif t == "MatMul" and n["input"][1] in inits:
+            w = np.asarray(inits[n["input"][1]], np.float32)
+            b = np.zeros(w.shape[-1], np.float32)
+            # look ahead for the bias Add
+            for m in nodes[idx + 1:idx + 3]:
+                if m["op_type"] == "Add" and n["output"][0] in m["input"]:
+                    other = [i for i in m["input"] if i != n["output"][0]][0]
+                    if other in inits and inits[other].ndim == 1:
+                        b = np.asarray(inits[other], np.float32)
+                        consumed_adds.add(id(m))
+                    break
+            linears.append({"w": w, "b": b})
+        elif t == "Div" and _from_sqrt(n["input"][1]):
+            gamma = beta = None
+            cur = n["output"][0]
+            for m in nodes[idx + 1:idx + 6]:
+                if cur in m["input"]:
+                    other = [i for i in m["input"] if i != cur]
+                    if m["op_type"] == "Mul" and other and other[0] in inits and gamma is None:
+                        gamma = np.asarray(inits[other[0]], np.float32)
+                        cur = m["output"][0]
+                    elif m["op_type"] == "Add" and other and other[0] in inits and gamma is not None:
+                        beta = np.asarray(inits[other[0]], np.float32)
+                        consumed_adds.add(id(m))
+                        break
+            if gamma is not None and beta is not None:
+                lns.append({"gamma": gamma, "beta": beta})
+        elif t == "Sigmoid":
+            tail["activation"] = "sigmoid"
+        elif t == "Softmax":
+            tail["activation"] = "softmax"
+            prev = producers.get(n["input"][0])
+            if prev is not None and prev["op_type"] == "Relu":
+                tail["relu_before_softmax"] = True
+    return linears, lns, tail
+
+
+def import_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
+    """ONNX head -> (params pytree with __meta__, meta dict)."""
+    if graph is None:
+        graph = op.load_onnx(path)["graph"]
+    linears, lns, tail = _extract_linears_and_lns(graph)
+    if not linears:
+        raise ValueError(f"No linear layers found in ONNX head graph at {path}")
+
+    n_in = linears[0]["w"].shape[0]
+    if n_in % 96 != 0:
+        raise ValueError(f"Head input dim {n_in} is not a multiple of the 96-d embedding")
+    input_frames = n_in // 96
+    n_classes = linears[-1]["w"].shape[-1]
+    layer_dim = linears[0]["w"].shape[-1]
+
+    params: Dict = {}
+    if lns:
+        if len(lns) != len(linears) - 1:
+            raise ValueError(f"Unexpected head structure: {len(linears)} linears, {len(lns)} layernorms")
+        n_blocks = len(lns) - 1
+        meta = {"model_type": "dnn", "input_frames": input_frames, "n_classes": n_classes,
+                "layer_dim": layer_dim, "n_blocks": n_blocks}
+        params["layer1"] = linears[0]
+        params["ln1"] = lns[0]
+        for i in range(n_blocks):
+            params[f"block{i}_fc"] = linears[1 + i]
+            params[f"block{i}_ln"] = lns[1 + i]
+        params["out"] = linears[-1]
+    else:
+        if len(linears) != 3:
+            raise ValueError(f"Unexpected LN-free head with {len(linears)} linears (expected 3 for 'mlp')")
+        meta = {"model_type": "mlp", "input_frames": input_frames, "n_classes": n_classes,
+                "layer_dim": layer_dim}
+        params["layer1"], params["layer2"], params["out"] = linears
+    if n_classes > 1:
+        meta["relu_logits"] = bool(tail["relu_before_softmax"])
+    params["__meta__"] = meta
+
+    out_names = [o["name"] for o in graph["outputs"]]
+    file_meta = {"kind": "head", "output_names": out_names}
+    return params, file_meta
+
+
+# ---------------------------------------------------------------------------
+# Embedding CNN
+# ---------------------------------------------------------------------------
+
+def import_embedding_onnx(path: str, graph: Dict = None) -> Dict:
+    """ONNX speech-embedding CNN -> native embedding params.
+
+    Order-based: the graph's Conv weights (OIHW -> HWIO) and
+    BatchNormalization (scale, B, mean, var) params are assigned to our fixed
+    layer program in topological order, then shape-checked against the spec
+    (conversion notebook cell 18)."""
+    if graph is None:
+        graph = op.load_onnx(path)["graph"]
+    inits = graph["initializers"]
+    convs, bns = [], []
+    for n in graph["nodes"]:
+        if n["op_type"] == "Conv" and n["input"][1] in inits:
+            w = np.asarray(inits[n["input"][1]], np.float32)      # OIHW
+            convs.append(np.transpose(w, (2, 3, 1, 0)))            # -> HWIO
+        elif n["op_type"] == "BatchNormalization":
+            gamma, beta, mean, var = (np.asarray(inits[i], np.float32) for i in n["input"][1:5])
+            bns.append({"gamma": gamma, "beta": beta, "mean": mean, "var": var})
+
+    expected = embedding_model.init_params(__import__("jax").random.PRNGKey(0))
+    n_convs = sum(1 for k in expected if k.startswith("conv_"))
+    n_bns = sum(1 for k in expected if k.startswith("bn_"))
+    if len(convs) != n_convs or len(bns) != n_bns:
+        raise ValueError(f"Embedding graph has {len(convs)} convs / {len(bns)} BNs; "
+                         f"expected {n_convs} / {n_bns}")
+    params: Dict = {}
+    for i, w in enumerate(convs):
+        want = expected[f"conv_{i}"]["w"].shape
+        if tuple(w.shape) != tuple(want):
+            raise ValueError(f"conv_{i} shape {w.shape} != expected {want}")
+        params[f"conv_{i}"] = {"w": w}
+    for i, bn in enumerate(bns):
+        params[f"bn_{i}"] = bn
+    return params
+
+
+# ---------------------------------------------------------------------------
+
+def import_onnx_model(path: str) -> Tuple[str, Dict, Dict]:
+    """Entry point used by io.loaders: (kind, params, meta)."""
+    model = op.load_onnx(path)
+    graph = model["graph"]
+    kind = _classify(graph)
+    if kind == "head":
+        params, meta = import_head_onnx(path, graph)
+        return "head", params, meta
+    if kind == "embedding":
+        return "embedding", import_embedding_onnx(path, graph), {"kind": "embedding"}
+    if kind == "melspectrogram":
+        raise ValueError("The melspectrogram frontend is analytic in this framework; "
+                         "no import needed (openwakeword_tpu.ops.melspec).")
+    raise NotImplementedError(f"ONNX import for model kind '{kind}' ({path}) is not supported yet")

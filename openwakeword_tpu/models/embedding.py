@@ -195,6 +195,17 @@ def fold_batchnorm(params: Dict) -> Dict:
     return folded
 
 
+def is_folded(params: Dict) -> bool:
+    """True if params are already in BN-folded form (e.g. imported from a
+    TFLite artifact whose converter folded the BatchNorms)."""
+    return any(k.startswith("affine_") for k in params) or \
+        ("conv_0" in params and "b" in params["conv_0"])
+
+
+def ensure_folded(params: Dict) -> Dict:
+    return params if is_folded(params) else fold_batchnorm(params)
+
+
 def apply_folded(folded: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """Forward pass using BN-folded params (fewer elementwise stages)."""
     if x.ndim == 3:

@@ -145,7 +145,7 @@ class MultiStreamEngine:
         if embedding_params is None:
             from openwakeword_tpu.features import _load_embedding_params
             embedding_params = _load_embedding_params()
-        emb_folded = embedding_model.fold_batchnorm(embedding_params)
+        emb_folded = embedding_model.ensure_folded(embedding_params)
 
         if self.vad_threshold > 0 and vad_params is None:
             import os

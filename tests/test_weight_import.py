@@ -1,0 +1,314 @@
+"""Weight import/export tests.
+
+Real reference artifacts are unavailable in this zero-egress environment, so
+these tests validate the codecs against (a) exact round-trips through our own
+encoder, (b) synthetic graphs replicating the producers' layouts
+(torch.onnx-style decomposed LayerNorm + Gemm transB; TFLite flatbuffers
+built with the flatbuffers runtime), and (c) gated parity tests that run
+whenever real artifacts are present on disk.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from openwakeword_tpu.models import embedding, heads
+from openwakeword_tpu.io import onnx_proto as op
+from openwakeword_tpu.io.onnx_export import export_head_onnx
+from openwakeword_tpu.io.onnx_import import import_head_onnx, import_embedding_onnx, import_onnx_model
+from openwakeword_tpu.io.checkpoints import save_checkpoint, load_checkpoint
+
+
+class TestCheckpointRoundTrip:
+    def test_head_npz(self, tmp_path):
+        p = heads.init_params(jax.random.PRNGKey(0), "dnn", 16, 1, 64, 2)
+        path = str(tmp_path / "h.npz")
+        save_checkpoint(path, "head", p, {"class_mapping": {"0": "x"}})
+        kind, p2, meta = load_checkpoint(path)
+        assert kind == "head" and meta["class_mapping"] == {"0": "x"}
+        assert p2["__meta__"]["n_blocks"] == 2
+        x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 16, 96)), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(heads.apply(p, x)),
+                                      np.asarray(heads.apply(p2, x)))
+
+    def test_embedding_npz(self, tmp_path):
+        p = embedding.init_params(jax.random.PRNGKey(1))
+        path = str(tmp_path / "e.npz")
+        save_checkpoint(path, "embedding", p)
+        kind, p2, _ = load_checkpoint(path)
+        assert kind == "embedding"
+        x = jnp.asarray(np.random.default_rng(1).uniform(-1, 4, (2, 76, 32, 1)), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(embedding.apply(p, x)),
+                                      np.asarray(embedding.apply(p2, x)))
+
+
+class TestOnnxHeads:
+    @pytest.mark.parametrize("spec", [("dnn", 16, 1, 64, 1), ("dnn", 16, 1, 32, 2),
+                                      ("mlp", 34, 7, 128, 1)])
+    def test_export_import_round_trip(self, tmp_path, spec):
+        mt, frames, ncls, dim, blocks = spec
+        p = heads.init_params(jax.random.PRNGKey(2), mt, frames, ncls, dim, blocks)
+        path = str(tmp_path / "h.onnx")
+        export_head_onnx(p, path, output_name="label")
+        p2, meta = import_head_onnx(path)
+        assert meta["output_names"] == ["label"]
+        x = jnp.asarray(np.random.default_rng(2).normal(0, 1, (3, frames, 96)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(heads.apply(p, x)),
+                                   np.asarray(heads.apply(p2, x)), atol=1e-7)
+
+    def test_torch_style_graph(self, tmp_path):
+        """Gemm with transB=1 and torch's Pow-based LayerNorm decomposition."""
+        rng = np.random.default_rng(3)
+        W1 = rng.normal(0, 0.1, (64, 1536)).astype(np.float32)
+        b1 = rng.normal(0, 0.1, 64).astype(np.float32)
+        g1 = rng.normal(1, 0.1, 64).astype(np.float32)
+        be1 = rng.normal(0, 0.1, 64).astype(np.float32)
+        W2 = rng.normal(0, 0.1, (1, 64)).astype(np.float32)
+        b2 = np.zeros(1, np.float32)
+        inits = [op.encode_tensor(n, a) for n, a in [
+            ("W1", W1), ("b1", b1), ("g1", g1), ("be1", be1), ("W2", W2), ("b2", b2),
+            ("eps", np.float32(1e-5).reshape(())), ("two", np.float32(2.0).reshape(())),
+            ("shape", np.asarray([0, 1536], np.int64))]]
+        nodes = [
+            op.encode_node("Reshape", ["input", "shape"], ["flat"]),
+            op.encode_node("Gemm", ["flat", "W1", "b1"], ["fc1"], transB=1),
+            op.encode_node("ReduceMean", ["fc1"], ["mu"], axes=[-1], keepdims=1),
+            op.encode_node("Sub", ["fc1", "mu"], ["cen"]),
+            op.encode_node("Pow", ["cen", "two"], ["sq"]),
+            op.encode_node("ReduceMean", ["sq"], ["var"], axes=[-1], keepdims=1),
+            op.encode_node("Add", ["var", "eps"], ["vareps"]),
+            op.encode_node("Sqrt", ["vareps"], ["std"]),
+            op.encode_node("Div", ["cen", "std"], ["norm"]),
+            op.encode_node("Mul", ["norm", "g1"], ["scaled"]),
+            op.encode_node("Add", ["scaled", "be1"], ["ln1"]),
+            op.encode_node("Relu", ["ln1"], ["r1"]),
+            op.encode_node("Gemm", ["r1", "W2", "b2"], ["logits"], transB=1),
+            op.encode_node("Sigmoid", ["logits"], ["alexa_v0.1"]),
+        ]
+        path = str(tmp_path / "t.onnx")
+        with open(path, "wb") as f:
+            f.write(op.encode_model(nodes, inits,
+                                    [op.encode_value_info("input", ["batch", 16, 96])],
+                                    [op.encode_value_info("alexa_v0.1", ["batch", 1])]))
+        p, meta = import_head_onnx(path)
+        assert p["__meta__"]["model_type"] == "dnn"
+        assert meta["output_names"] == ["alexa_v0.1"]
+        x = rng.normal(0, 1, (4, 16, 96)).astype(np.float32)
+        h = x.reshape(4, -1) @ W1.T + b1
+        mu = h.mean(-1, keepdims=True)
+        v = ((h - mu) ** 2).mean(-1, keepdims=True)
+        ln = (h - mu) / np.sqrt(v + 1e-5) * g1 + be1
+        expect = 1 / (1 + np.exp(-(np.maximum(ln, 0) @ W2.T + b2)))
+        got = np.asarray(heads.apply(p, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+class TestOnnxEmbedding:
+    def test_synthetic_embedding_graph(self, tmp_path):
+        """Build an ONNX Conv/BN graph from known params (OIHW layout, as the
+        released artifact uses) and check the importer reproduces them."""
+        p = embedding.init_params(jax.random.PRNGKey(4))
+        # give BNs non-trivial values
+        for k in p:
+            if k.startswith("bn_"):
+                key = jax.random.PRNGKey(hash(k) % 2**31)
+                n = p[k]["gamma"].shape[0]
+                p[k] = {"gamma": 1 + 0.1 * jax.random.normal(key, (n,)),
+                        "beta": 0.1 * jax.random.normal(key, (n,)),
+                        "mean": 0.1 * jax.random.normal(key, (n,)),
+                        "var": jnp.abs(1 + 0.1 * jax.random.normal(key, (n,)))}
+        nodes, inits = [], []
+        prev = "input"
+        conv_i = bn_i = 0
+        for layer in embedding.spec():
+            if layer[0] == "conv":
+                w = np.transpose(np.asarray(p[f"conv_{conv_i}"]["w"]), (3, 2, 0, 1))  # HWIO->OIHW
+                inits.append(op.encode_tensor(f"w{conv_i}", w.astype(np.float32)))
+                out = f"conv{conv_i}"
+                nodes.append(op.encode_node("Conv", [prev, f"w{conv_i}"], [out]))
+                prev = out
+                conv_i += 1
+            elif layer[0] == "bnact":
+                bn = p[f"bn_{bn_i}"]
+                for nm, arr in [("g", bn["gamma"]), ("b", bn["beta"]),
+                                ("m", bn["mean"]), ("v", bn["var"])]:
+                    inits.append(op.encode_tensor(f"bn{bn_i}{nm}", np.asarray(arr, np.float32)))
+                out = f"bn{bn_i}"
+                nodes.append(op.encode_node(
+                    "BatchNormalization",
+                    [prev, f"bn{bn_i}g", f"bn{bn_i}b", f"bn{bn_i}m", f"bn{bn_i}v"], [out]))
+                prev = out
+                bn_i += 1
+        path = str(tmp_path / "emb.onnx")
+        with open(path, "wb") as f:
+            f.write(op.encode_model(nodes, inits,
+                                    [op.encode_value_info("input_1", [1, 76, 32, 1])],
+                                    [op.encode_value_info(prev, [1, 1, 1, 96])]))
+        p2 = import_embedding_onnx(path)
+        x = jnp.asarray(np.random.default_rng(4).uniform(-1, 4, (2, 76, 32, 1)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(embedding.apply(p, x)),
+                                   np.asarray(embedding.apply(p2, x)), atol=1e-6)
+
+    def test_classify_dispatch(self, tmp_path):
+        p = heads.init_params(jax.random.PRNGKey(5), "dnn", 16, 1, 64, 1)
+        path = str(tmp_path / "h.onnx")
+        export_head_onnx(p, path)
+        kind, _, _ = import_onnx_model(path)
+        assert kind == "head"
+
+
+class TestTfliteWalker:
+    def test_flatbuffer_reader_on_builder_output(self, tmp_path):
+        """Build a minimal TFLite model (1 FULLY_CONNECTED + LOGISTIC) with
+        the flatbuffers runtime and check the schema walker parses it."""
+        import flatbuffers
+        from openwakeword_tpu.io import tflite_import as TL
+
+        b = flatbuffers.Builder(1024)
+
+        rng = np.random.default_rng(6)
+        W = rng.normal(0, 0.1, (1, 1536)).astype(np.float32)
+        bias = rng.normal(0, 0.1, (1,)).astype(np.float32)
+
+        def buffer_table(data: bytes):
+            dv = b.CreateByteVector(data) if data else None
+            b.StartObject(1)
+            if dv:
+                b.PrependUOffsetTRelativeSlot(0, dv, 0)
+            return b.EndObject()
+
+        buf_offsets = [buffer_table(b"")]          # buffer 0: empty (input)
+        buf_offsets.append(buffer_table(W.tobytes()))
+        buf_offsets.append(buffer_table(bias.tobytes()))
+        buf_offsets.append(buffer_table(b""))      # fc out
+        buf_offsets.append(buffer_table(b""))      # logistic out
+
+        def int_vector(vals):
+            b.StartVector(4, len(vals), 4)
+            for v in reversed(vals):
+                b.PrependInt32(v)
+            return b.EndVector()
+
+        def tensor_table(shape, ttype, buf, name):
+            name_off = b.CreateString(name)
+            shape_off = int_vector(shape)
+            b.StartObject(6)
+            b.PrependUOffsetTRelativeSlot(0, shape_off, 0)
+            b.PrependInt8Slot(1, ttype, 0)
+            b.PrependUint32Slot(2, buf, 0)
+            b.PrependUOffsetTRelativeSlot(3, name_off, 0)
+            return b.EndObject()
+
+        tensors = [
+            tensor_table([1, 1536], 0, 0, "input"),
+            tensor_table([1, 1536], 0, 1, "fc_w"),
+            tensor_table([1], 0, 2, "fc_b"),
+            tensor_table([1, 1], 0, 3, "fc_out"),
+            tensor_table([1, 1], 0, 4, "alexa_v0.1"),
+        ]
+
+        def opcode_table(code):
+            b.StartObject(4)
+            b.PrependInt8Slot(0, min(code, 127), 0)
+            b.PrependInt32Slot(3, code, 0)
+            return b.EndObject()
+
+        opcodes = [opcode_table(TL.OP_FULLY_CONNECTED), opcode_table(TL.OP_LOGISTIC)]
+
+        def operator_table(opcode_idx, ins, outs):
+            ins_off, outs_off = int_vector(ins), int_vector(outs)
+            b.StartObject(5)
+            b.PrependUint32Slot(0, opcode_idx, 0)
+            b.PrependUOffsetTRelativeSlot(1, ins_off, 0)
+            b.PrependUOffsetTRelativeSlot(2, outs_off, 0)
+            return b.EndObject()
+
+        operators = [operator_table(0, [0, 1, 2], [3]), operator_table(1, [3], [4])]
+
+        def offset_vector(offs):
+            b.StartVector(4, len(offs), 4)
+            for o in reversed(offs):
+                b.PrependUOffsetTRelative(o)
+            return b.EndVector()
+
+        tensors_off = offset_vector(tensors)
+        ops_off = offset_vector(operators)
+        sg_in, sg_out = int_vector([0]), int_vector([4])
+        b.StartObject(5)
+        b.PrependUOffsetTRelativeSlot(0, tensors_off, 0)
+        b.PrependUOffsetTRelativeSlot(1, sg_in, 0)
+        b.PrependUOffsetTRelativeSlot(2, sg_out, 0)
+        b.PrependUOffsetTRelativeSlot(3, ops_off, 0)
+        sg = b.EndObject()
+
+        sgs_off = offset_vector([sg])
+        codes_off = offset_vector(opcodes)
+        bufs_off = offset_vector(buf_offsets)
+        b.StartObject(8)
+        b.PrependInt32Slot(0, 3, 0)
+        b.PrependUOffsetTRelativeSlot(1, codes_off, 0)
+        b.PrependUOffsetTRelativeSlot(2, sgs_off, 0)
+        b.PrependUOffsetTRelativeSlot(4, bufs_off, 0)
+        model = b.EndObject()
+        b.Finish(model, b"TFL3")
+
+        path = str(tmp_path / "mini.tflite")
+        with open(path, "wb") as f:
+            f.write(b.Output())
+
+        parsed = TL.load_tflite(path)
+        assert [o["opcode"] for o in parsed["operators"]] == [TL.OP_FULLY_CONNECTED, TL.OP_LOGISTIC]
+        assert parsed["tensors"][1]["data"].shape == (1, 1536)
+        np.testing.assert_array_equal(parsed["tensors"][1]["data"], W)
+        assert parsed["tensors"][4]["name"] == "alexa_v0.1"
+        assert parsed["outputs"] == [4]
+
+    def test_head_extractor_on_parsed_dict(self):
+        """Extractor logic on a synthetic parsed model (converter layout:
+        FC -> decomposed LN (MEAN/SQUARED_DIFFERENCE/RSQRT) -> MUL/ADD)."""
+        from openwakeword_tpu.io import tflite_import as TL
+        rng = np.random.default_rng(7)
+        W1 = rng.normal(0, 0.1, (64, 1536)).astype(np.float32)
+        b1 = np.zeros(64, np.float32)
+        g1 = rng.normal(1, 0.1, 64).astype(np.float32)
+        be1 = rng.normal(0, 0.1, 64).astype(np.float32)
+        W2 = rng.normal(0, 0.1, (1, 64)).astype(np.float32)
+        b2 = np.zeros(1, np.float32)
+        tensors = [{"name": f"t{i}", "shape": [], "dtype": 0, "data": d} for i, d in
+                   enumerate([None, W1, b1, None, None, None, None, g1, None, be1,
+                              None, W2, b2, None, None])]
+        ops = [
+            {"opcode": TL.OP_FULLY_CONNECTED, "inputs": [0, 1, 2], "outputs": [3]},
+            {"opcode": TL.OP_MEAN, "inputs": [3], "outputs": [4]},
+            {"opcode": TL.OP_SQUARED_DIFFERENCE, "inputs": [3, 4], "outputs": [5]},
+            {"opcode": TL.OP_RSQRT, "inputs": [5], "outputs": [6]},
+            {"opcode": TL.OP_MUL, "inputs": [6, 7], "outputs": [8]},
+            {"opcode": TL.OP_ADD, "inputs": [8, 9], "outputs": [10]},
+            {"opcode": TL.OP_RELU, "inputs": [10], "outputs": [13]},
+            {"opcode": TL.OP_FULLY_CONNECTED, "inputs": [13, 11, 12], "outputs": [14]},
+            {"opcode": TL.OP_LOGISTIC, "inputs": [14], "outputs": [14]},
+        ]
+        model = {"tensors": tensors, "operators": ops, "inputs": [0], "outputs": [14]}
+        params, meta = TL.import_head_tflite("<mem>", model)
+        assert params["__meta__"]["model_type"] == "dnn"
+        assert params["__meta__"]["n_blocks"] == 0
+        np.testing.assert_array_equal(params["layer1"]["w"], W1.T)
+        np.testing.assert_array_equal(params["ln1"]["gamma"], g1)
+        np.testing.assert_array_equal(params["out"]["w"], W2.T)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                    "artifacts")),
+    reason="real reference artifacts not present (zero-egress environment)")
+class TestRealArtifactParity:
+    """Runs only when released artifacts exist under repo-root/artifacts/."""
+
+    def test_convert_all(self):
+        from openwakeword_tpu.utils.download import convert_local_models
+        root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+        converted = convert_local_models(root)
+        assert converted
