@@ -1,0 +1,151 @@
+"""Incremental (streaming) evaluation of the speech-embedding CNN.
+
+The reference recomputes the full 76-frame window for every 80 ms step
+(reference utils.py:437-443), but consecutive windows overlap by 68 frames
+and every layer of the CNN is time-invariant with valid time convolutions and
+phase-aligned stride-2 time pools (8 new mel frames per step = 2^3, matching
+the three (2,2) pools). Intermediate activations at a given absolute time are
+therefore identical across windows, so caching a 2-row tail of each
+time-conv's input lets each step compute only the new rows: ~8x fewer FLOPs
+than re-running the window, with *bit-identical* output (the embedding's
+receptive field is exactly 76 frames, fully contained in the cached state).
+
+Used by the multi-stream engine's hot path. Operates on BN-folded params
+(embedding.fold_batchnorm / TFLite import format).
+
+All functions are batched over a leading stream axis and jit/scan-friendly.
+"""
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openwakeword_tpu.models import embedding as E
+
+
+def _conv(x, w, padding):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _pool(x, window, strides, padding):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, window[0], window[1], 1),
+        window_strides=(1, strides[0], strides[1], 1),
+        padding=padding)
+
+
+def _clipped_leaky(x):
+    return jnp.maximum(jnp.maximum(0.2 * x, x), -0.4)
+
+
+def cache_spec() -> List[Tuple[str, int]]:
+    """[(cache_name, conv_index)] for every conv with time extent > 1, in
+    program order. Each cache holds the last 2 time-rows of that conv's
+    (pre-pad) input."""
+    out = []
+    conv_i = 0
+    for layer in E.spec():
+        if layer[0] == "conv":
+            kh = layer[2][0]
+            if kh > 1:
+                out.append((f"cache_{conv_i}", conv_i))
+            conv_i += 1
+    return out
+
+
+def init_caches(folded: Dict, mel_window: jnp.ndarray) -> Tuple[Dict, jnp.ndarray]:
+    """Prime the caches by running the full window forward, capturing each
+    time-conv input's last 2 rows.
+
+    Args:
+        folded: BN-folded embedding params.
+        mel_window: (S, 76, 32) transformed log-mel.
+    Returns:
+        (caches, embedding (S, 96)).
+    """
+    x = mel_window[..., None].astype(jnp.float32)
+    caches: Dict[str, jnp.ndarray] = {}
+    conv_i = bn_i = 0
+    for layer in E.spec():
+        kind = layer[0]
+        if kind == "pad":
+            pw = layer[1]
+            x = jnp.pad(x, ((0, 0), (pw[0], pw[0]), (pw[1], pw[1]), (0, 0)))
+        elif kind == "conv":
+            _, _, (kh, kw), padding, act = layer
+            if kh > 1:
+                caches[f"cache_{conv_i}"] = x[:, -2:]
+            c = folded[f"conv_{conv_i}"]
+            x = _conv(x, c["w"], padding) + c["b"]
+            if act == "relu":
+                x = jnp.maximum(x, 0.0)
+            conv_i += 1
+        elif kind == "bnact":
+            aff = folded.get(f"affine_{bn_i}")
+            if aff is not None:
+                x = x * aff["scale"] + aff["shift"]
+            x = _clipped_leaky(x)
+            bn_i += 1
+        elif kind == "pool":
+            _, window, strides, padding = layer
+            x = _pool(x, window, strides, padding)
+    return caches, x.reshape(x.shape[0], E.OUTPUT_DIM)
+
+
+def step(folded: Dict, caches: Dict, new_mel: jnp.ndarray) -> Tuple[Dict, jnp.ndarray]:
+    """Advance the streaming CNN by 8 new mel frames.
+
+    Args:
+        folded: BN-folded embedding params.
+        caches: per-time-conv 2-row input tails (from init_caches / prior step).
+        new_mel: (S, 8, 32) new transformed log-mel rows.
+    Returns:
+        (new_caches, embedding (S, 96)) -- the embedding of the implicit
+        sliding 76-frame window ending at the newest frame, bit-identical to
+        the full-window forward.
+    """
+    x = new_mel[..., None].astype(jnp.float32)
+    new_caches: Dict[str, jnp.ndarray] = {}
+    conv_i = bn_i = 0
+    for layer in E.spec():
+        kind = layer[0]
+        if kind == "pad":
+            pw = layer[1]
+            # width-only padding each step; time context comes from caches
+            x = jnp.pad(x, ((0, 0), (0, 0), (pw[1], pw[1]), (0, 0)))
+        elif kind == "conv":
+            _, _, (kh, kw), padding, act = layer
+            if kh > 1:
+                cache = caches[f"cache_{conv_i}"]
+                if padding == "SAME":
+                    raise ValueError("time-extended SAME convs unsupported in streaming mode")
+                full = jnp.concatenate([cache, x], axis=1)
+                new_caches[f"cache_{conv_i}"] = full[:, -2:]
+                # stem cache rows were captured post-(width)pad; re-pad only
+                # the fresh rows happens above, so widths already align
+                x = full
+                pad_mode = "VALID"
+            else:
+                pad_mode = padding
+            c = folded[f"conv_{conv_i}"]
+            x = _conv(x, c["w"], pad_mode) + c["b"]
+            if act == "relu":
+                x = jnp.maximum(x, 0.0)
+            conv_i += 1
+        elif kind == "bnact":
+            aff = folded.get(f"affine_{bn_i}")
+            if aff is not None:
+                x = x * aff["scale"] + aff["shift"]
+            x = _clipped_leaky(x)
+            bn_i += 1
+        elif kind == "pool":
+            _, window, strides, padding = layer
+            x = _pool(x, window, strides, padding)
+    return new_caches, x.reshape(x.shape[0], E.OUTPUT_DIM)

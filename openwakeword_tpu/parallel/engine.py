@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from openwakeword_tpu import config, registry
 from openwakeword_tpu.models import embedding as embedding_model
+from openwakeword_tpu.models import embedding_stream
 from openwakeword_tpu.models import heads as heads_lib
 from openwakeword_tpu.models import vad_net
 from openwakeword_tpu.ops import melspec as melspec_ops
@@ -90,7 +91,8 @@ class MultiStreamEngine:
                  embedding_params=None,
                  vad_params=None,
                  mesh: Optional[Mesh] = None,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0,
+                 incremental: bool = True):
         if patience and debounce_time > 0:
             raise ValueError("The `patience` and `debounce_time` arguments cannot be used together!")
         if (patience or debounce_time > 0) and not threshold:
@@ -99,6 +101,11 @@ class MultiStreamEngine:
         self.n_streams = int(n_streams)
         self.vad_threshold = float(vad_threshold)
         self.mesh = mesh
+        # incremental: stream the embedding CNN with per-layer activation
+        # caches (~8x fewer FLOPs, bit-identical scores -- embedding_stream);
+        # False recomputes the full 76-frame window each step like the
+        # reference does.
+        self.incremental = bool(incremental)
 
         # ---- heads ----
         heads = _resolve_heads(wakeword_models)
@@ -204,6 +211,12 @@ class MultiStreamEngine:
             "score_hist": jnp.zeros((S, len(self.labels), config.PREDICTION_BUFFER_MAX), jnp.float32),
             "frames_seen": jnp.zeros((S,), jnp.int32),
         }
+        if self.incremental:
+            # shape-correct caches; values are overwritten by the first
+            # step's prime branch (which re-derives them from mel_ring)
+            caches, _ = jax.jit(embedding_stream.init_caches)(
+                self.params["embedding"], state["mel_ring"])
+            state["conv_caches"] = caches
         if self.vad_threshold > 0:
             state["vad_h"] = jnp.zeros((S, config.VAD_STATE_LAYERS, config.VAD_STATE_DIM), jnp.float32)
             state["vad_c"] = jnp.zeros((S, config.VAD_STATE_LAYERS, config.VAD_STATE_DIM), jnp.float32)
@@ -233,6 +246,7 @@ class MultiStreamEngine:
         F = self.max_head_frames
         vad_on = self.vad_threshold > 0
         vad_threshold = self.vad_threshold
+        incremental = self.incremental
         use_patience, use_debounce = self._use_patience, self._use_debounce
         patience_vec = jnp.asarray(self._patience_vec)
         threshold_vec = jnp.asarray(self._threshold_vec)
@@ -265,7 +279,22 @@ class MultiStreamEngine:
             ring5 = jnp.concatenate([state["mel_ring"][:, 5:], mel[:, 3:]], axis=1)
             mel_ring = jnp.where(is_first[:, None, None], ring5, ring8)
 
-            emb = embedding_model.apply_folded(params["embedding"], mel_ring)  # (S, 96)
+            if incremental:
+                # All streams advance in lockstep, so first-ness is uniform;
+                # the prime branch re-derives the activation caches from the
+                # full window, later steps stream only the 8 new rows.
+                any_first = jnp.any(is_first)
+
+                def prime(_):
+                    return embedding_stream.init_caches(params["embedding"], mel_ring)
+
+                def stream(_):
+                    return embedding_stream.step(params["embedding"],
+                                                 state["conv_caches"], mel)
+
+                conv_caches, emb = jax.lax.cond(any_first, prime, stream, None)
+            else:
+                emb = embedding_model.apply_folded(params["embedding"], mel_ring)  # (S, 96)
             feat_ring = jnp.concatenate([state["feat_ring"][:, 1:], emb[:, None, :]], axis=1)
 
             score_parts = []
@@ -304,6 +333,8 @@ class MultiStreamEngine:
                 "score_hist": hist,
                 "frames_seen": state["frames_seen"] + 1,
             }
+            if incremental:
+                new_state["conv_caches"] = conv_caches
 
             if vad_on:
                 # reference VAD call path: 640-sample chunks, truncated to the

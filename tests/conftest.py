@@ -14,8 +14,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache makes repeated test runs fast
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# Persistent compilation cache makes repeated test runs fast. It must live in
+# a machine-local dir: a cache shared across hosts serves executables compiled
+# for other CPUs (cpu_aot_loader feature mismatch -> subtly different numerics).
+_cache_dir = os.path.join("/tmp", "owwt_jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -153,3 +153,38 @@ class TestBulkPredict:
             got = [r["alexa"] for r in results[p]]
             want = [r["alexa"] for r in ref]
             np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestIncrementalCNN:
+    def test_incremental_matches_full_window(self, audio):
+        """The streaming CNN with activation caches must reproduce the
+        full-76-frame-window engine bit-near-exactly on every frame."""
+        e_inc = MultiStreamEngine(wakeword_models=["alexa", "timer"], n_streams=2,
+                                  rng_seed=0, incremental=True)
+        e_full = MultiStreamEngine(wakeword_models=["alexa", "timer"], n_streams=2,
+                                   rng_seed=0, incremental=False)
+        for t in range(20):
+            chunks = audio[:, t * 1280:(t + 1) * 1280]
+            s1 = e_inc.predict(chunks)
+            s2 = e_full.predict(chunks)
+            np.testing.assert_allclose(s1, s2, atol=1e-5,
+                                       err_msg=f"frame {t} diverged")
+
+    def test_incremental_module_directly(self):
+        import jax.numpy as jnp
+        import jax
+        from openwakeword_tpu.models import embedding, embedding_stream
+        p = embedding.fold_batchnorm(embedding.init_params(jax.random.PRNGKey(0)))
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.uniform(-1, 4, (3, 76 + 8 * 5, 32)), jnp.float32)
+        caches, emb0 = jax.jit(embedding_stream.init_caches)(p, mel[:, :76])
+        ref0 = embedding.apply_folded(p, mel[:, :76])
+        np.testing.assert_allclose(np.asarray(emb0), np.asarray(ref0), atol=5e-5)
+        step = jax.jit(embedding_stream.step)
+        for k in range(5):
+            caches, emb = step(p, caches, mel[:, 76 + 8 * k:76 + 8 * (k + 1)])
+            ref = embedding.apply_folded(p, mel[:, 8 * (k + 1):76 + 8 * (k + 1)])
+            # atol covers f32 reassociation noise from XLA's multi-device CPU
+            # partitioning (activations are O(15); single-device it is 0.0)
+            np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), atol=5e-5,
+                                       err_msg=f"step {k}")
