@@ -60,6 +60,47 @@ def _load_embedding_params(embedding_model_path: str = "", rng_seed: int = 42):
     return embedding_model.init_params(jax.random.PRNGKey(rng_seed))
 
 
+def compute_features_from_generator(generator, n_total: int, clip_duration: int,
+                                    output_file: str, device: str = "",
+                                    ncpu: int = 1):
+    """Stream a generator of (batch, samples) int16 audio through the batch
+    embedding path into an on-disk memmapped .npy (supports datasets far
+    larger than RAM), then trim trailing empty rows (reference
+    utils.py:542-601 contract)."""
+    from numpy.lib.format import open_memmap
+    from openwakeword_tpu.data import trim_mmap
+
+    F = AudioFeatures()
+    n_feature_cols = F.get_embedding_shape(clip_duration / F.sr)
+    output_shape = (n_total, n_feature_cols[0], n_feature_cols[1])
+    fp = open_memmap(output_file, mode='w+', dtype=np.float32, shape=output_shape)
+
+    row_counter = 0
+    audio_data = next(generator)
+    batch_size = audio_data.shape[0]
+    if batch_size > n_total:
+        raise ValueError(f"The value of 'n_total' ({n_total}) is less than the batch size ({batch_size})."
+                         " Please increase 'n_total' to be >= batch size.")
+
+    features = F.embed_clips(audio_data, batch_size=batch_size)
+    fp[row_counter:row_counter + features.shape[0]] = features
+    row_counter += features.shape[0]
+    fp.flush()
+
+    for audio_data in generator:
+        if row_counter >= n_total:
+            break
+        features = F.embed_clips(audio_data, batch_size=batch_size, ncpu=ncpu)
+        if row_counter + features.shape[0] > n_total:
+            features = features[0:n_total - row_counter]
+        fp[row_counter:row_counter + features.shape[0]] = features
+        row_counter += features.shape[0]
+        fp.flush()
+
+    del fp
+    trim_mmap(output_file)
+
+
 class AudioFeatures():
     """Streaming/batch computation of mel-spectrograms and speech embeddings."""
 

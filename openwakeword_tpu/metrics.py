@@ -1,0 +1,46 @@
+"""Wake-word detection metrics (reference openwakeword/metrics.py:24-100).
+
+``get_false_positives`` groups consecutive/nearby above-threshold frames into
+single activation events: after each rising edge, further positives within
+``grouping_window`` frames (default 50 = 4 s at 80 ms/frame) count as the same
+event. (The reference's regex implementation truncates the suppression window
+with the transition *count* rather than the score length -- a bug; the
+documented grouping behavior is implemented here.)
+"""
+
+from typing import List
+
+import numpy as np
+
+
+def get_false_positives(scores: List, threshold: float, grouping_window: int = 50) -> int:
+    """Number of distinct false-positive activation events in a score stream."""
+    bin_pred = np.asarray(scores) >= threshold
+    count = 0
+    i = 0
+    n = len(bin_pred)
+    while i < n:
+        if bin_pred[i]:
+            count += 1
+            i += grouping_window   # everything within the window is one event
+        else:
+            i += 1
+    return int(count)
+
+
+def generate_roc_curve_fprs(scores: list, n_points: int = 25,
+                            time_per_prediction: float = 0.08, **kwargs) -> list:
+    """False-positive events per hour across n_points thresholds in
+    [0.01, 0.99], assuming every prediction should be negative."""
+    scores = np.asarray(scores)
+    total_hours = time_per_prediction * len(scores) / 3600
+    return [get_false_positives(scores, threshold=t, **kwargs) / total_hours
+            for t in np.linspace(0.01, 0.99, num=n_points)]
+
+
+def generate_roc_curve_tprs(scores: list, n_points: int = 25) -> list:
+    """True-positive rate across thresholds, assuming every prediction should
+    be positive."""
+    scores = np.asarray(scores)
+    return [float(np.sum(scores >= t) / len(scores))
+            for t in np.linspace(0.01, 0.99, num=n_points)]

@@ -1,0 +1,177 @@
+"""Batched audio augmentation ops in JAX.
+
+The reference composes audiomentations / torch_audiomentations / speechbrain
+transforms on CPU/GPU per clip (reference data.py:558-697). Here every
+augmentation is a pure, batched JAX function over (B, N) float audio in
+[-1, 1], so whole batches augment in one XLA program on TPU:
+
+  gain, tanh distortion, seven-band parametric EQ (FFT gain curve),
+  band-stop filter (FFT notch), colored noise at SNR (PSD ~ 1/f^decay),
+  background-noise mixing at SNR, RIR reverberation (FFT convolution with
+  speechbrain-style average-amplitude rescale), and pitch shift
+  (rfft bin remap).
+
+All randomness is explicit via jax.random keys.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gain(key, x, min_gain_db=-12.0, max_gain_db=0.0):
+    g_db = jax.random.uniform(key, (x.shape[0], 1), minval=min_gain_db, maxval=max_gain_db)
+    return x * 10.0 ** (g_db / 20.0)
+
+
+def tanh_distortion(key, x, min_distortion=0.0001, max_distortion=0.10):
+    """Soft-clipping distortion; drive grows with the distortion amount and
+    output is rescaled to the input RMS (audiomentations semantics)."""
+    d = jax.random.uniform(key, (x.shape[0], 1), minval=min_distortion, maxval=max_distortion)
+    gain_factor = 10.0 ** (d * 2.0)   # up to ~1.6x drive at d=0.1... scaled drive
+    drive = 1.0 + d * 50.0
+    y = jnp.tanh(x * drive)
+    rms_in = jnp.sqrt(jnp.mean(x ** 2, axis=-1, keepdims=True) + 1e-9)
+    rms_out = jnp.sqrt(jnp.mean(y ** 2, axis=-1, keepdims=True) + 1e-9)
+    del gain_factor
+    return y * (rms_in / rms_out)
+
+
+def _fft_gain_curve(x, gains_db, centers_hz, sr=16000):
+    """Apply a smooth per-frequency gain curve defined at band centers."""
+    n = x.shape[-1]
+    freqs = jnp.asarray(np.fft.rfftfreq(n, 1.0 / sr), jnp.float32)
+    log_f = jnp.log10(jnp.maximum(freqs, 1.0))
+    log_c = jnp.log10(jnp.asarray(centers_hz, jnp.float32))
+    # piecewise-linear interpolation of gains over log-frequency, per example
+    def interp(g):
+        return jnp.interp(log_f, log_c, g)
+    curve_db = jax.vmap(interp)(gains_db)                     # (B, F)
+    spec = jnp.fft.rfft(x)
+    out = jnp.fft.irfft(spec * 10.0 ** (curve_db / 20.0), n=n)
+    return out.astype(x.dtype)
+
+
+def seven_band_eq(key, x, min_gain_db=-6.0, max_gain_db=6.0, sr=16000):
+    centers = [60.0, 150.0, 400.0, 1000.0, 2400.0, 4800.0, 7000.0]
+    gains = jax.random.uniform(key, (x.shape[0], len(centers)),
+                               minval=min_gain_db, maxval=max_gain_db)
+    return _fft_gain_curve(x, gains, centers, sr)
+
+
+def band_stop(key, x, min_center_hz=200.0, max_center_hz=4000.0,
+              min_bandwidth_fraction=0.5, max_bandwidth_fraction=1.99, sr=16000):
+    """Remove a random frequency band (torch_audiomentations BandStopFilter
+    parameter ranges)."""
+    k1, k2 = jax.random.split(key)
+    B = x.shape[0]
+    n = x.shape[-1]
+    center = jnp.exp(jax.random.uniform(k1, (B, 1), minval=jnp.log(min_center_hz),
+                                        maxval=jnp.log(max_center_hz)))
+    frac = jax.random.uniform(k2, (B, 1), minval=min_bandwidth_fraction,
+                              maxval=max_bandwidth_fraction)
+    bw = center * frac
+    lo, hi = center - bw / 2.0, center + bw / 2.0
+    freqs = jnp.asarray(np.fft.rfftfreq(n, 1.0 / sr), jnp.float32)[None, :]
+    mask = 1.0 - ((freqs >= lo) & (freqs <= hi)).astype(jnp.float32)
+    spec = jnp.fft.rfft(x)
+    return jnp.fft.irfft(spec * mask, n=n).astype(x.dtype)
+
+
+def colored_noise(key, shape, f_decay, sr=16000):
+    """Noise with PSD ~ 1/f^decay (decay 0=white, 1=pink, 2=brown; negative
+    values tilt blue/violet), normalized to unit peak per example."""
+    k1, _ = jax.random.split(key)
+    n = shape[-1]
+    n_freqs = n // 2 + 1
+    spec = jax.random.normal(k1, shape[:-1] + (n_freqs,), dtype=jnp.complex64)
+    freqs = jnp.asarray(np.fft.rfftfreq(n, 1.0 / sr), jnp.float32)
+    shaping = jnp.where(freqs > 0, jnp.maximum(freqs, 1e-6) ** (-jnp.asarray(f_decay)[..., None] / 2.0), 0.0)
+    noise = jnp.fft.irfft(spec * shaping, n=n)
+    peak = jnp.max(jnp.abs(noise), axis=-1, keepdims=True)
+    return (noise / jnp.maximum(peak, 1e-9)).astype(jnp.float32)
+
+
+def mix_at_snr(fg, bg, snr_db, start=0):
+    """Insert fg into bg at `start`, scaling fg so the fg:bg energy ratio is
+    snr_db, then halve (reference data.py mix_clip:491-497 semantics)."""
+    fg_rms = jnp.linalg.norm(fg, axis=-1, keepdims=True)
+    bg_rms = jnp.linalg.norm(bg, axis=-1, keepdims=True)
+    scale = 10.0 ** (jnp.asarray(snr_db)[..., None] / 20.0) * bg_rms / jnp.maximum(fg_rms, 1e-9)
+    if fg.shape[-1] == bg.shape[-1] and (np.ndim(start) == 0 and start == 0):
+        return (bg + scale * fg) / 2.0
+    pad = bg.shape[-1] - fg.shape[-1]
+    fg_full = jnp.pad(fg, [(0, 0)] * (fg.ndim - 1) + [(0, pad)])
+    rolled = jax.vmap(jnp.roll)(fg_full, jnp.broadcast_to(jnp.asarray(start), (fg.shape[0],)))
+    return (bg + scale * rolled) / 2.0
+
+
+def add_noise_at_snr(key, x, noise, min_snr_db, max_snr_db):
+    """Add noise to x at a random per-example SNR (x is the signal):
+    noise scaled so snr = rms(x)/rms(noise) in dB."""
+    snr = jax.random.uniform(key, (x.shape[0], 1), minval=min_snr_db, maxval=max_snr_db)
+    x_rms = jnp.sqrt(jnp.mean(x ** 2, axis=-1, keepdims=True) + 1e-9)
+    n_rms = jnp.sqrt(jnp.mean(noise ** 2, axis=-1, keepdims=True) + 1e-9)
+    scale = x_rms / (n_rms * 10.0 ** (snr / 20.0))
+    return x + scale * noise
+
+
+def reverberate(x, rir, rescale_amp="avg"):
+    """FFT convolution with an RIR, shifted to the RIR's direct path and
+    rescaled to the input's average amplitude (speechbrain semantics used at
+    reference data.py:692-694)."""
+    n = x.shape[-1]
+    rir = rir / jnp.maximum(jnp.max(jnp.abs(rir)), 1e-9)
+    direct = jnp.argmax(jnp.abs(rir))
+    m = n + rir.shape[-1] - 1
+    X = jnp.fft.rfft(x, n=m)
+    H = jnp.fft.rfft(rir, n=m)
+    y = jnp.fft.irfft(X * H, n=m)
+    y = jax.lax.dynamic_slice_in_dim(y, direct, n, axis=-1)
+    if rescale_amp == "avg":
+        amp_in = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)
+        amp_out = jnp.mean(jnp.abs(y), axis=-1, keepdims=True)
+        y = y * amp_in / jnp.maximum(amp_out, 1e-9)
+    return y.astype(x.dtype)
+
+
+def pitch_shift(key, x, min_semitones=-3.0, max_semitones=3.0,
+                n_fft=1024, hop=256):
+    """Batch pitch shift via STFT frequency-bin remapping (magnitude-preserving
+    linear bin interpolation with phase propagation). One shift per batch
+    (torch_audiomentations 'per_batch' mode at reference data.py:632-639)."""
+    semis = jax.random.uniform(key, (), minval=min_semitones, maxval=max_semitones)
+    rate = 2.0 ** (semis / 12.0)
+    n = x.shape[-1]
+    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    t = (n - n_fft) // hop + 1
+    idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[..., idx] * window
+    spec = jnp.fft.rfft(frames, axis=-1)                       # (B, T, F)
+    n_freqs = spec.shape[-1]
+    src_bins = jnp.arange(n_freqs) / rate
+    lo = jnp.clip(jnp.floor(src_bins).astype(jnp.int32), 0, n_freqs - 1)
+    hi = jnp.clip(lo + 1, 0, n_freqs - 1)
+    w = (src_bins - lo).astype(jnp.float32)
+    mag = jnp.abs(spec)
+    new_mag = mag[..., lo] * (1 - w) + mag[..., hi] * w
+    phase = jnp.angle(spec)
+    new_spec = new_mag * jnp.exp(1j * phase[..., lo] * rate)
+    out_frames = jnp.fft.irfft(new_spec, n=n_fft, axis=-1) * window
+    # overlap-add
+    out = jnp.zeros_like(x)
+    norm = jnp.zeros((n,), jnp.float32)
+    ones = window ** 2
+
+    def body(carry, i):
+        out, norm = carry
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, jax.lax.dynamic_slice_in_dim(out, i * hop, n_fft, axis=-1)
+            + out_frames[..., i, :], i * hop, axis=-1)
+        norm = jax.lax.dynamic_update_slice_in_dim(
+            norm, jax.lax.dynamic_slice_in_dim(norm, i * hop, n_fft, axis=-1) + ones,
+            i * hop, axis=-1)
+        return (out, norm), None
+
+    (out, norm), _ = jax.lax.scan(body, (out, norm), jnp.arange(t))
+    return (out / jnp.maximum(norm, 1e-6)).astype(x.dtype)

@@ -1,0 +1,209 @@
+"""Data pipeline + metrics tests (components the reference leaves untested;
+SURVEY.md section 4 notes bulk/training/data paths had no CI coverage)."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from openwakeword_tpu import data as D
+from openwakeword_tpu import metrics as M
+
+
+@pytest.fixture()
+def wav_dir(tmp_path, rng):
+    paths = []
+    for i, n in enumerate([8000, 16000, 24000]):
+        p = str(tmp_path / f"clip{i}.wav")
+        D.write_audio(p, (rng.uniform(-0.4, 0.4, n)).astype(np.float32))
+        paths.append(p)
+    return paths
+
+
+class TestIO:
+    def test_read_write_round_trip(self, tmp_path, rng):
+        x = (rng.uniform(-1, 1, 16000) * 20000).astype(np.int16)
+        p = str(tmp_path / "rt.wav")
+        D.write_audio(p, x)
+        y = D.read_audio(p)
+        np.testing.assert_allclose(y * 32768, x, atol=1.0)
+
+    def test_stack_clips(self, rng):
+        clips = [rng.uniform(-1, 1, n) for n in (1000, 2500, 700)]
+        out = D.stack_clips(clips, clip_size=2000)
+        assert out.shape == (3, 2000)
+        np.testing.assert_array_equal(out[0], np.hstack(clips)[:2000])
+
+    def test_load_audio_clips(self, wav_dir):
+        out = D.load_audio_clips(wav_dir, clip_size=16000)
+        assert out.shape == ((8000 + 16000 + 24000) // 16000, 16000)
+        assert out.dtype == np.int16
+
+    def test_filter_audio_paths(self, wav_dir):
+        d = os.path.dirname(wav_dir[0])
+        paths, durations = D.filter_audio_paths([d], 0.6, 1.6, duration_method="header")
+        assert len(paths) == 2  # 0.5 s clip excluded
+        assert all(0.6 <= x <= 1.6 for x in durations)
+
+    def test_duration_from_filesize(self, wav_dir):
+        est = D.get_wav_duration_from_filesize(os.path.getsize(wav_dir[0]))
+        assert abs(est - 0.5) < 0.01
+
+
+class TestMixing:
+    def test_mix_clip_snr(self, rng):
+        fg = rng.normal(0, 0.1, 8000).astype(np.float32)
+        bg = rng.normal(0, 0.1, 16000).astype(np.float32)
+        mixed = D.mix_clip(fg, bg, snr=20.0, start=1000)
+        assert mixed.shape == (16000,)
+        # fg region has much more energy than bg-only region at +20 dB
+        assert np.abs(mixed[1000:9000]).mean() > 3 * np.abs(mixed[10000:]).mean()
+
+    def test_truncate_strategies(self, rng):
+        x = np.arange(100.0)
+        assert (D.truncate_clip(x.copy(), 40, "truncate_start")[0] == 60.0)
+        assert (D.truncate_clip(x.copy(), 40, "truncate_end")[-1] == 39.0)
+        assert D.truncate_clip(x.copy(), 40, "random").shape == (40,)
+
+    def test_mix_clips_batch_generator(self, wav_dir, tmp_path, rng):
+        bg = str(tmp_path / "bg.wav")
+        D.write_audio(bg, rng.uniform(-0.2, 0.2, 40000).astype(np.float32))
+        gen = D.mix_clips_batch(wav_dir * 4, [bg], combined_size=32000,
+                                labels=[1] * 12, batch_size=4, snr_low=5,
+                                snr_high=10, seed=7)
+        batch, labels, _ = next(gen)
+        assert batch.shape == (4, 32000)
+        assert batch.dtype == np.int16
+        assert (labels == 1).all()
+
+    def test_mix_clips_batch_sequence_labels_and_bg(self, wav_dir, tmp_path, rng):
+        bg = str(tmp_path / "bg.wav")
+        D.write_audio(bg, rng.uniform(-0.2, 0.2, 40000).astype(np.float32))
+        gen = D.mix_clips_batch(wav_dir, [bg], combined_size=32000, batch_size=3,
+                                return_sequence_labels=True,
+                                return_background_clips=True,
+                                return_background_clips_delay=(5, 10), seed=3)
+        batch, seq_labels, bgs = next(gen)
+        assert seq_labels.shape == (batch.shape[0], int(np.ceil((32000 - 12400) / 1280)))
+        assert bgs.shape == (batch.shape[0], 32000)
+
+    def test_frame_labels(self):
+        lbl = D.get_frame_labels(32000, 2000, 10000)
+        assert lbl.shape == (int(np.ceil((32000 - 12400) / 1280)),)
+        assert lbl.sum() >= 2
+
+
+class TestAugmentation:
+    def test_augment_clips_shapes_and_probabilities(self, wav_dir, tmp_path, rng):
+        bg = str(tmp_path / "bg.wav")
+        rir = str(tmp_path / "rir.wav")
+        D.write_audio(bg, rng.uniform(-0.2, 0.2, 40000).astype(np.float32))
+        ir = np.zeros(4000, dtype=np.float32)
+        ir[0] = 1.0
+        ir[800] = 0.4
+        D.write_audio(rir, ir)
+        gen = D.augment_clips(wav_dir * 2, total_length=32000, batch_size=6,
+                              background_clip_paths=[bg], RIR_paths=[rir], seed=5)
+        batch = next(gen)
+        assert batch.shape == (6, 32000)
+        assert batch.dtype == np.int16
+        assert np.abs(batch).max() > 0
+
+    def test_augment_zero_probabilities_is_padding_only(self, wav_dir):
+        probs = {k: 0.0 for k in D.DEFAULT_AUGMENTATION_PROBABILITIES}
+        gen = D.augment_clips(wav_dir, total_length=32000, batch_size=3,
+                              augmentation_probabilities=probs, seed=5)
+        batch = next(gen)
+        # clips are placed near the end with only zero-padding added
+        orig = D.read_audio(wav_dir[0])
+        row = batch[0] / 32767.0
+        assert np.abs(row).max() > 0
+        corr = np.correlate(row, orig[:4000], mode="valid")
+        assert corr.max() > 0.5 * np.dot(orig[:4000], orig[:4000])
+
+    def test_reverb_preserves_shape(self, rng, tmp_path):
+        rir = str(tmp_path / "rir.wav")
+        ir = np.zeros(2000, dtype=np.float32)
+        ir[0] = 1.0
+        D.write_audio(rir, ir)
+        x = rng.normal(0, 0.1, (2, 16000)).astype(np.float32)
+        y = D.apply_reverb(x, [rir])
+        assert y.shape == x.shape
+        # identity RIR (delta) keeps the signal roughly intact
+        np.testing.assert_allclose(y[0], x[0], atol=0.02)
+
+
+class TestMemmap:
+    def test_mmap_batch_generator(self, tmp_path, rng):
+        p0 = str(tmp_path / "neg.npy")
+        p1 = str(tmp_path / "pos.npy")
+        np.save(p0, rng.normal(0, 1, (300, 16, 96)).astype(np.float32))
+        np.save(p1, rng.normal(0, 1, (100, 16, 96)).astype(np.float32))
+        gen = D.mmap_batch_generator({"0": p0, "1": p1}, batch_size=40)
+        x, y = next(gen)
+        assert x.shape[1:] == (16, 96)
+        assert set(np.unique(y)) == {"0", "1"}
+        # quotas proportional to array sizes
+        assert (y == "0").sum() == 30 and (y == "1").sum() == 10
+        # wrap-around works
+        for _ in range(20):
+            x, y = next(gen)
+        assert x.shape[0] == 40
+
+    def test_trim_mmap(self, tmp_path, rng):
+        p = str(tmp_path / "padded.npy")
+        arr = np.zeros((50, 4, 8), dtype=np.float32)
+        arr[:30] = rng.normal(0, 1, (30, 4, 8))
+        np.save(p, arr)
+        D.trim_mmap(p)
+        out = np.load(p)
+        assert out.shape == (30, 4, 8)
+
+    def test_compute_features_from_generator(self, tmp_path, rng):
+        from openwakeword_tpu.features import compute_features_from_generator
+
+        def gen():
+            for _ in range(3):
+                yield (rng.uniform(-1, 1, (4, 32000)) * 20000).astype(np.int16)
+
+        out = str(tmp_path / "features.npy")
+        compute_features_from_generator(gen(), n_total=12, clip_duration=32000,
+                                        output_file=out)
+        feats = np.load(out)
+        n_windows = ((32000 // 160 - 3) - 76) // 8 + 1
+        assert feats.shape == (12, n_windows, 96)
+        assert np.abs(feats).max() > 0
+
+
+class TestAdversarialTexts:
+    def test_generates_nonidentical_texts(self):
+        texts = D.generate_adversarial_texts("hey computer", N=20,
+                                             include_partial_phrase=0.3,
+                                             include_input_words=0.2)
+        assert len(texts) > 0
+        assert all(t != "hey computer" for t in texts)
+
+    def test_phoneme_replacement(self):
+        out = D.phoneme_replacement(["HH", "EY"], max_replace=1, replace_char="X")
+        assert out == ["X EY", "HH X"]
+
+
+class TestMetrics:
+    def test_false_positive_grouping(self):
+        scores = np.zeros(200)
+        scores[10:15] = 0.9   # one event
+        scores[100:103] = 0.9  # second event (> 50 frames later)
+        assert M.get_false_positives(scores, threshold=0.5) == 2
+        scores[40] = 0.9       # within 50 frames of the first event
+        assert M.get_false_positives(scores, threshold=0.5) == 2
+
+    def test_roc_curves(self):
+        rng = np.random.default_rng(0)
+        neg = rng.uniform(0, 0.4, 45000)
+        fprs = M.generate_roc_curve_fprs(neg, n_points=5)
+        assert len(fprs) == 5
+        assert fprs[-1] == 0.0          # nothing above 0.99
+        pos = rng.uniform(0.6, 1.0, 100)
+        tprs = M.generate_roc_curve_tprs(pos, n_points=5)
+        assert tprs[0] == 1.0

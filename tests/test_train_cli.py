@@ -1,0 +1,87 @@
+"""End-to-end training-CLI test: synthetic WAV clips -> augmentation ->
+feature memmaps -> auto-train -> native + ONNX export (the reference leaves
+this whole path untested; SURVEY.md section 4)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from openwakeword_tpu import data as D
+
+
+@pytest.fixture()
+def training_setup(tmp_path, rng):
+    model_dir = tmp_path / "out" / "tiny_model"
+    for split in ("positive_train", "positive_test", "negative_train", "negative_test"):
+        d = model_dir / split
+        d.mkdir(parents=True)
+        for i in range(8):
+            # positives: tone bursts; negatives: noise (separable-ish)
+            n = 16000
+            if "positive" in split:
+                t = np.arange(n) / 16000
+                sig = 0.4 * np.sin(2 * np.pi * (300 + 50 * i) * t) * np.hanning(n)
+            else:
+                sig = rng.uniform(-0.3, 0.3, n)
+            D.write_audio(str(d / f"clip{i}.wav"), sig.astype(np.float32))
+    cfg = {
+        "model_name": "tiny_model",
+        "target_phrase": ["hey tiny"],
+        "custom_negative_phrases": [],
+        "output_dir": str(tmp_path / "out"),
+        "piper_sample_generator_path": "./nonexistent",
+        "n_samples": 8,
+        "n_samples_val": 8,
+        "tts_batch_size": 4,
+        "augmentation_batch_size": 8,
+        "augmentation_rounds": 1,
+        "rir_paths": [],
+        "background_paths": [],
+        "background_paths_duplication_rate": [],
+        "feature_data_files": {},
+        "batch_n_per_class": {},
+        "false_positive_validation_data_path": "",
+        "model_type": "dnn",
+        "layer_size": 16,
+        "steps": 30,
+        "max_negative_weight": 5,
+        "target_false_positives_per_hour": 0.2,
+    }
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg_path, cfg
+
+
+def test_augment_train_export(training_setup, tmp_path):
+    from openwakeword_tpu.train_cli import main
+    cfg_path, cfg = training_setup
+    main(["--training_config", cfg_path, "--augment_clips", "--train_model",
+          "--export_onnx"])
+
+    out = cfg["output_dir"]
+    feats = np.load(os.path.join(out, "tiny_model", "positive_features_train.npy"))
+    assert feats.shape[0] == 8 and feats.shape[2] == 96
+
+    # trained model loads in the inference engine and scores audio
+    npz = os.path.join(out, "tiny_model.npz")
+    onnx = os.path.join(out, "tiny_model.onnx")
+    assert os.path.exists(npz) and os.path.exists(onnx)
+
+    import openwakeword_tpu as oww
+    m = oww.Model(wakeword_models=[npz])
+    preds = m.predict(np.random.default_rng(0).integers(-1000, 1000, 1280).astype(np.int16))
+    assert "tiny_model" in preds
+
+    # the ONNX export round-trips through our importer with equal scores
+    from openwakeword_tpu.io.loaders import load_model_file
+    kind, params, _ = load_model_file(onnx)
+    assert kind == "head"
+    from openwakeword_tpu.models import heads
+    import jax.numpy as jnp
+    x = np.random.default_rng(1).normal(0, 1, (2,) + feats.shape[1:]).astype(np.float32)
+    kind2, params2, _ = load_model_file(npz)
+    np.testing.assert_allclose(np.asarray(heads.apply(params, jnp.asarray(x))),
+                               np.asarray(heads.apply(params2, jnp.asarray(x))), atol=1e-6)
