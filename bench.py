@@ -31,7 +31,10 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     import jax.numpy as jnp
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
-    engine = MultiStreamEngine(wakeword_models=[], n_streams=n_streams)
+    engine = MultiStreamEngine(
+        wakeword_models=[], n_streams=n_streams,
+        incremental=os.environ.get("BENCH_INCREMENTAL", "1") == "1",
+        use_pallas_melspec=os.environ.get("BENCH_PALLAS", "0") == "1")
     step = engine._build_step()
 
     def run(params, state, frames):

@@ -1,0 +1,81 @@
+"""Fused Pallas TPU kernel for the streaming mel frontend.
+
+Computes, for a batch of per-stream 1760-sample analysis windows, the 8 new
+raw log-mel frames of an 80 ms step in a single VMEM-resident kernel:
+framing -> windowed cos/sin DFT matmuls (MXU) -> power -> mel projection
+(MXU) -> log10, with no HBM round-trips between stages. The engine applies
+the data-dependent top_db clamp and the /10+2 affine outside (they need the
+first-step frame-validity mask; see parallel/engine.py).
+
+Numerics match ops.melspec.melspectrogram(apply_transform=False, top_db=None)
+to float32 rounding (parity test in tests/test_pallas.py).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openwakeword_tpu import config
+from openwakeword_tpu.ops import melspec as melspec_ops
+
+WINDOW = config.CHUNK_SAMPLES + config.MEL_LOOKBACK_SAMPLES   # 1760
+FRAMES = config.MELS_PER_CHUNK                                # 8
+N_FFT = config.N_FFT                                          # 512
+N_FREQS = N_FFT // 2 + 1                                      # 257
+N_MELS = config.N_MELS                                        # 32
+HOP = config.HOP_LENGTH                                       # 160
+_LOG10_INV = float(1.0 / np.log(10.0))
+
+
+@functools.lru_cache(maxsize=None)
+def _consts():
+    basis = melspec_ops.stft_power_basis()          # (512, 514) windowed
+    cos = np.ascontiguousarray(basis[:, 0::2]).astype(np.float32)   # (512, 257)
+    sin = np.ascontiguousarray(basis[:, 1::2]).astype(np.float32)
+    melw = melspec_ops.mel_filterbank().astype(np.float32)           # (257, 32)
+    return cos, sin, melw
+
+
+def _kernel(win_ref, cos_ref, sin_ref, mel_ref, out_ref):
+    for j in range(FRAMES):
+        frames = win_ref[:, HOP * j:HOP * j + N_FFT]                     # (T, 512)
+        re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+        power = re * re + im * im                                        # (T, 257)
+        mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+        out_ref[:, j, :] = jnp.log(jnp.maximum(mel, config.MEL_AMIN)) * (10.0 * _LOG10_INV)
+
+
+def melspectrogram_pallas(windows: jnp.ndarray, tile_s: int = 128,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(S, 1760) float32 windows -> (S, 8, 32) raw dB mel frames.
+
+    S is padded up to a multiple of ``tile_s`` internally.
+    """
+    S = windows.shape[0]
+    pad = (-S) % tile_s
+    if pad:
+        windows = jnp.concatenate(
+            [windows, jnp.zeros((pad, WINDOW), windows.dtype)], axis=0)
+    Sp = windows.shape[0]
+    cos, sin, melw = _consts()
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(Sp // tile_s,),
+        in_specs=[
+            pl.BlockSpec((tile_s, WINDOW), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FFT, N_FREQS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FFT, N_FREQS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FREQS, N_MELS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_s, FRAMES, N_MELS), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Sp, FRAMES, N_MELS), jnp.float32),
+        interpret=interpret,
+    )(windows.astype(jnp.float32), jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(melw))
+    return out[:S]

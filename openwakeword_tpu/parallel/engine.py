@@ -92,7 +92,8 @@ class MultiStreamEngine:
                  vad_params=None,
                  mesh: Optional[Mesh] = None,
                  rng_seed: int = 0,
-                 incremental: bool = True):
+                 incremental: bool = True,
+                 use_pallas_melspec: bool = False):
         if patience and debounce_time > 0:
             raise ValueError("The `patience` and `debounce_time` arguments cannot be used together!")
         if (patience or debounce_time > 0) and not threshold:
@@ -106,6 +107,9 @@ class MultiStreamEngine:
         # False recomputes the full 76-frame window each step like the
         # reference does.
         self.incremental = bool(incremental)
+        # use_pallas_melspec: fused VMEM-resident mel frontend kernel
+        # (ops.melspec_pallas) instead of the XLA-fused matmul path.
+        self.use_pallas_melspec = bool(use_pallas_melspec)
 
         # ---- heads ----
         heads = _resolve_heads(wakeword_models)
@@ -247,6 +251,7 @@ class MultiStreamEngine:
         vad_on = self.vad_threshold > 0
         vad_threshold = self.vad_threshold
         incremental = self.incremental
+        use_pallas = self.use_pallas_melspec
         use_patience, use_debounce = self._use_patience, self._use_debounce
         patience_vec = jnp.asarray(self._patience_vec)
         threshold_vec = jnp.asarray(self._threshold_vec)
@@ -258,8 +263,12 @@ class MultiStreamEngine:
             """(params, state, (S, 1280) float32 raw PCM) -> (state', (S, L) scores)."""
             chunk = chunk.astype(jnp.float32)
             window = jnp.concatenate([state["pcm_tail"], chunk], axis=-1)     # (S, 1760)
-            mel_raw = melspec_ops.melspectrogram(window, apply_transform=False,
-                                                 top_db=None)                 # (S, 8, 32) dB
+            if use_pallas:
+                from openwakeword_tpu.ops.melspec_pallas import melspectrogram_pallas
+                mel_raw = melspectrogram_pallas(window)                       # (S, 8, 32) dB
+            else:
+                mel_raw = melspec_ops.melspectrogram(window, apply_transform=False,
+                                                     top_db=None)             # (S, 8, 32) dB
 
             # First call after init/reset has no PCM look-back: the reference
             # computes only 5 frames there (utils.py:393-397, window shorter
