@@ -283,3 +283,25 @@ class TestAudioFeatures:
             af(rng.integers(-1000, 1000, 1280).astype(np.int16))
         assert af.feature_buffer.shape[0] == config.FEATURE_BUFFER_MAX
         assert af.melspectrogram_buffer.shape[0] <= config.MEL_BUFFER_MAX_FRAMES
+
+
+class TestTrainedVAD:
+    def test_bundled_vad_discriminates_speech_from_noise(self, test_clips, rng):
+        """The bundled VAD checkpoint must score real speech well above
+        noise/silence (trained in training/vad.py)."""
+        import os
+        from openwakeword_tpu import registry
+        if not os.path.exists(registry.VAD_MODELS["silero_vad"]["model_path"]):
+            pytest.skip("bundled VAD checkpoint not present")
+        from openwakeword_tpu.vad import VAD
+        from openwakeword_tpu.data import read_audio
+        v = VAD()
+        speech = (read_audio(test_clips["alexa"]) * 32767).astype(np.int16)
+        s_speech = v.predict(speech)
+        v.reset_states()
+        s_noise = v.predict(rng.integers(-800, 800, 9600).astype(np.int16))
+        v.reset_states()
+        s_silence = v.predict(np.zeros(9600, np.int16))
+        assert s_speech > 0.6
+        assert s_noise < 0.3
+        assert s_silence < 0.1
