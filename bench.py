@@ -29,6 +29,9 @@ logging.disable(logging.WARNING)
 def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     import jax
     import jax.numpy as jnp
+    # machine-local persistent compile cache: tunnel compiles are minutes-slow
+    jax.config.update("jax_compilation_cache_dir", "/tmp/owwt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
     engine = MultiStreamEngine(
@@ -63,7 +66,7 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
 
 
 def main():
-    n_streams = int(os.environ.get("BENCH_STREAMS", "8192"))
+    n_streams = int(os.environ.get("BENCH_STREAMS", "4096"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "50"))
 
     fps, wall = _bench_streams(n_streams, n_frames)

@@ -107,13 +107,16 @@ def init_params(key, dtype=jnp.float32) -> Dict:
 
 
 def _conv(x, w, padding):
+    # bf16 weights select the fast MXU path (f32 accumulation either way);
+    # f32 weights use HIGHEST precision for exact parity
+    prec = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
-        x, w,
+        x.astype(w.dtype), w,
         window_strides=(1, 1),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
 

@@ -26,11 +26,12 @@ from openwakeword_tpu.models import embedding as E
 
 
 def _conv(x, w, padding):
+    prec = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=padding,
+        x.astype(w.dtype), w, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=prec)
 
 
 def _pool(x, window, strides, padding):

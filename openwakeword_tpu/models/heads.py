@@ -93,7 +93,9 @@ def init_params(key, model_type: str = "dnn", input_frames: int = config.DEFAULT
 
 
 def _apply_linear(p, x):
-    return jnp.matmul(x, p["w"], precision=jax.lax.Precision.HIGHEST) + p["b"]
+    prec = jax.lax.Precision.HIGHEST if p["w"].dtype == jnp.float32 else None
+    return jnp.matmul(x.astype(p["w"].dtype), p["w"], precision=prec,
+                      preferred_element_type=jnp.float32) + p["b"].astype(jnp.float32)
 
 
 def _layer_norm(p, x, eps=1e-5):

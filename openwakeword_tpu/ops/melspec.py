@@ -173,17 +173,25 @@ def power_to_db(mel: jnp.ndarray,
 
 def melspectrogram(x: jnp.ndarray,
                    apply_transform: bool = True,
-                   top_db: float = config.MEL_TOP_DB) -> jnp.ndarray:
+                   top_db: float = config.MEL_TOP_DB,
+                   compute_dtype=jnp.float32) -> jnp.ndarray:
     """Log-mel spectrogram of raw int16-range audio, shape (..., T, 32).
 
     With ``apply_transform`` the downstream affine spec/10 + 2 (reference
     utils.py:180) is fused in, i.e. this returns exactly what the reference's
     ``AudioFeatures._get_melspectrogram`` returns.
+
+    ``compute_dtype=jnp.bfloat16`` runs the DFT/mel matmuls in bf16 with f32
+    accumulation (~0.4% relative power error -> ~0.02 dB; the serving-speed
+    path). float32 uses HIGHEST precision for exact parity.
     """
+    bf16 = compute_dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
     x = x.astype(jnp.float32)
-    frames = frame_signal(x)                                   # (..., T, 512)
-    basis = _f32(stft_power_basis())                           # (512, 514)
-    spec = jnp.matmul(frames, basis, precision=jax.lax.Precision.HIGHEST)
+    frames = frame_signal(x).astype(compute_dtype)             # (..., T, 512)
+    basis = _f32(stft_power_basis()).astype(compute_dtype)     # (512, 514)
+    spec = jnp.matmul(frames, basis, precision=prec,
+                      preferred_element_type=jnp.float32)
     power = spec[..., 0::2] ** 2 + spec[..., 1::2] ** 2        # (..., T, 257)
     melw = _f32(mel_filterbank())                              # (257, 32)
     mel = jnp.matmul(power, melw, precision=jax.lax.Precision.HIGHEST)

@@ -93,7 +93,8 @@ class MultiStreamEngine:
                  mesh: Optional[Mesh] = None,
                  rng_seed: int = 0,
                  incremental: bool = True,
-                 use_pallas_melspec: bool = False):
+                 use_pallas_melspec: bool = False,
+                 precision: str = "highest"):
         if patience and debounce_time > 0:
             raise ValueError("The `patience` and `debounce_time` arguments cannot be used together!")
         if (patience or debounce_time > 0) and not threshold:
@@ -110,6 +111,11 @@ class MultiStreamEngine:
         # use_pallas_melspec: fused VMEM-resident mel frontend kernel
         # (ops.melspec_pallas) instead of the XLA-fused matmul path.
         self.use_pallas_melspec = bool(use_pallas_melspec)
+        # precision: 'highest' = exact f32 parity; 'bf16' = bf16 matmul/conv
+        # weights with f32 accumulation (~2-4x MXU throughput, |dScore|~1e-3)
+        if precision not in ("highest", "bf16"):
+            raise ValueError(f"precision must be 'highest' or 'bf16', got {precision!r}")
+        self.precision = precision
 
         # ---- heads ----
         heads = _resolve_heads(wakeword_models)
@@ -170,6 +176,12 @@ class MultiStreamEngine:
         self.params = {"embedding": emb_folded, "heads": head_params}
         if self.vad_threshold > 0:
             self.params["vad"] = vad_params
+        if self.precision == "bf16":
+            # cast matmul/conv weights (>=2-D) to bf16; biases, norms and
+            # per-channel affines stay f32 (elementwise, accuracy-critical)
+            self.params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16) if getattr(a, "ndim", 0) >= 2 else a,
+                self.params)
 
         # ---- compiled programs ----
         self._step_fn = jax.jit(self._build_step(), donate_argnums=(1,))
@@ -252,6 +264,7 @@ class MultiStreamEngine:
         vad_threshold = self.vad_threshold
         incremental = self.incremental
         use_pallas = self.use_pallas_melspec
+        mel_dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
         use_patience, use_debounce = self._use_patience, self._use_debounce
         patience_vec = jnp.asarray(self._patience_vec)
         threshold_vec = jnp.asarray(self._threshold_vec)
@@ -268,7 +281,8 @@ class MultiStreamEngine:
                 mel_raw = melspectrogram_pallas(window)                       # (S, 8, 32) dB
             else:
                 mel_raw = melspec_ops.melspectrogram(window, apply_transform=False,
-                                                     top_db=None)             # (S, 8, 32) dB
+                                                     top_db=None,
+                                                     compute_dtype=mel_dtype)  # (S, 8, 32) dB
 
             # First call after init/reset has no PCM look-back: the reference
             # computes only 5 frames there (utils.py:393-397, window shorter
