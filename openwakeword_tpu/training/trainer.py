@@ -388,6 +388,45 @@ class HeadTrainer:
         from openwakeword_tpu.io.checkpoints import save_checkpoint
         save_checkpoint(output_path, "head", model or self.params)
 
+    # -- mid-run checkpoint / resume (the reference keeps training state
+    # in-memory only, train.py:555-567; this adds crash recovery) ----------
+
+    def save_state(self, path: str):
+        """Persist full trainer state: params, optimizer state, history,
+        checkpoint snapshots and their scores."""
+        import pickle
+        state = {
+            "params": jax.tree.map(np.asarray, self._leaf(self.params)),
+            "meta": dict(self.meta),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "history": {k: list(v) for k, v in self.history.items()},
+            "best_models": [jax.tree.map(np.asarray, self._leaf(m))
+                            for m in self.best_models],
+            "best_model_scores": list(self.best_model_scores),
+            "best_val_fp": self.best_val_fp,
+            "best_val_accuracy": self.best_val_accuracy,
+            "best_val_recall": self.best_val_recall,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_state(self, path: str):
+        """Resume from save_state output."""
+        import pickle
+        from collections import defaultdict
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.meta = dict(state["meta"])
+        self._meta_items = tuple(sorted(self.meta.items()))
+        self.params = {"__meta__": dict(self.meta), **state["params"]}
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.history = defaultdict(list, {k: list(v) for k, v in state["history"].items()})
+        self.best_models = [{"__meta__": dict(self.meta), **m} for m in state["best_models"]]
+        self.best_model_scores = list(state["best_model_scores"])
+        self.best_val_fp = state["best_val_fp"]
+        self.best_val_accuracy = state["best_val_accuracy"]
+        self.best_val_recall = state["best_val_recall"]
+
     def export_model(self, model, model_name: str, output_dir: str):
         """Persist a trained head as a native checkpoint plus an ONNX file
         loadable by the reference's onnxruntime engine."""

@@ -1,0 +1,90 @@
+"""HeadTrainer unit tests: convergence, reference training semantics, and
+mid-run checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from openwakeword_tpu.training.trainer import HeadTrainer, lr_warmup_cosine_decay
+
+
+def make_gen(rng, n_steps, bs=64, sep=1.5):
+    def gen():
+        for _ in range(n_steps):
+            y = rng.integers(0, 2, bs)
+            x = rng.normal(0, 1, (bs, 16, 96)).astype(np.float32) + y[:, None, None] * sep
+            yield x, y
+    return gen()
+
+
+def test_lr_schedule_shape():
+    lrs = [lr_warmup_cosine_decay(s, warmup_steps=10, hold=20, total_steps=100,
+                                  target_lr=1e-3) for s in range(100)]
+    assert lrs[0] < lrs[9]                    # warmup rises
+    assert abs(lrs[15] - 1e-3) < 1e-9         # hold at target
+    assert lrs[99] < lrs[40]                  # cosine decays
+
+
+def test_training_converges_and_snapshots(rng):
+    t = HeadTrainer(layer_dim=32, seed=0)
+    xv, yv = next(make_gen(rng, 1, 256))
+    t.train_model(make_gen(rng, 300), max_steps=300, warmup_steps=60,
+                  hold_steps=100, lr=1e-3, X_val=[(xv, yv)],
+                  val_steps=list(range(50, 300, 50)))
+    assert t.accuracy(t.forward(xv), yv) > 0.95
+    assert len(t.best_models) >= 1
+    avg = t.average_models()
+    assert t.accuracy(t.forward(xv, params=avg), yv) > 0.9
+
+
+def test_multiclass_training(rng):
+    t = HeadTrainer(n_classes=3, input_shape=(16, 96), layer_dim=32, seed=0)
+
+    def gen(n):
+        for _ in range(n):
+            y = rng.integers(0, 3, 96)
+            x = rng.normal(0, 1, (96, 16, 96)).astype(np.float32)
+            x += (y[:, None, None] - 1) * 2.0
+            yield x, y
+    xv, yv = next(gen(1))
+    t.train_model(gen(300), max_steps=300, warmup_steps=30, hold_steps=100, lr=1e-3)
+    preds = t.forward(xv)
+    assert preds.shape == (96, 3)
+    assert np.mean(np.argmax(preds, 1) == yv) > 0.8
+
+
+def test_save_and_resume_state(rng, tmp_path):
+    t = HeadTrainer(layer_dim=32, seed=0)
+    xv, yv = next(make_gen(rng, 1, 128))
+    t.train_model(make_gen(rng, 100), max_steps=100, warmup_steps=20,
+                  hold_steps=30, lr=1e-3, X_val=[(xv, yv)], val_steps=[50, 99])
+    path = str(tmp_path / "trainer_state.pkl")
+    t.save_state(path)
+
+    t2 = HeadTrainer(layer_dim=32, seed=1)
+    t2.load_state(path)
+    np.testing.assert_allclose(t2.forward(xv), t.forward(xv), atol=1e-6)
+    assert t2.history["val_accuracy"] == t.history["val_accuracy"]
+    assert len(t2.best_models) == len(t.best_models)
+    # resumed trainer keeps training without error
+    t2.train_model(make_gen(rng, 20), max_steps=20, warmup_steps=5,
+                   hold_steps=5, lr=1e-4)
+
+
+def test_select_best_model(rng):
+    t = HeadTrainer(layer_dim=32, seed=0)
+    xv, yv = next(make_gen(rng, 1, 128))
+    t.train_model(make_gen(rng, 200), max_steps=200, warmup_steps=20,
+                  hold_steps=50, lr=1e-3, X_val=[(xv, yv)],
+                  val_steps=list(range(40, 200, 40)))
+    fp_data = [(rng.normal(0, 1, (200, 16, 96)).astype(np.float32), np.zeros(200))]
+    best = t._select_best_model(fp_data, val_set_hrs=1.0, max_fp_per_hour=1e9,
+                                min_recall=0.0)
+    assert best is not None
+
+
+def test_predict_on_features_sliding_windows(rng):
+    t = HeadTrainer(layer_dim=16, seed=0)
+    clips = rng.normal(0, 1, (2, 30, 96)).astype(np.float32)
+    preds = t.predict_on_features(clips)
+    assert preds.shape[0] == 2
+    assert preds.shape[1] == 30 - 16  # step-1 sliding windows
