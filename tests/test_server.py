@@ -1,0 +1,65 @@
+"""StreamServer serving-runtime tests: slot lifecycle, buffered audio,
+per-slot reset exactness, activation polling."""
+
+import numpy as np
+import pytest
+
+from openwakeword_tpu.parallel import MultiStreamEngine
+from openwakeword_tpu.parallel.server import StreamServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    return StreamServer(wakeword_models=["alexa"], capacity=4, threshold=0.3)
+
+
+def test_slot_lifecycle(server):
+    sids = [server.add_stream() for _ in range(4)]
+    with pytest.raises(RuntimeError):
+        server.add_stream()
+    for sid in sids:
+        server.remove_stream(sid)
+    assert len(server._free) == 4
+
+
+def test_push_step_poll(server, rng):
+    a = server.add_stream()
+    b = server.add_stream()
+    audio = rng.integers(-2000, 2000, 1280 * 10).astype(np.int16)
+    server.push(a, audio)
+    server.push(b, audio[:1280 * 3])
+    assert server.pending_frames(a) == 10
+    steps = server.run_pending()
+    assert steps == 10
+    acts_a = server.poll(a)
+    # random head on noise scores ~0.4 > 0.3 after warm-up
+    assert all(lbl == "alexa" for lbl, _, _ in acts_a)
+    assert server.poll(a) == []   # drained
+    server.remove_stream(a)
+    server.remove_stream(b)
+
+
+def test_slot_reset_matches_fresh_engine(rng):
+    """A re-leased slot must behave exactly like a freshly built engine
+    stream (per-slot reset through the prime branch)."""
+    server = StreamServer(wakeword_models=["alexa"], capacity=2, threshold=2.0,
+                          rng_seed=0)
+    audio = rng.integers(-3000, 3000, 1280 * 12).astype(np.int16)
+
+    # pollute slot 0 with other audio, then re-lease it
+    s0 = server.add_stream()
+    server.push(s0, rng.integers(-500, 500, 1280 * 6).astype(np.int16))
+    server.run_pending()
+    server.remove_stream(s0)
+    server.add_stream()          # occupy the other slot
+    s0b = server.add_stream()    # re-lease the polluted slot
+    assert s0b == s0
+    server.push(s0b, audio)
+    server.run_pending()
+    scores_server = np.asarray(server.engine.state["score_hist"][s0b, 0, -12:])
+
+    fresh = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0)
+    for t in range(12):
+        s = fresh.predict(np.stack([audio[t * 1280:(t + 1) * 1280]] * 2))
+    scores_fresh = np.asarray(fresh.state["score_hist"][0, 0, -12:])
+    np.testing.assert_allclose(scores_server, scores_fresh, atol=1e-5)
