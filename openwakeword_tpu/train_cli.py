@@ -63,6 +63,8 @@ def main(argv=None):
                         help="Train the classifier head (auto-train schedule)")
     parser.add_argument("--export_onnx", action="store_true",
                         help="Also export the trained model as ONNX")
+    parser.add_argument("--convert_to_tflite", action="store_true",
+                        help="Also export the trained model as TFLite")
     args = parser.parse_args(argv)
 
     config = _load_config(args.training_config)
@@ -215,6 +217,11 @@ def main(argv=None):
             export_head_onnx(best_model,
                              os.path.join(config["output_dir"], config["model_name"] + ".onnx"),
                              output_name=config["model_name"])
+        if args.convert_to_tflite:
+            from openwakeword_tpu.io.tflite_export import export_head_tflite
+            export_head_tflite(best_model,
+                               os.path.join(config["output_dir"], config["model_name"] + ".tflite"),
+                               output_name=config["model_name"])
         logging.info("Training complete; model saved to %s",
                      os.path.join(config["output_dir"], config["model_name"] + ".npz"))
 

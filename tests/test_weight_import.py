@@ -312,3 +312,34 @@ class TestRealArtifactParity:
         root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
         converted = convert_local_models(root)
         assert converted
+
+
+class TestTfliteExport:
+    @pytest.mark.parametrize("spec", [("dnn", 16, 1, 64, 1), ("mlp", 34, 7, 128, 1)])
+    def test_export_import_round_trip(self, tmp_path, spec):
+        from openwakeword_tpu.io.tflite_export import export_head_tflite
+        from openwakeword_tpu.io.tflite_import import import_head_tflite
+        mt, frames, ncls, dim, blocks = spec
+        p = heads.init_params(jax.random.PRNGKey(8), mt, frames, ncls, dim, blocks)
+        path = str(tmp_path / "h.tflite")
+        export_head_tflite(p, path, output_name="label")
+        p2, meta = import_head_tflite(path)
+        assert meta["output_names"] == ["label"]
+        assert p2["__meta__"]["model_type"] == mt
+        x = jnp.asarray(np.random.default_rng(8).normal(0, 1, (3, frames, 96)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(heads.apply(p, x)),
+                                   np.asarray(heads.apply(p2, x)), atol=1e-6)
+
+    def test_onnx_to_tflite_conversion(self, tmp_path):
+        from openwakeword_tpu.io.tflite_export import convert_onnx_to_tflite
+        from openwakeword_tpu.io.loaders import load_model_file
+        p = heads.init_params(jax.random.PRNGKey(9), "dnn", 16, 1, 32, 1)
+        onnx_path = str(tmp_path / "h.onnx")
+        tfl_path = str(tmp_path / "h.tflite")
+        export_head_onnx(p, onnx_path)
+        convert_onnx_to_tflite(onnx_path, tfl_path)
+        kind, p2, _ = load_model_file(tfl_path)
+        assert kind == "head"
+        x = jnp.asarray(np.random.default_rng(9).normal(0, 1, (2, 16, 96)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(heads.apply(p, x)),
+                                   np.asarray(heads.apply(p2, x)), atol=1e-6)
