@@ -18,7 +18,7 @@ All functions are batched over a leading stream axis and jit/scan-friendly.
 
 from typing import Dict, List, Tuple
 
-import numpy as np
+
 import jax
 import jax.numpy as jnp
 

@@ -172,6 +172,66 @@ def forward(params: Dict, x: jnp.ndarray, meta: Dict, inference: bool = True) ->
     return logits
 
 
+def stack_params(params_list):
+    """Stack same-architecture head param pytrees along a leading head axis,
+    so N heads evaluate as single batched einsums (engine fusion)."""
+    leaves = [{k: v for k, v in p.items() if k != "__meta__"} for p in params_list]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+
+
+def forward_stacked(stacked: Dict, x: jnp.ndarray, meta: Dict,
+                    inference: bool = True) -> jnp.ndarray:
+    """Evaluate H stacked dnn/mlp heads on a shared input.
+
+    Args:
+        stacked: stack_params output (leading head axis H on every leaf).
+        x: (S, F, 96) embedding windows shared by all heads.
+    Returns:
+        (S, H, n_classes) scores.
+    """
+    model_type, n_classes = meta["model_type"], meta["n_classes"]
+    if model_type not in ("dnn", "mlp"):
+        raise ValueError(f"Stacked evaluation unsupported for '{model_type}' heads")
+
+    def linear(p, z):
+        # z: (S, H, D) or (S, D) for the first layer
+        prec = jax.lax.Precision.HIGHEST if p["w"].dtype == jnp.float32 else None
+        w = p["w"]
+        if z.ndim == 2:
+            out = jnp.einsum("sd,hdw->shw", z.astype(w.dtype), w, precision=prec,
+                             preferred_element_type=jnp.float32)
+        else:
+            out = jnp.einsum("shd,hdw->shw", z.astype(w.dtype), w, precision=prec,
+                             preferred_element_type=jnp.float32)
+        return out + p["b"].astype(jnp.float32)[None]
+
+    def layer_norm(p, z, eps=1e-5):
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+        return (z - mu) * jax.lax.rsqrt(var + eps) * p["gamma"][None] + p["beta"][None]
+
+    h = x.astype(jnp.float32).reshape(x.shape[0], -1)
+    if model_type == "dnn":
+        z = jnp.maximum(layer_norm(stacked["ln1"], linear(stacked["layer1"], h)), 0.0)
+        i = 0
+        while f"block{i}_fc" in stacked:
+            z = jnp.maximum(layer_norm(stacked[f"block{i}_ln"],
+                                       linear(stacked[f"block{i}_fc"], z)), 0.0)
+            i += 1
+    else:
+        z = jnp.maximum(linear(stacked["layer1"], h), 0.0)
+        z = jnp.maximum(linear(stacked["layer2"], z), 0.0)
+    logits = linear(stacked["out"], z)                     # (S, H, C)
+
+    if n_classes == 1:
+        return jax.nn.sigmoid(logits)
+    if meta.get("relu_logits", True):
+        logits = jnp.maximum(logits, 0.0)
+    if inference:
+        return jax.nn.softmax(logits, axis=-1)
+    return logits
+
+
 def n_params(params: Dict) -> int:
     leaves = [v for k, v in jax.tree_util.tree_leaves_with_path(params)
               if "__meta__" not in jax.tree_util.keystr(k[:1])]

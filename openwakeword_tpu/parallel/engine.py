@@ -18,7 +18,7 @@ first-call 5-frame mel push, noise-seeded feature ring, 5-call warm-up
 zeroing, and the VAD gate over scores 0.4-0.56 s back.
 """
 
-from functools import partial
+
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -145,6 +145,28 @@ class MultiStreamEngine:
         self._label_slices = label_head_slices
         self.max_head_frames = max(int(m["input_frames"]) for _, m, _ in self._head_metas)
 
+        # Execution plan: same-architecture dnn/mlp heads fuse into one
+        # stacked einsum program (heads_lib.forward_stacked); the published
+        # 5 binary heads collapse from 15 matmuls to 3.
+        label_starts = {name: start for start, _, name, _, _ in label_head_slices}
+        groups: Dict[tuple, list] = {}
+        for name, meta, cols in self._head_metas:
+            key = tuple(sorted(meta.items())) if meta["model_type"] in ("dnn", "mlp") \
+                else ("single", name)
+            groups.setdefault(key, []).append((name, meta, cols))
+        self._exec_plan = []
+        self._stacked_groups = {}
+        for key, members in groups.items():
+            if len(members) > 1:
+                gid = f"group_{len(self._stacked_groups)}"
+                self._stacked_groups[gid] = [m[0] for m in members]
+                self._exec_plan.append(("stacked", gid, members[0][1],
+                                        [(n, c, label_starts[n]) for n, _, c in members]))
+            else:
+                n, meta, cols = members[0]
+                self._exec_plan.append(("single", n, meta,
+                                        [(n, cols, label_starts[n])]))
+
         # static per-label gating vectors
         n_labels = len(self.labels)
         self._patience_vec = np.zeros(n_labels, dtype=np.int32)
@@ -172,6 +194,12 @@ class MultiStreamEngine:
                 _, vad_params, _ = load_model_file(path)
             else:
                 vad_params = vad_net.init_params(jax.random.PRNGKey(7))
+
+        # stack fused-group params once at init
+        for gid, names in self._stacked_groups.items():
+            head_params[gid] = heads_lib.stack_params([head_params[n] for n in names])
+            for n in names:
+                del head_params[n]
 
         self.params = {"embedding": emb_folded, "heads": head_params}
         if self.vad_threshold > 0:
@@ -256,7 +284,7 @@ class MultiStreamEngine:
     # ------------------------------------------------------------------
 
     def _build_step(self):
-        head_metas = list(self._head_metas)
+        exec_plan = list(self._exec_plan)
         label_slices = list(self._label_slices)
         n_labels = len(self.labels)
         F = self.max_head_frames
@@ -320,14 +348,21 @@ class MultiStreamEngine:
                 emb = embedding_model.apply_folded(params["embedding"], mel_ring)  # (S, 96)
             feat_ring = jnp.concatenate([state["feat_ring"][:, 1:], emb[:, None, :]], axis=1)
 
-            score_parts = []
-            for name, meta, cols in head_metas:
+            # score all heads: fused-group heads run as stacked einsums
+            label_cols = [None] * n_labels
+            for kind, key, meta, members in exec_plan:
                 w = feat_ring[:, F - int(meta["input_frames"]):, :]
-                out = heads_lib.forward(params["heads"][name], w, meta)
-                if cols != tuple(range(out.shape[-1])):
-                    out = out[:, list(cols)]
-                score_parts.append(out)
-            scores = jnp.concatenate(score_parts, axis=-1)                     # (S, L)
+                if kind == "stacked":
+                    out = heads_lib.forward_stacked(params["heads"][key], w, meta)  # (S,H,C)
+                    for h, (name, cols, start) in enumerate(members):
+                        for j, c in enumerate(cols):
+                            label_cols[start + j] = out[:, h, c]
+                else:
+                    out = heads_lib.forward(params["heads"][key], w, meta)          # (S,C)
+                    name, cols, start = members[0]
+                    for j, c in enumerate(cols):
+                        label_cols[start + j] = out[:, c]
+            scores = jnp.stack(label_cols, axis=-1)                                 # (S, L)
 
             # Warm-up: zero scores for the first 5 frames (model.py:330-333)
             warm = (state["frames_seen"] >= config.WARMUP_FRAMES)[:, None]

@@ -23,7 +23,7 @@ from pathlib import Path
 import numpy as np
 
 from openwakeword_tpu.data import augment_clips, generate_adversarial_texts, mmap_batch_generator
-from openwakeword_tpu.features import AudioFeatures, compute_features_from_generator
+from openwakeword_tpu.features import compute_features_from_generator
 from openwakeword_tpu.training.trainer import HeadTrainer
 
 
