@@ -17,6 +17,7 @@ from openwakeword_tpu.registry import (
 from openwakeword_tpu.model import Model
 from openwakeword_tpu.vad import VAD
 from openwakeword_tpu.custom_verifier_model import train_custom_verifier
+from openwakeword_tpu import utils  # noqa: F401  (reference-parity namespace)
 
 __all__ = [
     "Model", "VAD", "train_custom_verifier",

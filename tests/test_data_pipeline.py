@@ -207,3 +207,16 @@ class TestMetrics:
         pos = rng.uniform(0.6, 1.0, 100)
         tprs = M.generate_roc_curve_tprs(pos, n_points=5)
         assert tprs[0] == 1.0
+
+
+class TestBulkGenericPath:
+    def test_bulk_predict_generic_prediction_function(self, tmp_path, rng):
+        """Non-predict_clip prediction functions route through the generic
+        single-model path (reference utils.py:516-523 behavior)."""
+        from openwakeword_tpu.parallel import bulk_predict
+        p = str(tmp_path / "clip.wav")
+        D.write_audio(p, rng.uniform(-0.3, 0.3, 32000).astype(np.float32))
+        out = bulk_predict([p], wakeword_models=["alexa"],
+                           prediction_function="_get_positive_prediction_frames",
+                           threshold=0.0)
+        assert p in out and "alexa" in out[p]

@@ -1,0 +1,59 @@
+"""Streaming-vs-batch consistency and scan-vs-step equivalence."""
+
+import numpy as np
+import pytest
+
+import openwakeword_tpu as oww
+from openwakeword_tpu.features import AudioFeatures
+from openwakeword_tpu.parallel import MultiStreamEngine
+
+
+def test_streaming_mel_matches_whole_clip(rng, monkeypatch):
+    """Streamed mel frames must match the whole-clip computation except for
+    warm-up rows (the reference documents only 'slight numerical issues' at
+    boundaries, utils.py:388-392; with the data-dependent clamp disabled the
+    match must be exact)."""
+    from openwakeword_tpu import config
+    monkeypatch.setattr(config, "MEL_TOP_DB", None)
+    x = (rng.uniform(-1, 1, 1280 * 20) * 12000).astype(np.int16)
+    af = AudioFeatures()
+    for t in range(20):
+        af(x[t * 1280:(t + 1) * 1280])
+    streamed = af.melspectrogram_buffer
+    whole = af._get_melspectrogram(x)
+    n = min(len(streamed), len(whole)) - 8
+    np.testing.assert_allclose(streamed[-n:], whole[-n:], atol=1e-4)
+
+
+def test_engine_scan_matches_stepwise(rng):
+    audio = (rng.uniform(-1, 1, (3, 1280 * 8)) * 9000).astype(np.int16)
+    e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=3, rng_seed=0)
+    e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=3, rng_seed=0)
+    stepwise = np.stack([e1.predict(audio[:, t * 1280:(t + 1) * 1280])
+                         for t in range(8)])
+    frames = np.stack([audio[:, t * 1280:(t + 1) * 1280] for t in range(8)])
+    scanned = e2.predict_frames(frames)
+    np.testing.assert_allclose(stepwise, scanned, atol=1e-6)
+
+
+def test_mixed_architecture_model(rng, tmp_path):
+    """dnn + mlp + rnn heads coexist in one Model."""
+    import jax
+    from openwakeword_tpu.io.checkpoints import save_checkpoint
+    from openwakeword_tpu.models import heads
+    rnn = heads.init_params(jax.random.PRNGKey(3), "rnn", 16, 1)
+    rnn_path = str(tmp_path / "rnn_head.npz")
+    save_checkpoint(rnn_path, "head", rnn)
+    m = oww.Model(wakeword_models=["alexa", "timer", rnn_path])
+    preds = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+    assert "alexa" in preds and "1_minute_timer" in preds and "rnn_head" in preds
+
+
+def test_engine_mixed_group_and_single(rng, tmp_path):
+    """Engine plan handles fused groups + singletons (timer) together with
+    correct label ordering."""
+    e = MultiStreamEngine(wakeword_models=["alexa", "timer", "weather"], n_streams=2)
+    assert e.labels[0] == "alexa"
+    assert "1_minute_timer" in e.labels and "weather" in e.labels
+    s = e.predict(rng.integers(-1000, 1000, (2, 1280)).astype(np.int16))
+    assert s.shape == (2, len(e.labels))
