@@ -261,6 +261,16 @@ class MultiStreamEngine:
             caches, _ = jax.jit(embedding_stream.init_caches)(
                 self.params["embedding"], state["mel_ring"])
             state["conv_caches"] = caches
+        if self.precision == "bf16":
+            # activation rings in bf16: halves per-step HBM state traffic;
+            # the compute path already quantizes to bf16 at every matmul.
+            # PCM tail and score history stay f32 (raw audio needs the
+            # mantissa; thresholds compare exact scores).
+            for key in ("mel_ring", "feat_ring"):
+                state[key] = state[key].astype(jnp.bfloat16)
+            if "conv_caches" in state:
+                state["conv_caches"] = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16), state["conv_caches"])
         if self.vad_threshold > 0:
             state["vad_h"] = jnp.zeros((S, config.VAD_STATE_LAYERS, config.VAD_STATE_DIM), jnp.float32)
             state["vad_c"] = jnp.zeros((S, config.VAD_STATE_LAYERS, config.VAD_STATE_DIM), jnp.float32)
@@ -326,6 +336,8 @@ class MultiStreamEngine:
                 mel_raw = jnp.maximum(mel_raw, peak - top_db)
             mel = mel_raw * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
 
+            ring_dtype = state["mel_ring"].dtype
+            mel = mel.astype(ring_dtype)
             ring8 = jnp.concatenate([state["mel_ring"][:, 8:], mel], axis=1)
             ring5 = jnp.concatenate([state["mel_ring"][:, 5:], mel[:, 3:]], axis=1)
             mel_ring = jnp.where(is_first[:, None, None], ring5, ring8)
@@ -344,9 +356,13 @@ class MultiStreamEngine:
                                                  state["conv_caches"], mel)
 
                 conv_caches, emb = jax.lax.cond(any_first, prime, stream, None)
+                conv_caches = jax.tree.map(
+                    lambda a, ref: a.astype(ref.dtype), conv_caches, state["conv_caches"])
             else:
                 emb = embedding_model.apply_folded(params["embedding"], mel_ring)  # (S, 96)
-            feat_ring = jnp.concatenate([state["feat_ring"][:, 1:], emb[:, None, :]], axis=1)
+            feat_ring = jnp.concatenate(
+                [state["feat_ring"][:, 1:],
+                 emb[:, None, :].astype(state["feat_ring"].dtype)], axis=1)
 
             # score all heads: fused-group heads run as stacked einsums
             label_cols = [None] * n_labels
