@@ -111,10 +111,14 @@ def _lstm_scan(p, xs, reverse=False):
     h0 = jnp.zeros((B, hidden), xs.dtype)
     c0 = jnp.zeros((B, hidden), xs.dtype)
 
+    prec = jax.lax.Precision.HIGHEST if p["w_ih"].dtype == jnp.float32 else None
+
     def cell(carry, x_t):
         h, c = carry
-        gates = (jnp.matmul(x_t, p["w_ih"], precision=jax.lax.Precision.HIGHEST) + p["b_ih"]
-                 + jnp.matmul(h, p["w_hh"], precision=jax.lax.Precision.HIGHEST) + p["b_hh"])
+        gates = (jnp.matmul(x_t.astype(p["w_ih"].dtype), p["w_ih"], precision=prec,
+                            preferred_element_type=jnp.float32) + p["b_ih"]
+                 + jnp.matmul(h.astype(p["w_hh"].dtype), p["w_hh"], precision=prec,
+                              preferred_element_type=jnp.float32) + p["b_hh"])
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)

@@ -111,8 +111,12 @@ class MultiStreamEngine:
         # use_pallas_melspec: fused VMEM-resident mel frontend kernel
         # (ops.melspec_pallas) instead of the XLA-fused matmul path.
         self.use_pallas_melspec = bool(use_pallas_melspec)
-        # precision: 'highest' = exact f32 parity; 'bf16' = bf16 matmul/conv
-        # weights with f32 accumulation (~2-4x MXU throughput, |dScore|~1e-3)
+        # precision: 'highest' = exact f32 parity. 'bf16' = serving mode:
+        # matmul/conv weights, the mel DFT, AND the activation state rings
+        # (mel_ring / feat_ring / conv_caches) run in bf16 with f32
+        # accumulation -- ~2x MXU throughput and half the per-step HBM state
+        # traffic, at measured |dScore| <= ~7e-3 on real audio. Biases,
+        # norms, PCM tail, and score history stay f32.
         if precision not in ("highest", "bf16"):
             raise ValueError(f"precision must be 'highest' or 'bf16', got {precision!r}")
         self.precision = precision
