@@ -7,8 +7,14 @@ framing -> windowed cos/sin DFT matmuls (MXU) -> power -> mel projection
 the data-dependent top_db clamp and the /10+2 affine outside (they need the
 first-step frame-validity mask; see parallel/engine.py).
 
-Numerics match ops.melspec.melspectrogram(apply_transform=False, top_db=None)
-to float32 rounding (parity test in tests/test_pallas.py).
+Numerics: in interpret mode this matches
+ops.melspec.melspectrogram(apply_transform=False, top_db=None) to float32
+rounding (tests/test_pallas.py). On real TPU the in-kernel dots run at the
+MXU's fast f32 precision (bf16 passes): measured deviation vs the
+HIGHEST-precision XLA path is <= 0.6 dB on speech (~0.06 in transformed
+units), with ~12% higher engine throughput (57,271 vs 51,227 streams at
+f32). It therefore pairs with the bf16 serving mode; the exact-parity
+default keeps the XLA path (engine flag use_pallas_melspec / BENCH_PALLAS=1).
 """
 
 import functools
