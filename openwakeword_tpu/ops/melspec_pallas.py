@@ -46,21 +46,29 @@ def _consts():
     return cos, sin, melw
 
 
-def _kernel(win_ref, cos_ref, sin_ref, mel_ref, out_ref):
-    for j in range(FRAMES):
-        frames = win_ref[:, HOP * j:HOP * j + N_FFT]                     # (T, 512)
-        re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-        im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
-        power = re * re + im * im                                        # (T, 257)
-        mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
-        out_ref[:, j, :] = jnp.log(jnp.maximum(mel, config.MEL_AMIN)) * (10.0 * _LOG10_INV)
+def _make_kernel(precision):
+    def _kernel(win_ref, cos_ref, sin_ref, mel_ref, out_ref):
+        for j in range(FRAMES):
+            frames = win_ref[:, HOP * j:HOP * j + N_FFT]                 # (T, 512)
+            re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
+                         precision=precision)
+            im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
+                         precision=precision)
+            power = re * re + im * im                                    # (T, 257)
+            mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                          precision=precision)
+            out_ref[:, j, :] = jnp.log(jnp.maximum(mel, config.MEL_AMIN)) * (10.0 * _LOG10_INV)
+    return _kernel
 
 
 def melspectrogram_pallas(windows: jnp.ndarray, tile_s: int = 128,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          precision=None) -> jnp.ndarray:
     """(S, 1760) float32 windows -> (S, 8, 32) raw dB mel frames.
 
-    S is padded up to a multiple of ``tile_s`` internally.
+    S is padded up to a multiple of ``tile_s`` internally. ``precision``
+    follows jax.lax.Precision: None = fast MXU passes (serving),
+    HIGHEST = exact f32 (parity mode, slower).
     """
     S = windows.shape[0]
     pad = (-S) % tile_s
@@ -71,7 +79,7 @@ def melspectrogram_pallas(windows: jnp.ndarray, tile_s: int = 128,
     cos, sin, melw = _consts()
 
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(precision),
         grid=(Sp // tile_s,),
         in_specs=[
             pl.BlockSpec((tile_s, WINDOW), lambda i: (i, 0), memory_space=pltpu.VMEM),

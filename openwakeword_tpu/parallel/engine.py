@@ -286,6 +286,46 @@ class MultiStreamEngine:
         if self.mesh is not None:
             self.shard(self.mesh)
 
+    def save_state(self, path: str):
+        """Snapshot all per-stream state to disk (serving failover /
+        migration). Params are not saved -- they are reproducible from the
+        model files; only the stream rings/counters are stateful."""
+        flat = {}
+        def record(prefix, tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    record(f"{prefix}{k}/", v)
+                else:
+                    arr = np.asarray(v)
+                    if arr.dtype == jnp.bfloat16:
+                        flat[f"bf16:{prefix}{k}"] = arr.astype(np.float32)
+                    else:
+                        flat[f"{prefix}{k}"] = arr
+        record("", self.state)
+        with open(path, "wb") as f:
+            np.savez(f, **flat)
+
+    def load_state(self, path: str):
+        """Restore a save_state snapshot (stream count must match)."""
+        with np.load(path) as z:
+            flat = {k: z[k] for k in z.files}
+        def rebuild(prefix, template):
+            out = {}
+            for k, v in template.items():
+                if isinstance(v, dict):
+                    out[k] = rebuild(f"{prefix}{k}/", v)
+                else:
+                    key, bkey = f"{prefix}{k}", f"bf16:{prefix}{k}"
+                    arr = flat[bkey].astype(jnp.bfloat16) if bkey in flat else flat[key]
+                    if arr.shape != v.shape:
+                        raise ValueError(f"state leaf '{prefix}{k}' shape {arr.shape} "
+                                         f"!= engine shape {v.shape}")
+                    out[k] = jnp.asarray(arr)
+            return out
+        self.state = rebuild("", self.state)
+        if self.mesh is not None:
+            self.shard(self.mesh)
+
     def shard(self, mesh: Mesh):
         """Lay out state (and replicate params) over a 1-D stream mesh; the
         jitted step then runs SPMD over ICI with no collectives."""

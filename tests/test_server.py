@@ -63,3 +63,41 @@ def test_slot_reset_matches_fresh_engine(rng):
         s = fresh.predict(np.stack([audio[t * 1280:(t + 1) * 1280]] * 2))
     scores_fresh = np.asarray(fresh.state["score_hist"][0, 0, -12:])
     np.testing.assert_allclose(scores_server, scores_fresh, atol=1e-5)
+
+
+def test_engine_state_save_restore(tmp_path, rng):
+    """Serving snapshot/restore: a restored engine continues the stream
+    exactly where the original left off."""
+    audio = rng.integers(-3000, 3000, 1280 * 12).astype(np.int16)
+    e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0)
+    for t in range(6):
+        e1.predict(np.tile(audio[t * 1280:(t + 1) * 1280], (2, 1)))
+    path = str(tmp_path / "engine_state.npz")
+    e1.save_state(path)
+
+    e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=1)
+    e2.load_state(path)
+    for t in range(6, 12):
+        chunk = np.tile(audio[t * 1280:(t + 1) * 1280], (2, 1))
+        s1 = e1.predict(chunk)
+        s2 = e2.predict(chunk)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    e3 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=3)
+    with pytest.raises(ValueError):
+        e3.load_state(path)
+
+
+def test_engine_state_save_restore_bf16(tmp_path, rng):
+    e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0,
+                           precision="bf16")
+    e1.predict(rng.integers(-1000, 1000, (2, 1280)).astype(np.int16))
+    path = str(tmp_path / "bf16_state.npz")
+    e1.save_state(path)
+    e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=1,
+                           precision="bf16")
+    e2.load_state(path)
+    import jax.numpy as jnp
+    assert e2.state["feat_ring"].dtype == jnp.bfloat16
+    chunk = rng.integers(-1000, 1000, (2, 1280)).astype(np.int16)
+    np.testing.assert_allclose(e1.predict(chunk), e2.predict(chunk), atol=1e-6)
