@@ -93,7 +93,7 @@ class MultiStreamEngine:
                  mesh: Optional[Mesh] = None,
                  rng_seed: int = 0,
                  incremental: bool = True,
-                 use_pallas_melspec: bool = False,
+                 use_pallas_melspec: Optional[bool] = None,
                  precision: str = "highest"):
         if patience and debounce_time > 0:
             raise ValueError("The `patience` and `debounce_time` arguments cannot be used together!")
@@ -109,7 +109,12 @@ class MultiStreamEngine:
         # reference does.
         self.incremental = bool(incremental)
         # use_pallas_melspec: fused VMEM-resident mel frontend kernel
-        # (ops.melspec_pallas) instead of the XLA-fused matmul path.
+        # (ops.melspec_pallas). Standalone it beats the XLA mel path (0.132 s
+        # vs 0.144 s at 4096x50 on v5e, HIGHEST precision, 5e-5 dB match),
+        # but inside the fused step the pallas_call is a fusion barrier and
+        # the engine nets ~1% slower (50.6k vs 51.2k streams) -- so the
+        # default stays False; the kernel remains available for standalone
+        # mel workloads and experimentation (BENCH_PALLAS=1).
         self.use_pallas_melspec = bool(use_pallas_melspec)
         # precision: 'highest' = exact f32 parity. 'bf16' = serving mode:
         # matmul/conv weights, the mel DFT, AND the activation state rings
@@ -347,6 +352,7 @@ class MultiStreamEngine:
         incremental = self.incremental
         use_pallas = self.use_pallas_melspec
         mel_dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
+        mel_prec = None if self.precision == "bf16" else jax.lax.Precision.HIGHEST
         use_patience, use_debounce = self._use_patience, self._use_debounce
         patience_vec = jnp.asarray(self._patience_vec)
         threshold_vec = jnp.asarray(self._threshold_vec)
@@ -360,7 +366,7 @@ class MultiStreamEngine:
             window = jnp.concatenate([state["pcm_tail"], chunk], axis=-1)     # (S, 1760)
             if use_pallas:
                 from openwakeword_tpu.ops.melspec_pallas import melspectrogram_pallas
-                mel_raw = melspectrogram_pallas(window)                       # (S, 8, 32) dB
+                mel_raw = melspectrogram_pallas(window, precision=mel_prec)   # (S, 8, 32) dB
             else:
                 mel_raw = melspec_ops.melspectrogram(window, apply_transform=False,
                                                      top_db=None,
