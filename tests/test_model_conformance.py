@@ -305,3 +305,45 @@ class TestTrainedVAD:
         assert s_speech > 0.6
         assert s_noise < 0.3
         assert s_silence < 0.1
+
+
+class TestRealWeightAccuracy:
+    """Accuracy tests on the bundled clips (reference test_models.py:151-215).
+    These need real imported head weights, which this zero-egress environment
+    cannot fetch; they activate automatically once resources/models/*.npz
+    head checkpoints exist (utils.download.download_models or
+    convert_local_models)."""
+
+    @pytest.fixture(autouse=True)
+    def _require_real_heads(self):
+        from openwakeword_tpu import registry
+        if not all(os.path.exists(v["model_path"]) for v in registry.MODELS.values()):
+            pytest.skip("real head checkpoints not present")
+
+    def test_clip_accuracy_filename_convention(self, test_clips):
+        m = oww.Model()
+        for mdl_name in m.models.keys():
+            clips = [p for name, p in test_clips.items() if mdl_name in name]
+            for clip in clips:
+                preds = m.predict_clip(clip)
+                assert max(p[mdl_name] for p in preds) >= 0.5, \
+                    f"{mdl_name} missed its own clip"
+                m.reset()
+        # negative: hey_jane must not trigger anything at 0.5
+        preds = m.predict_clip(test_clips["hey_jane"])
+        for frame in preds:
+            for label, score in frame.items():
+                assert score < 0.5, f"false positive: {label}"
+
+    def test_engine_score_parity_with_model(self, test_clips):
+        """With real weights, engine scores must match the Model to 1e-3
+        (the BASELINE.json |dScore| target applied to our own two paths)."""
+        import wave
+        from openwakeword_tpu.parallel import MultiStreamEngine
+        with wave.open(test_clips["alexa"], "rb") as f:
+            data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1, rng_seed=0)
+        scores = engine.predict_clips(data[None])
+        m = oww.Model(wakeword_models=["alexa"])
+        ref = [p["alexa"] for p in m.predict_clip(test_clips["alexa"])]
+        np.testing.assert_allclose(scores[:, 0, 0], ref, atol=1e-3)
