@@ -37,7 +37,8 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     engine = MultiStreamEngine(
         wakeword_models=[], n_streams=n_streams,
         incremental=os.environ.get("BENCH_INCREMENTAL", "1") == "1",
-        use_pallas_melspec=os.environ.get("BENCH_PALLAS", "0") == "1")
+        use_pallas_melspec=os.environ.get("BENCH_PALLAS", "0") == "1",
+        precision=os.environ.get("BENCH_PRECISION", "high"))
     step = engine._build_step()
 
     def run(params, state, frames):

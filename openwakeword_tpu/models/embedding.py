@@ -106,17 +106,19 @@ def init_params(key, dtype=jnp.float32) -> Dict:
     return params
 
 
-def _conv(x, w, padding):
-    # bf16 weights select the fast MXU path (f32 accumulation either way);
-    # f32 weights use HIGHEST precision for exact parity
-    prec = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
+def _conv(x, w, padding, precision=None):
+    # default: bf16 weights take the fast MXU path (f32 accumulation either
+    # way); f32 weights use HIGHEST for exact parity. An explicit
+    # ``precision`` (e.g. HIGH = 3-pass bf16) overrides.
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
         x.astype(w.dtype), w,
         window_strides=(1, 1),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=prec,
+        precision=precision,
     )
 
 
@@ -209,7 +211,7 @@ def ensure_folded(params: Dict) -> Dict:
     return params if is_folded(params) else fold_batchnorm(params)
 
 
-def apply_folded(folded: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def apply_folded(folded: Dict, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Forward pass using BN-folded params (fewer elementwise stages)."""
     if x.ndim == 3:
         x = x[..., None]
@@ -223,7 +225,7 @@ def apply_folded(folded: Dict, x: jnp.ndarray) -> jnp.ndarray:
         elif kind == "conv":
             _, _, _, padding, act = op
             c = folded[f"conv_{conv_i}"]
-            x = _conv(x, c["w"], padding) + c["b"]
+            x = _conv(x, c["w"], padding, precision) + c["b"]
             if act == "relu":
                 x = jnp.maximum(x, 0.0)
             conv_i += 1

@@ -25,13 +25,14 @@ import jax.numpy as jnp
 from openwakeword_tpu.models import embedding as E
 
 
-def _conv(x, w, padding):
-    prec = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
+def _conv(x, w, padding, precision=None):
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
         x.astype(w.dtype), w, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=prec)
+        precision=precision)
 
 
 def _pool(x, window, strides, padding):
@@ -61,7 +62,7 @@ def cache_spec() -> List[Tuple[str, int]]:
     return out
 
 
-def init_caches(folded: Dict, mel_window: jnp.ndarray) -> Tuple[Dict, jnp.ndarray]:
+def init_caches(folded: Dict, mel_window: jnp.ndarray, precision=None) -> Tuple[Dict, jnp.ndarray]:
     """Prime the caches by running the full window forward, capturing each
     time-conv input's last 2 rows.
 
@@ -84,7 +85,7 @@ def init_caches(folded: Dict, mel_window: jnp.ndarray) -> Tuple[Dict, jnp.ndarra
             if kh > 1:
                 caches[f"cache_{conv_i}"] = x[:, -2:]
             c = folded[f"conv_{conv_i}"]
-            x = _conv(x, c["w"], padding) + c["b"]
+            x = _conv(x, c["w"], padding, precision) + c["b"]
             if act == "relu":
                 x = jnp.maximum(x, 0.0)
             conv_i += 1
@@ -100,7 +101,7 @@ def init_caches(folded: Dict, mel_window: jnp.ndarray) -> Tuple[Dict, jnp.ndarra
     return caches, x.reshape(x.shape[0], E.OUTPUT_DIM)
 
 
-def step(folded: Dict, caches: Dict, new_mel: jnp.ndarray) -> Tuple[Dict, jnp.ndarray]:
+def step(folded: Dict, caches: Dict, new_mel: jnp.ndarray, precision=None) -> Tuple[Dict, jnp.ndarray]:
     """Advance the streaming CNN by 8 new mel frames.
 
     Args:
@@ -136,7 +137,7 @@ def step(folded: Dict, caches: Dict, new_mel: jnp.ndarray) -> Tuple[Dict, jnp.nd
             else:
                 pad_mode = padding
             c = folded[f"conv_{conv_i}"]
-            x = _conv(x, c["w"], pad_mode) + c["b"]
+            x = _conv(x, c["w"], pad_mode, precision) + c["b"]
             if act == "relu":
                 x = jnp.maximum(x, 0.0)
             conv_i += 1

@@ -92,9 +92,10 @@ def init_params(key, model_type: str = "dnn", input_frames: int = config.DEFAULT
     return params
 
 
-def _apply_linear(p, x):
-    prec = jax.lax.Precision.HIGHEST if p["w"].dtype == jnp.float32 else None
-    return jnp.matmul(x.astype(p["w"].dtype), p["w"], precision=prec,
+def _apply_linear(p, x, precision=None):
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST if p["w"].dtype == jnp.float32 else None
+    return jnp.matmul(x.astype(p["w"].dtype), p["w"], precision=precision,
                       preferred_element_type=jnp.float32) + p["b"].astype(jnp.float32)
 
 
@@ -138,7 +139,8 @@ def apply(params: Dict, x: jnp.ndarray, inference: bool = True) -> jnp.ndarray:
     return forward(params, x, params["__meta__"], inference)
 
 
-def forward(params: Dict, x: jnp.ndarray, meta: Dict, inference: bool = True) -> jnp.ndarray:
+def forward(params: Dict, x: jnp.ndarray, meta: Dict, inference: bool = True,
+            precision=None) -> jnp.ndarray:
     """Like ``apply`` but with the (static) architecture meta passed
     explicitly, so params can be a meta-free pytree under jit."""
     model_type, n_classes = meta["model_type"], meta["n_classes"]
@@ -146,14 +148,15 @@ def forward(params: Dict, x: jnp.ndarray, meta: Dict, inference: bool = True) ->
     if model_type in ("dnn", "mlp"):
         h = x.reshape(x.shape[0], -1)
         if model_type == "dnn":
-            h = jnp.maximum(_layer_norm(params["ln1"], _apply_linear(params["layer1"], h)), 0.0)
+            h = jnp.maximum(_layer_norm(params["ln1"],
+                                        _apply_linear(params["layer1"], h, precision)), 0.0)
             for i in range(meta["n_blocks"]):
                 h = jnp.maximum(_layer_norm(params[f"block{i}_ln"],
-                                            _apply_linear(params[f"block{i}_fc"], h)), 0.0)
+                                            _apply_linear(params[f"block{i}_fc"], h, precision)), 0.0)
         else:
-            h = jnp.maximum(_apply_linear(params["layer1"], h), 0.0)
-            h = jnp.maximum(_apply_linear(params["layer2"], h), 0.0)
-        logits = _apply_linear(params["out"], h)
+            h = jnp.maximum(_apply_linear(params["layer1"], h, precision), 0.0)
+            h = jnp.maximum(_apply_linear(params["layer2"], h, precision), 0.0)
+        logits = _apply_linear(params["out"], h, precision)
     elif model_type == "rnn":
         xs = jnp.swapaxes(x, 0, 1)  # (T, B, D)
         for layer in range(2):
@@ -184,7 +187,7 @@ def stack_params(params_list):
 
 
 def forward_stacked(stacked: Dict, x: jnp.ndarray, meta: Dict,
-                    inference: bool = True) -> jnp.ndarray:
+                    inference: bool = True, precision=None) -> jnp.ndarray:
     """Evaluate H stacked dnn/mlp heads on a shared input.
 
     Args:
@@ -199,7 +202,9 @@ def forward_stacked(stacked: Dict, x: jnp.ndarray, meta: Dict,
 
     def linear(p, z):
         # z: (S, H, D) or (S, D) for the first layer
-        prec = jax.lax.Precision.HIGHEST if p["w"].dtype == jnp.float32 else None
+        prec = precision
+        if prec is None:
+            prec = jax.lax.Precision.HIGHEST if p["w"].dtype == jnp.float32 else None
         w = p["w"]
         if z.ndim == 2:
             out = jnp.einsum("sd,hdw->shw", z.astype(w.dtype), w, precision=prec,

@@ -174,7 +174,8 @@ def power_to_db(mel: jnp.ndarray,
 def melspectrogram(x: jnp.ndarray,
                    apply_transform: bool = True,
                    top_db: float = config.MEL_TOP_DB,
-                   compute_dtype=jnp.float32) -> jnp.ndarray:
+                   compute_dtype=jnp.float32,
+                   precision=None) -> jnp.ndarray:
     """Log-mel spectrogram of raw int16-range audio, shape (..., T, 32).
 
     With ``apply_transform`` the downstream affine spec/10 + 2 (reference
@@ -186,7 +187,8 @@ def melspectrogram(x: jnp.ndarray,
     path). float32 uses HIGHEST precision for exact parity.
     """
     bf16 = compute_dtype == jnp.bfloat16
-    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    prec = precision if precision is not None \
+        else (None if bf16 else jax.lax.Precision.HIGHEST)
     x = x.astype(jnp.float32)
     frames = frame_signal(x).astype(compute_dtype)             # (..., T, 512)
     basis = _f32(stft_power_basis()).astype(compute_dtype)     # (512, 514)

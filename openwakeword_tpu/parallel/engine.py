@@ -94,7 +94,7 @@ class MultiStreamEngine:
                  rng_seed: int = 0,
                  incremental: bool = True,
                  use_pallas_melspec: Optional[bool] = None,
-                 precision: str = "highest"):
+                 precision: str = "high"):
         if patience and debounce_time > 0:
             raise ValueError("The `patience` and `debounce_time` arguments cannot be used together!")
         if (patience or debounce_time > 0) and not threshold:
@@ -116,14 +116,16 @@ class MultiStreamEngine:
         # default stays False; the kernel remains available for standalone
         # mel workloads and experimentation (BENCH_PALLAS=1).
         self.use_pallas_melspec = bool(use_pallas_melspec)
-        # precision: 'highest' = exact f32 parity. 'bf16' = serving mode:
-        # matmul/conv weights, the mel DFT, AND the activation state rings
-        # (mel_ring / feat_ring / conv_caches) run in bf16 with f32
-        # accumulation -- ~2x MXU throughput and half the per-step HBM state
-        # traffic, at measured |dScore| <= ~7e-3 on real audio. Biases,
-        # norms, PCM tail, and score history stay f32.
-        if precision not in ("highest", "bf16"):
-            raise ValueError(f"precision must be 'highest' or 'bf16', got {precision!r}")
+        # precision modes (measured on v5e, 4096 streams, real audio):
+        #   'high' (default) -- f32 params, 3-pass-bf16 MXU matmuls:
+        #                69,623 rt streams at |dScore| <= 1.4e-5 vs 'highest'
+        #                (74x inside the 1e-3 parity budget).
+        #   'highest' -- exact f32 (6-pass): 51,253 streams; for bit-level
+        #                debugging against the host Model path.
+        #   'bf16'    -- serving mode: weights, mel DFT, AND activation state
+        #                rings in bf16: 132,184 streams at |dScore| <= ~7e-3.
+        if precision not in ("highest", "high", "bf16"):
+            raise ValueError(f"precision must be 'highest', 'high' or 'bf16', got {precision!r}")
         self.precision = precision
 
         # ---- heads ----
@@ -352,7 +354,12 @@ class MultiStreamEngine:
         incremental = self.incremental
         use_pallas = self.use_pallas_melspec
         mel_dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
-        mel_prec = None if self.precision == "bf16" else jax.lax.Precision.HIGHEST
+        mm_prec = {"highest": None,            # helpers default to HIGHEST for f32
+                   "high": jax.lax.Precision.HIGH,
+                   "bf16": None}[self.precision]
+        mel_prec = {"highest": jax.lax.Precision.HIGHEST,
+                    "high": jax.lax.Precision.HIGH,
+                    "bf16": None}[self.precision]
         use_patience, use_debounce = self._use_patience, self._use_debounce
         patience_vec = jnp.asarray(self._patience_vec)
         threshold_vec = jnp.asarray(self._threshold_vec)
@@ -370,7 +377,8 @@ class MultiStreamEngine:
             else:
                 mel_raw = melspec_ops.melspectrogram(window, apply_transform=False,
                                                      top_db=None,
-                                                     compute_dtype=mel_dtype)  # (S, 8, 32) dB
+                                                     compute_dtype=mel_dtype,
+                                                     precision=mel_prec)      # (S, 8, 32) dB
 
             # First call after init/reset has no PCM look-back: the reference
             # computes only 5 frames there (utils.py:393-397, window shorter
@@ -399,17 +407,20 @@ class MultiStreamEngine:
                 any_first = jnp.any(is_first)
 
                 def prime(_):
-                    return embedding_stream.init_caches(params["embedding"], mel_ring)
+                    return embedding_stream.init_caches(params["embedding"], mel_ring,
+                                                        precision=mm_prec)
 
                 def stream(_):
                     return embedding_stream.step(params["embedding"],
-                                                 state["conv_caches"], mel)
+                                                 state["conv_caches"], mel,
+                                                 precision=mm_prec)
 
                 conv_caches, emb = jax.lax.cond(any_first, prime, stream, None)
                 conv_caches = jax.tree.map(
                     lambda a, ref: a.astype(ref.dtype), conv_caches, state["conv_caches"])
             else:
-                emb = embedding_model.apply_folded(params["embedding"], mel_ring)  # (S, 96)
+                emb = embedding_model.apply_folded(params["embedding"], mel_ring,
+                                                   precision=mm_prec)          # (S, 96)
             feat_ring = jnp.concatenate(
                 [state["feat_ring"][:, 1:],
                  emb[:, None, :].astype(state["feat_ring"].dtype)], axis=1)
@@ -419,12 +430,14 @@ class MultiStreamEngine:
             for kind, key, meta, members in exec_plan:
                 w = feat_ring[:, F - int(meta["input_frames"]):, :]
                 if kind == "stacked":
-                    out = heads_lib.forward_stacked(params["heads"][key], w, meta)  # (S,H,C)
+                    out = heads_lib.forward_stacked(params["heads"][key], w, meta,
+                                                    precision=mm_prec)              # (S,H,C)
                     for h, (name, cols, start) in enumerate(members):
                         for j, c in enumerate(cols):
                             label_cols[start + j] = out[:, h, c]
                 else:
-                    out = heads_lib.forward(params["heads"][key], w, meta)          # (S,C)
+                    out = heads_lib.forward(params["heads"][key], w, meta,
+                                            precision=mm_prec)                      # (S,C)
                     name, cols, start = members[0]
                     for j, c in enumerate(cols):
                         label_cols[start + j] = out[:, c]
