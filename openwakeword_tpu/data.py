@@ -410,7 +410,7 @@ def augment_clips(clip_paths: List[str],
                 return A.add_noise_at_snr(k, v, jnp.asarray(np.vstack(bgs)), -10, 15)
             x = maybe("AddBackgroundNoise", bg_mix, x, per_example=False)
 
-        x = maybe("Gain", lambda k, v: A.gain(k, v, -12, 0), x)
+        x = maybe("Gain", lambda k, v: A.gain(k, v, -18, 0), x)
 
         if RIR_paths and probs["RIR"] >= rng.random():
             rir = read_audio(str(rng.choice(RIR_paths)))

@@ -67,23 +67,7 @@ class Model():
         names. ``inference_framework`` is accepted for compatibility; all
         execution is JAX/XLA.
         """
-        pretrained_model_paths = registry.get_pretrained_model_paths(inference_framework)
-        wakeword_model_names = []
-        if wakeword_models == []:
-            wakeword_models = pretrained_model_paths
-            wakeword_model_names = list(registry.MODELS.keys())
-        else:
-            wakeword_models = list(wakeword_models)
-            for ndx, i in enumerate(wakeword_models):
-                if os.path.exists(i):
-                    wakeword_model_names.append(os.path.splitext(os.path.basename(i))[0])
-                else:
-                    matching = [j for j in pretrained_model_paths
-                                if i.replace(" ", "_") in j.split(os.path.sep)[-1]]
-                    if matching == []:
-                        raise ValueError(f"Could not find pretrained model for model name '{i}'")
-                    wakeword_models[ndx] = matching[0]
-                    wakeword_model_names.append(i)
+        wakeword_models, wakeword_model_names = registry.resolve_wakeword_models(wakeword_models)
 
         self.models: Dict[str, Dict] = {}          # name -> head params pytree
         self.model_inputs: Dict[str, int] = {}     # name -> input feature frames

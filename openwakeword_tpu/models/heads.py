@@ -242,7 +242,5 @@ def forward_stacked(stacked: Dict, x: jnp.ndarray, meta: Dict,
 
 
 def n_params(params: Dict) -> int:
-    leaves = [v for k, v in jax.tree_util.tree_leaves_with_path(params)
-              if "__meta__" not in jax.tree_util.keystr(k[:1])]
     return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(
         {k: v for k, v in params.items() if k != "__meta__"})))

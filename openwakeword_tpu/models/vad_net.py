@@ -1,11 +1,13 @@
 """JAX voice-activity-detection network with the Silero VAD state contract.
 
 The reference gates predictions with Silero's frozen ``silero_vad.onnx``
-(reference openwakeword/vad.py:54-130): stateful inference over 480-sample
-(30 ms) frames with explicit LSTM state h, c of shape (2, B, 64) carried
-across calls. This module provides a TPU-native network with the same I/O
-contract -- spectral frontend -> projection -> 2-layer LSTM(64) -> sigmoid --
-expressed as a pure function so it scans/vmaps/shards like everything else.
+(reference openwakeword/vad.py:54-130): stateful inference over audio frames
+with explicit LSTM state h, c of shape (2, B, 64) carried across calls, and
+*variable* frame sizes (the reference's predict defaults to 480 samples while
+its __call__ path feeds 640). This network therefore operates per STFT frame:
+any input length >= 256 samples maps to (len-256)//112+1 internal LSTM steps
+-- 480-sample frames take 3 steps, 640-sample frames 4 -- so no audio is
+discarded regardless of chunking.
 
 Weights: train with openwakeword_tpu.training.vad (or import a compatible
 checkpoint); a deterministic random init keeps the pipeline runnable without
@@ -21,9 +23,10 @@ import jax.numpy as jnp
 
 from openwakeword_tpu.ops import melspec as melspec_ops
 
-FRAME_SAMPLES = 480
+FRAME_SAMPLES = 480   # recommended/default external frame (3 LSTM steps)
+MIN_SAMPLES = 256     # one STFT frame
 N_FFT = 256
-HOP = 112           # -> 3 STFT frames per 480-sample frame
+HOP = 112
 N_BANDS = 32
 HIDDEN = 64
 LAYERS = 2
@@ -40,17 +43,15 @@ def _frontend_consts():
 def init_params(key) -> Dict:
     params: Dict = {}
     k1, k2, key = jax.random.split(key, 3)
-    n_feat = 3 * N_BANDS
     params["proj"] = {
-        "w": jax.random.normal(k1, (n_feat, HIDDEN)) * np.sqrt(2.0 / n_feat),
+        "w": jax.random.normal(k1, (N_BANDS, HIDDEN)) * np.sqrt(2.0 / N_BANDS),
         "b": jnp.zeros((HIDDEN,)),
     }
     for layer in range(LAYERS):
-        in_dim = HIDDEN
         key, kih, khh = jax.random.split(key, 3)
         bound = 1.0 / np.sqrt(HIDDEN)
         params[f"lstm{layer}"] = {
-            "w_ih": jax.random.uniform(kih, (in_dim, 4 * HIDDEN), jnp.float32, -bound, bound),
+            "w_ih": jax.random.uniform(kih, (HIDDEN, 4 * HIDDEN), jnp.float32, -bound, bound),
             "w_hh": jax.random.uniform(khh, (HIDDEN, 4 * HIDDEN), jnp.float32, -bound, bound),
             "b_ih": jnp.zeros((4 * HIDDEN,)),
             "b_hh": jnp.zeros((4 * HIDDEN,)),
@@ -62,16 +63,17 @@ def init_params(key) -> Dict:
     return params
 
 
-def _features(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, 480) audio in [-1, 1] -> (B, 3*N_BANDS) log-mel-band features."""
+def _frame_features(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, N>=256) audio in [-1, 1] -> (B, T, 32) per-STFT-frame log-mel."""
     basis, melw = _frontend_consts()
-    idx = np.arange(3)[:, None] * HOP + np.arange(N_FFT)[None, :]
-    frames = x[:, idx]                                    # (B, 3, 256)
+    n = x.shape[-1]
+    t = (n - N_FFT) // HOP + 1
+    idx = np.arange(t)[:, None] * HOP + np.arange(N_FFT)[None, :]
+    frames = x[:, idx]                                    # (B, T, 256)
     spec = jnp.matmul(frames, jnp.asarray(basis), precision=jax.lax.Precision.HIGHEST)
     power = spec[..., 0::2] ** 2 + spec[..., 1::2] ** 2
     mel = jnp.matmul(power, jnp.asarray(melw), precision=jax.lax.Precision.HIGHEST)
-    feats = jnp.log(mel + 1e-6)
-    return feats.reshape(x.shape[0], -1)
+    return jnp.log(mel + 1e-6)                            # (B, T, 32)
 
 
 def _lstm_cell(p, x, h, c):
@@ -85,23 +87,32 @@ def _lstm_cell(p, x, h, c):
 
 def apply(params: Dict, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One stateful VAD step.
+    """One stateful VAD step over an audio frame of any length >= 256.
 
     Args:
-        x: (B, 480) float32 audio normalized to [-1, 1] (int16/32767).
+        x: (B, N) float32 audio normalized to [-1, 1] (int16/32767).
         h, c: (2, B, 64) LSTM state (silero state contract, vad.py:92-96).
     Returns:
-        (score (B,), h', c') with score in [0, 1].
+        (score (B,), h', c') with score in [0, 1]; the recurrent state
+        advances once per internal STFT frame ((N-256)//112+1 steps).
     """
-    feat = _features(x.astype(jnp.float32))
-    z = jnp.maximum(jnp.matmul(feat, params["proj"]["w"],
-                               precision=jax.lax.Precision.HIGHEST) + params["proj"]["b"], 0.0)
-    new_h, new_c = [], []
-    for layer in range(LAYERS):
-        hl, cl = _lstm_cell(params[f"lstm{layer}"], z, h[layer], c[layer])
-        new_h.append(hl)
-        new_c.append(cl)
-        z = hl
-    score = jax.nn.sigmoid(jnp.matmul(z, params["out"]["w"],
+    feats = _frame_features(x.astype(jnp.float32))         # (B, T, 32)
+    z_seq = jnp.maximum(
+        jnp.matmul(feats, params["proj"]["w"],
+                   precision=jax.lax.Precision.HIGHEST) + params["proj"]["b"], 0.0)
+
+    def step_fn(carry, z_t):
+        h, c = carry
+        new_h, new_c = [], []
+        z = z_t
+        for layer in range(LAYERS):
+            hl, cl = _lstm_cell(params[f"lstm{layer}"], z, h[layer], c[layer])
+            new_h.append(hl)
+            new_c.append(cl)
+            z = hl
+        return (jnp.stack(new_h), jnp.stack(new_c)), None
+
+    (h, c), _ = jax.lax.scan(step_fn, (h, c), jnp.swapaxes(z_seq, 0, 1))
+    score = jax.nn.sigmoid(jnp.matmul(h[-1], params["out"]["w"],
                                       precision=jax.lax.Precision.HIGHEST) + params["out"]["b"])
-    return score[:, 0], jnp.stack(new_h), jnp.stack(new_c)
+    return score[:, 0], h, c

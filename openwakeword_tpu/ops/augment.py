@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def gain(key, x, min_gain_db=-12.0, max_gain_db=0.0):
+def gain(key, x, min_gain_db=-18.0, max_gain_db=0.0):
     g_db = jax.random.uniform(key, (x.shape[0], 1), minval=min_gain_db, maxval=max_gain_db)
     return x * 10.0 ** (g_db / 20.0)
 
@@ -28,12 +28,10 @@ def tanh_distortion(key, x, min_distortion=0.0001, max_distortion=0.10):
     """Soft-clipping distortion; drive grows with the distortion amount and
     output is rescaled to the input RMS (audiomentations semantics)."""
     d = jax.random.uniform(key, (x.shape[0], 1), minval=min_distortion, maxval=max_distortion)
-    gain_factor = 10.0 ** (d * 2.0)   # up to ~1.6x drive at d=0.1... scaled drive
     drive = 1.0 + d * 50.0
     y = jnp.tanh(x * drive)
     rms_in = jnp.sqrt(jnp.mean(x ** 2, axis=-1, keepdims=True) + 1e-9)
     rms_out = jnp.sqrt(jnp.mean(y ** 2, axis=-1, keepdims=True) + 1e-9)
-    del gain_factor
     return y * (rms_in / rms_out)
 
 

@@ -36,10 +36,13 @@ def bulk_predict(file_paths: List[str],
     if prediction_function != "predict_clip":
         # Fall back to the generic path for exotic prediction functions
         from openwakeword_tpu.model import Model
-        m = Model(wakeword_models=list(wakeword_models), **{
-            k: v for k, v in kwargs.items() if k in Model.__init__.__code__.co_varnames})
+        from openwakeword_tpu.utils.args import accepted_kwargs
+        init_kwargs = accepted_kwargs(Model.__init__)
+        m = Model(wakeword_models=list(wakeword_models),
+                  **{k: v for k, v in kwargs.items() if k in init_kwargs})
         func = getattr(m, prediction_function)
-        func_kwargs = {k: v for k, v in kwargs.items() if k in func.__code__.co_varnames}
+        fn_kwargs = accepted_kwargs(func)
+        func_kwargs = {k: v for k, v in kwargs.items() if k in fn_kwargs}
         out = {}
         for fp in file_paths:
             out[fp] = func(fp, **func_kwargs)

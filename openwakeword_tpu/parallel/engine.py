@@ -38,26 +38,10 @@ VAD_RING = 7                                 # enough for the [-7:-4] gate windo
 
 
 def _resolve_heads(wakeword_models: Sequence[str]) -> List[Tuple[str, Dict, Dict]]:
-    """(name, params, class_mapping) per head, via the Model loader."""
+    """(name, params, class_mapping) per head, via the shared resolver +
+    Model loader."""
     from openwakeword_tpu.model import Model
-    import os
-    pretrained = registry.get_pretrained_model_paths()
-    resolved = []
-    names = []
-    if not wakeword_models:
-        resolved = pretrained
-        names = list(registry.MODELS.keys())
-    else:
-        for i in wakeword_models:
-            if os.path.exists(i):
-                resolved.append(i)
-                names.append(os.path.splitext(os.path.basename(i))[0])
-            else:
-                matching = [j for j in pretrained if i.replace(" ", "_") in j.split(os.path.sep)[-1]]
-                if not matching:
-                    raise ValueError(f"Could not find pretrained model for model name '{i}'")
-                resolved.append(matching[0])
-                names.append(i)
+    resolved, names = registry.resolve_wakeword_models(list(wakeword_models))
     out = []
     for path, name in zip(resolved, names):
         params, meta = Model._load_head(path, name)
@@ -474,12 +458,13 @@ class MultiStreamEngine:
                 new_state["conv_caches"] = conv_caches
 
             if vad_on:
-                # reference VAD call path: 640-sample chunks, truncated to the
-                # 480-sample model frame, scores averaged (vad.py:98-130)
+                # reference VAD call path: two 640-sample chunks per 80 ms
+                # frame, scores averaged (vad.py:129 uses frame_size=640);
+                # the network scores every sample (one LSTM step per STFT frame)
                 h = jnp.swapaxes(state["vad_h"], 0, 1)                         # (2, S, 64)
                 c = jnp.swapaxes(state["vad_c"], 0, 1)
-                s1, h, c = vad_net.apply(params["vad"], chunk[:, 0:480] / 32767.0, h, c)
-                s2, h, c = vad_net.apply(params["vad"], chunk[:, 640:1120] / 32767.0, h, c)
+                s1, h, c = vad_net.apply(params["vad"], chunk[:, 0:640] / 32767.0, h, c)
+                s2, h, c = vad_net.apply(params["vad"], chunk[:, 640:1280] / 32767.0, h, c)
                 vad_score = (s1 + s2) / 2.0
                 vad_ring = jnp.concatenate([state["vad_ring"][:, 1:], vad_score[:, None]], axis=-1)
                 gate_window = vad_ring[:, 0:3]                                 # == buffer[-7:-4]

@@ -42,9 +42,14 @@ class StreamServer:
         self._free = deque(range(self.capacity))
         self._active: Dict[int, dict] = {}
         self._frame_counter = 0
-        # template rows for slot resets (fresh state at index 0)
-        self._fresh_row = jax.tree.map(lambda a: np.asarray(a[0:1]),
+        # template rows for slot resets (fresh state at index 0), kept on
+        # device; resets are jitted per-row scatters (O(1 row), no host trip)
+        self._fresh_row = jax.tree.map(lambda a: jnp.asarray(a[0:1]),
                                        self.engine.init_state(1))
+        self._reset_fn = jax.jit(
+            lambda state, fresh, sid: jax.tree.map(
+                lambda full, row: full.at[sid].set(row[0]), state, fresh),
+            donate_argnums=(0,))
 
     # ------------------------------------------------------------------
 
@@ -107,11 +112,6 @@ class StreamServer:
     # ------------------------------------------------------------------
 
     def _reset_slot(self, sid: int):
-        """Re-initialize one slot's on-device state row."""
-        def set_row(full, fresh):
-            arr = np.array(full)            # writable host copy
-            arr[sid] = fresh[0]
-            return jnp.asarray(arr)
-        self.engine.state = jax.tree.map(set_row, self.engine.state, self._fresh_row)
-        if self.engine.mesh is not None:
-            self.engine.shard(self.engine.mesh)
+        """Re-initialize one slot's on-device state row (jitted scatter)."""
+        self.engine.state = self._reset_fn(self.engine.state, self._fresh_row,
+                                           jnp.asarray(sid, jnp.int32))

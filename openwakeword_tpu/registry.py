@@ -86,3 +86,26 @@ PRETRAINED_HEAD_SPECS = {
 def get_pretrained_model_paths(inference_framework: str = "jax"):
     """Paths of all bundled pretrained wakeword checkpoints."""
     return [MODELS[i]["model_path"] for i in MODELS.keys()]
+
+
+def resolve_wakeword_models(wakeword_models):
+    """Resolve user-supplied model specs (file paths or pretrained names,
+    spaces allowed) to (paths, names); empty input selects every pretrained
+    model (reference model.py:83-100 contract). Shared by Model and
+    MultiStreamEngine so name resolution cannot drift between engines."""
+    pretrained = get_pretrained_model_paths()
+    if not wakeword_models:
+        return list(pretrained), list(MODELS.keys())
+    paths, names = [], []
+    for i in wakeword_models:
+        if os.path.exists(i):
+            paths.append(i)
+            names.append(os.path.splitext(os.path.basename(i))[0])
+        else:
+            matching = [j for j in pretrained
+                        if i.replace(" ", "_") in j.split(os.path.sep)[-1]]
+            if not matching:
+                raise ValueError(f"Could not find pretrained model for model name '{i}'")
+            paths.append(matching[0])
+            names.append(i)
+    return paths, names

@@ -89,7 +89,11 @@ def _train_step(params, opt_state, acc, x, y, neg_weight, lr,
     (loss, (mask, preds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     n_survivors = jnp.sum(mask).astype(jnp.int32)
 
-    do_update = (acc["n_acc"] + n_survivors) >= accum_target
+    # Zero-survivor batches are no-ops (reference train.py:483 guards the
+    # whole accumulate/update block on predictions.shape[0] != 0): they must
+    # neither trigger an update nor inflate the accumulation divisor.
+    nonzero = n_survivors > 0
+    do_update = ((acc["n_acc"] + n_survivors) >= accum_target) & nonzero
     scaled = jax.tree.map(lambda g: g / acc["acc_steps"].astype(jnp.float32), grads)
 
     def apply(_):
@@ -102,7 +106,8 @@ def _train_step(params, opt_state, acc, x, y, neg_weight, lr,
     new_params, new_opt_state = jax.lax.cond(do_update, apply, skip, None)
     new_acc = {
         "n_acc": jnp.where(do_update, 0, acc["n_acc"] + n_survivors),
-        "acc_steps": jnp.where(do_update, 1, acc["acc_steps"] + 1),
+        "acc_steps": jnp.where(do_update, 1,
+                               acc["acc_steps"] + nonzero.astype(jnp.int32)),
     }
     stats = {"loss": loss, "n_survivors": n_survivors, "updated": do_update}
     return new_params, new_opt_state, new_acc, stats

@@ -46,15 +46,16 @@ class VAD():
 
     def predict(self, x: np.ndarray, frame_size: int = config.VAD_FRAME_SAMPLES) -> float:
         """Average VAD score over ``frame_size``-sample chunks of ``x``
-        (16 kHz int16), advancing the recurrent state chunk by chunk."""
+        (16 kHz int16), advancing the recurrent state chunk by chunk. Any
+        frame size >= 256 samples is scored in full (the network steps once
+        per internal STFT frame), matching the reference's variable-frame
+        behavior (vad.py:98-127)."""
         scores = []
         h, c = jnp.asarray(self._h), jnp.asarray(self._c)
         for i in range(0, x.shape[0], frame_size):
             chunk = (x[i:i + frame_size] / 32767).astype(np.float32)
-            if chunk.shape[0] < vad_net.FRAME_SAMPLES:
-                chunk = np.pad(chunk, (0, vad_net.FRAME_SAMPLES - chunk.shape[0]))
-            elif chunk.shape[0] > vad_net.FRAME_SAMPLES:
-                chunk = chunk[:vad_net.FRAME_SAMPLES]
+            if chunk.shape[0] < vad_net.MIN_SAMPLES:
+                chunk = np.pad(chunk, (0, vad_net.MIN_SAMPLES - chunk.shape[0]))
             score, h, c = self._step(self.params, jnp.asarray(chunk[None]), h, c)
             scores.append(float(score[0]))
         self._h, self._c = np.asarray(h), np.asarray(c)
