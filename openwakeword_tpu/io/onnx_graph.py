@@ -1,0 +1,780 @@
+"""Compile an ONNX dataflow graph into one jitted JAX program.
+
+The reference executes its frozen ``.onnx`` artifacts with onnxruntime
+(reference openwakeword/utils.py:64-93, vad.py:60-96). The TPU-native
+equivalent is to *compile the dataflow graph itself*: every node becomes a
+``jnp``/``lax`` op inside a single traced function, so XLA fuses the whole
+graph into one TPU program — no interpreter, no per-node dispatch, and the
+float initializers become an ordinary params pytree (shardable, donatable,
+convertible to bf16).
+
+Primary consumer: Silero VAD import (reference vad.py:87-127 — a graph of
+STFT-as-conv frontend, conv encoder, LSTM decoder with explicit ``h``/``c``
+state I/O, and an ``If`` switch on the ``sr`` input). It is general enough to
+also execute the head / embedding artifacts, which serves as the in-repo
+cross-check oracle for the fast structural importers (io.onnx_import).
+
+Execution model
+---------------
+Two kinds of tensor values flow through the evaluator:
+
+- **static** (``np.ndarray``): initializers, pinned inputs (e.g. ``sr``),
+  ``Constant`` outputs, ``Shape`` results (shapes are static under jit), and
+  anything computed only from those. Evaluated with numpy *at trace time*,
+  so shape-consuming ops (Reshape/Slice/Pad/...) always see concrete values.
+- **dynamic** (jax array / tracer): graph inputs and everything downstream.
+
+``If`` nodes whose condition is static are folded at build time by splicing
+the taken branch into the node list (Silero's sample-rate switch). Dynamic
+conditions are not supported (nothing in the artifact family needs them).
+
+Float initializers are exposed as the params pytree (keys = sanitized tensor
+names); integer initializers stay embedded as static constants. A program is
+JSON-serializable via ``to_spec``/``from_spec`` so imported graphs round-trip
+through the native ``.npz`` checkpoint format.
+"""
+
+import json
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from openwakeword_tpu.io import onnx_proto as op
+
+_FLOAT_DTYPES = (np.float32, np.float64, np.float16)
+
+# ONNX TensorProto dtype codes -> numpy dtypes (for Cast / ConstantOfShape)
+_CAST_DTYPES = {1: np.float32, 2: np.uint8, 3: np.int8, 5: np.int16,
+                6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16,
+                11: np.float64, 12: np.uint32, 13: np.uint64}
+
+
+def _is_static(v) -> bool:
+    return isinstance(v, (np.ndarray, np.generic, int, float, bool))
+
+
+def _xp(vals):
+    return np if all(_is_static(v) for v in vals) else jnp
+
+
+def _attr(node, name, default=None):
+    a = node["attributes"].get(name)
+    if a is None:
+        return default
+    for k in ("i", "f", "ints", "floats", "t", "g", "graphs"):
+        if k in a:
+            return a[k]
+    if "s" in a:
+        return a["s"].decode() if isinstance(a["s"], bytes) else a["s"]
+    return default
+
+
+def _concrete(v, what: str):
+    """Shape-slot arguments must be host-concrete."""
+    if not _is_static(v):
+        raise ValueError(
+            f"ONNX program: {what} must be statically computable, got a "
+            f"traced value. (Dynamic shapes are unsupported on TPU.)")
+    return np.asarray(v)
+
+
+# ---------------------------------------------------------------------------
+# Op implementations. Each takes (node, vals) where vals are the resolved
+# input values (None for omitted optional inputs) and returns a list of
+# outputs aligned with node["output"].
+# ---------------------------------------------------------------------------
+
+def _binop(fn):
+    def impl(node, vals):
+        return [fn(_xp(vals), vals[0], vals[1])]
+    return impl
+
+
+def _unop(fn):
+    def impl(node, vals):
+        return [fn(_xp(vals), vals[0])]
+    return impl
+
+
+def _op_gemm(node, vals):
+    a, b = vals[0], vals[1]
+    alpha = _attr(node, "alpha", 1.0)
+    beta = _attr(node, "beta", 1.0)
+    if _attr(node, "transA", 0):
+        a = a.T
+    if _attr(node, "transB", 0):
+        b = b.T
+    y = jnp.matmul(a, b) * alpha
+    if len(vals) > 2 and vals[2] is not None:
+        y = y + beta * vals[2]
+    return [y]
+
+
+def _conv_padding(node, spatial_rank, lhs_shape, rhs_shape, strides, dilations):
+    pads = _attr(node, "pads")
+    auto = _attr(node, "auto_pad", "NOTSET")
+    if pads is not None:
+        return [(int(pads[i]), int(pads[i + spatial_rank])) for i in range(spatial_rank)]
+    if auto in ("NOTSET", "VALID"):
+        return [(0, 0)] * spatial_rank
+    # SAME_UPPER / SAME_LOWER
+    out = []
+    for i in range(spatial_rank):
+        in_dim = lhs_shape[2 + i]
+        k = (rhs_shape[2 + i] - 1) * dilations[i] + 1
+        out_dim = -(-in_dim // strides[i])
+        total = max(0, (out_dim - 1) * strides[i] + k - in_dim)
+        lo = total // 2 if auto == "SAME_UPPER" else total - total // 2
+        out.append((lo, total - lo))
+    return out
+
+
+def _op_conv(node, vals):
+    x, w = vals[0], vals[1]
+    b = vals[2] if len(vals) > 2 else None
+    rank = x.ndim - 2                       # spatial rank (1 or 2)
+    strides = tuple(_attr(node, "strides", [1] * rank))
+    dilations = tuple(_attr(node, "dilations", [1] * rank))
+    group = int(_attr(node, "group", 1))
+    padding = _conv_padding(node, rank, x.shape, w.shape, strides, dilations)
+    spatial = "DHW"[3 - rank:] if rank <= 3 else None
+    dn = ("NC" + spatial, "OI" + spatial, "NC" + spatial)
+    y = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), window_strides=strides, padding=padding,
+        rhs_dilation=dilations, dimension_numbers=dn, feature_group_count=group,
+        precision=lax.Precision.HIGHEST)
+    if b is not None:
+        y = y + jnp.asarray(b).reshape((1, -1) + (1,) * rank)
+    return [y]
+
+
+def _op_batchnorm(node, vals):
+    x, scale, bias, mean, var = vals[:5]
+    eps = _attr(node, "epsilon", 1e-5)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    inv = scale / np.sqrt(np.asarray(var) + eps) if _is_static(var) and _is_static(scale) \
+        else scale * lax.rsqrt(jnp.asarray(var) + eps)
+    return [x * jnp.reshape(jnp.asarray(inv), shape)
+            + jnp.reshape(jnp.asarray(bias) - jnp.asarray(mean) * jnp.asarray(inv), shape)]
+
+
+def _op_lstm(node, vals):
+    """ONNX LSTM (layout=0, gate order iofc, default activations).
+
+    X: (T, B, I); W: (D, 4H, I); R: (D, 4H, H); B: (D, 8H);
+    initial_h/c: (D, B, H). Outputs Y (T, D, B, H), Y_h, Y_c (D, B, H).
+    """
+    x, w, r = vals[0], jnp.asarray(vals[1]), jnp.asarray(vals[2])
+    hidden = int(_attr(node, "hidden_size", r.shape[-1]))
+    direction = _attr(node, "direction", "forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    if _attr(node, "activations") is not None:
+        acts = [a.decode() if isinstance(a, bytes) else a for a in _attr(node, "activations")]
+        if [a.lower() for a in acts] not in (["sigmoid", "tanh", "tanh"],
+                                             ["sigmoid", "tanh", "tanh"] * 2):
+            raise NotImplementedError(f"ONNX LSTM custom activations {acts}")
+    n_dirs = {"forward": 1, "reverse": 1, "bidirectional": 2}[direction]
+    b = vals[3] if len(vals) > 3 and vals[3] is not None else np.zeros((n_dirs, 8 * hidden), np.float32)
+    if len(vals) > 4 and vals[4] is not None:
+        seq_lens = _concrete(vals[4], "LSTM sequence_lens")
+        if not np.all(seq_lens == x.shape[0]):
+            raise NotImplementedError("ONNX LSTM with ragged sequence_lens")
+    batch = x.shape[1]
+    h0 = vals[5] if len(vals) > 5 and vals[5] is not None else jnp.zeros((n_dirs, batch, hidden), x.dtype)
+    c0 = vals[6] if len(vals) > 6 and vals[6] is not None else jnp.zeros((n_dirs, batch, hidden), x.dtype)
+    x, h0, c0, b = jnp.asarray(x), jnp.asarray(h0), jnp.asarray(c0), jnp.asarray(b)
+
+    def run_dir(xs, wd, rd, bd, h_init, c_init):
+        wb, rb = bd[: 4 * hidden], bd[4 * hidden:]
+        w_t, r_t = wd.T, rd.T                      # (I, 4H), (H, 4H)
+        bias = wb + rb
+
+        def step(carry, x_t):
+            h, c = carry
+            gates = (jnp.matmul(x_t, w_t, precision=lax.Precision.HIGHEST)
+                     + jnp.matmul(h, r_t, precision=lax.Precision.HIGHEST) + bias)
+            i, o, f, g = jnp.split(gates, 4, axis=-1)     # ONNX order: iofc
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        (h_fin, c_fin), ys = lax.scan(step, (h_init, c_init), xs)
+        return ys, h_fin, c_fin
+
+    ys_f, h_f, c_f = run_dir(x if direction != "reverse" else x[::-1],
+                             w[0], r[0], b[0], h0[0], c0[0])
+    if direction == "reverse":
+        ys_f = ys_f[::-1]
+    if direction == "bidirectional":
+        ys_b, h_b, c_b = run_dir(x[::-1], w[1], r[1], b[1], h0[1], c0[1])
+        y = jnp.stack([ys_f, ys_b[::-1]], axis=1)          # (T, 2, B, H)
+        y_h = jnp.stack([h_f, h_b])
+        y_c = jnp.stack([c_f, c_b])
+    else:
+        y = ys_f[:, None]                                  # (T, 1, B, H)
+        y_h, y_c = h_f[None], c_f[None]
+    outs = [y, y_h, y_c]
+    return outs[:max(1, len(node["output"]))]
+
+
+def _pool_common(node, x, reducer, init):
+    rank = x.ndim - 2
+    kernel = tuple(_attr(node, "kernel_shape"))
+    strides = tuple(_attr(node, "strides", [1] * rank))
+    padding = _conv_padding(node, rank, x.shape,
+                            (0, 0) + kernel, strides, (1,) * rank)
+    dims = (1, 1) + kernel
+    strd = (1, 1) + strides
+    pads = ((0, 0), (0, 0)) + tuple(padding)
+    return lax.reduce_window(jnp.asarray(x), init, reducer, dims, strd, pads)
+
+
+def _op_maxpool(node, vals):
+    return [_pool_common(node, vals[0], lax.max, -jnp.inf)]
+
+
+def _op_avgpool(node, vals):
+    x = vals[0]
+    summed = _pool_common(node, x, lax.add, 0.0)
+    if _attr(node, "count_include_pad", 0):
+        denom = float(np.prod(_attr(node, "kernel_shape")))
+        return [summed / denom]
+    counts = _pool_common(node, jnp.ones_like(jnp.asarray(x)), lax.add, 0.0)
+    return [summed / counts]
+
+
+def _op_slice(node, vals):
+    x = vals[0]
+    if len(vals) > 1:                       # opset >= 10: runtime inputs
+        starts = _concrete(vals[1], "Slice starts")
+        ends = _concrete(vals[2], "Slice ends")
+        axes = _concrete(vals[3], "Slice axes") if len(vals) > 3 and vals[3] is not None \
+            else np.arange(len(starts))
+        steps = _concrete(vals[4], "Slice steps") if len(vals) > 4 and vals[4] is not None \
+            else np.ones(len(starts), np.int64)
+    else:                                   # opset 1: attributes
+        starts = np.asarray(_attr(node, "starts"))
+        ends = np.asarray(_attr(node, "ends"))
+        axes = np.asarray(_attr(node, "axes", list(range(len(starts)))))
+        steps = np.ones(len(starts), np.int64)
+    slices = [slice(None)] * x.ndim
+    for s, e, a, st in zip(starts.tolist(), ends.tolist(), axes.tolist(), steps.tolist()):
+        a = a % x.ndim
+        dim = x.shape[a]
+        # ONNX clamps INT_MAX-ish sentinels to the dim bounds
+        s_c = max(-dim, min(int(s), dim))
+        e_c = max(-dim - 1, min(int(e), dim))
+        slices[a] = slice(s_c, e_c, int(st))
+    return [x[tuple(slices)]]
+
+
+def _op_split(node, vals):
+    x = vals[0]
+    axis = int(_attr(node, "axis", 0))
+    n_out = len(node["output"])
+    if len(vals) > 1 and vals[1] is not None:
+        sizes = _concrete(vals[1], "Split sizes").tolist()
+    else:
+        sizes = _attr(node, "split")
+        if sizes is None:
+            base = x.shape[axis] // n_out
+            sizes = [base] * n_out
+    idx = np.cumsum(sizes)[:-1].tolist()
+    return list(_xp([x]).split(x, idx, axis=axis))
+
+
+def _op_pad(node, vals):
+    x = vals[0]
+    mode = _attr(node, "mode", "constant")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    if len(vals) > 1 and vals[1] is not None:
+        pads = _concrete(vals[1], "Pad pads").astype(np.int64)
+    else:
+        pads = np.asarray(_attr(node, "pads"), np.int64)
+    cval = 0.0
+    if len(vals) > 2 and vals[2] is not None:
+        cval = float(_concrete(vals[2], "Pad value"))
+    rank = x.ndim
+    axes = (_concrete(vals[3], "Pad axes").tolist()
+            if len(vals) > 3 and vals[3] is not None else list(range(rank)))
+    width = [(0, 0)] * rank
+    half = len(pads) // 2
+    for i, a in enumerate(axes):
+        width[a % rank] = (int(pads[i]), int(pads[half + i]))
+    xp = _xp([x])
+    if mode == "constant":
+        return [xp.pad(x, width, constant_values=cval)]
+    return [xp.pad(x, width, mode={"reflect": "reflect", "edge": "edge"}[mode])]
+
+
+def _op_reshape(node, vals):
+    shape = _concrete(vals[1], "Reshape shape").astype(np.int64).copy()
+    x = vals[0]
+    for i, d in enumerate(shape):
+        if d == 0 and not _attr(node, "allowzero", 0):
+            shape[i] = x.shape[i]
+    return [_xp([x]).reshape(x, tuple(int(d) for d in shape))]
+
+
+def _axes_arg(node, vals, idx=1):
+    if len(vals) > idx and vals[idx] is not None:
+        return _concrete(vals[idx], "axes").tolist()
+    a = _attr(node, "axes")
+    return list(a) if a is not None else None
+
+
+def _op_squeeze(node, vals):
+    x = vals[0]
+    axes = _axes_arg(node, vals)
+    if axes is None:
+        axes = [i for i, d in enumerate(x.shape) if d == 1]
+    return [_xp([x]).squeeze(x, axis=tuple(a % x.ndim for a in axes))]
+
+
+def _op_unsqueeze(node, vals):
+    x = vals[0]
+    axes = sorted(a % (x.ndim + len(_axes_arg(node, vals))) for a in _axes_arg(node, vals))
+    for a in axes:
+        x = _xp([x]).expand_dims(x, a)
+    return [x]
+
+
+def _op_reduce(fn_name):
+    def impl(node, vals):
+        x = vals[0]
+        axes = _axes_arg(node, vals)
+        keep = bool(_attr(node, "keepdims", 1))
+        xp = _xp([x])
+        fn = getattr(xp, fn_name)
+        if axes is None and _attr(node, "noop_with_empty_axes", 0) and len(vals) > 1:
+            return [x]
+        ax = tuple(a % x.ndim for a in axes) if axes is not None else None
+        return [fn(x, axis=ax, keepdims=keep)]
+    return impl
+
+
+def _op_cast(node, vals):
+    to = _CAST_DTYPES[int(_attr(node, "to"))]
+    v = vals[0]
+    return [v.astype(to) if hasattr(v, "astype") else np.asarray(v, to)]
+
+
+def _op_constantofshape(node, vals):
+    shape = _concrete(vals[0], "ConstantOfShape shape").astype(np.int64)
+    t = _attr(node, "value")
+    fill = t["array"].reshape(-1)[0] if t is not None else np.float32(0)
+    return [np.full(tuple(int(d) for d in shape), fill)]
+
+
+def _op_constant(node, vals):
+    a = node["attributes"]
+    if "value" in a:
+        return [np.asarray(a["value"]["t"]["array"])]
+    for k, cast in (("value_float", np.float32), ("value_int", np.int64)):
+        if k in a:
+            return [np.asarray(_attr(node, k.split("_")[1] if False else k), cast)]
+    if "value_floats" in a:
+        return [np.asarray(a["value_floats"]["floats"], np.float32)]
+    if "value_ints" in a:
+        return [np.asarray(a["value_ints"]["ints"], np.int64)]
+    raise ValueError("Constant node without a supported value attribute")
+
+
+def _op_expand(node, vals):
+    shape = _concrete(vals[1], "Expand shape").astype(np.int64)
+    x = vals[0]
+    target = list(shape)
+    # ONNX Expand: result shape is the broadcast of x.shape and shape
+    xp = _xp([vals[0]])
+    return [xp.broadcast_to(x, np.broadcast_shapes(tuple(x.shape), tuple(int(d) for d in target)))]
+
+
+def _op_gather(node, vals):
+    x, idx = vals
+    axis = int(_attr(node, "axis", 0))
+    xp = _xp(vals)
+    return [xp.take(x, np.asarray(idx) if _is_static(idx) else idx, axis=axis)]
+
+
+def _op_clip(node, vals):
+    x = vals[0]
+    lo = vals[1] if len(vals) > 1 and vals[1] is not None else _attr(node, "min")
+    hi = vals[2] if len(vals) > 2 and vals[2] is not None else _attr(node, "max")
+    xp = _xp([x])
+    if lo is not None:
+        x = xp.maximum(x, lo)
+    if hi is not None:
+        x = xp.minimum(x, hi)
+    return [x]
+
+
+def _op_softmax(node, vals):
+    axis = int(_attr(node, "axis", -1))
+    return [jax.nn.softmax(jnp.asarray(vals[0]), axis=axis)]
+
+
+def _op_flatten(node, vals):
+    x = vals[0]
+    axis = int(_attr(node, "axis", 1)) % (x.ndim + 1)
+    lead = int(np.prod(x.shape[:axis])) if axis else 1
+    return [_xp([x]).reshape(x, (lead, -1))]
+
+
+def _op_transpose(node, vals):
+    perm = _attr(node, "perm")
+    x = vals[0]
+    if perm is None:
+        perm = list(range(x.ndim))[::-1]
+    return [_xp([x]).transpose(x, tuple(perm))]
+
+
+def _op_layernorm(node, vals):
+    x, scale = vals[0], vals[1]
+    bias = vals[2] if len(vals) > 2 else None
+    axis = int(_attr(node, "axis", -1))
+    eps = _attr(node, "epsilon", 1e-5)
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=axis, keepdims=True)
+    y = (x - mean) * lax.rsqrt(var + eps) * scale
+    if bias is not None:
+        y = y + bias
+    return [y]
+
+
+_OPS = {
+    "Add": _binop(lambda xp, a, b: xp.add(a, b)),
+    "Sub": _binop(lambda xp, a, b: xp.subtract(a, b)),
+    "Mul": _binop(lambda xp, a, b: xp.multiply(a, b)),
+    "Div": _binop(lambda xp, a, b: xp.divide(a, b)),
+    "Pow": _binop(lambda xp, a, b: xp.power(a, b)),
+    "Min": lambda node, vals: [_xp(vals).minimum(vals[0], vals[1])] if len(vals) == 2
+        else [np.minimum.reduce(vals) if all(_is_static(v) for v in vals)
+              else jnp.min(jnp.stack([jnp.asarray(v) for v in vals]), axis=0)],
+    "Max": lambda node, vals: [_xp(vals).maximum(vals[0], vals[1])] if len(vals) == 2
+        else [np.maximum.reduce(vals) if all(_is_static(v) for v in vals)
+              else jnp.max(jnp.stack([jnp.asarray(v) for v in vals]), axis=0)],
+    "Equal": _binop(lambda xp, a, b: xp.equal(a, b)),
+    "Greater": _binop(lambda xp, a, b: xp.greater(a, b)),
+    "GreaterOrEqual": _binop(lambda xp, a, b: xp.greater_equal(a, b)),
+    "Less": _binop(lambda xp, a, b: xp.less(a, b)),
+    "LessOrEqual": _binop(lambda xp, a, b: xp.less_equal(a, b)),
+    "And": _binop(lambda xp, a, b: xp.logical_and(a, b)),
+    "Or": _binop(lambda xp, a, b: xp.logical_or(a, b)),
+    "Not": _unop(lambda xp, a: xp.logical_not(a)),
+    "Sqrt": _unop(lambda xp, a: xp.sqrt(a)),
+    "Exp": _unop(lambda xp, a: xp.exp(a)),
+    "Log": _unop(lambda xp, a: xp.log(a)),
+    "Neg": _unop(lambda xp, a: xp.negative(a)),
+    "Abs": _unop(lambda xp, a: xp.abs(a)),
+    "Floor": _unop(lambda xp, a: xp.floor(a)),
+    "Ceil": _unop(lambda xp, a: xp.ceil(a)),
+    "Erf": _unop(lambda xp, a: jax.scipy.special.erf(jnp.asarray(a)) if xp is jnp
+                 else np.vectorize(__import__("math").erf)(a).astype(a.dtype)),
+    "Tanh": _unop(lambda xp, a: xp.tanh(a)),
+    "Sigmoid": _unop(lambda xp, a: jax.nn.sigmoid(jnp.asarray(a)) if xp is jnp
+                     else 1.0 / (1.0 + np.exp(-a))),
+    "Relu": _unop(lambda xp, a: xp.maximum(a, 0)),
+    "LeakyRelu": lambda node, vals: [jnp.where(jnp.asarray(vals[0]) >= 0, vals[0],
+                                               vals[0] * _attr(node, "alpha", 0.01))],
+    "Identity": lambda node, vals: [vals[0]],
+    "Dropout": lambda node, vals: [vals[0]],
+    "Where": lambda node, vals: [_xp(vals).where(vals[0], vals[1], vals[2])],
+    "Concat": lambda node, vals: [_xp(vals).concatenate(
+        [v if not _is_static(v) or _xp(vals) is np else jnp.asarray(v) for v in vals],
+        axis=int(_attr(node, "axis", 0)))],
+    "Shape": lambda node, vals: [np.asarray(vals[0].shape, np.int64)],
+    "Size": lambda node, vals: [np.asarray(int(np.prod(vals[0].shape)), np.int64)],
+    "Range": lambda node, vals: [np.arange(int(_concrete(vals[0], "Range start")),
+                                           int(_concrete(vals[1], "Range limit")),
+                                           int(_concrete(vals[2], "Range delta")))],
+    "Tile": lambda node, vals: [_xp([vals[0]]).tile(
+        vals[0], tuple(_concrete(vals[1], "Tile repeats").astype(np.int64)))],
+    "MatMul": _binop(lambda xp, a, b: jnp.matmul(jnp.asarray(a), jnp.asarray(b),
+                                                 precision=lax.Precision.HIGHEST)
+                     if xp is jnp else np.matmul(a, b)),
+    "Gemm": _op_gemm,
+    "Conv": _op_conv,
+    "BatchNormalization": _op_batchnorm,
+    "LSTM": _op_lstm,
+    "MaxPool": _op_maxpool,
+    "AveragePool": _op_avgpool,
+    "GlobalAveragePool": lambda node, vals: [jnp.mean(
+        jnp.asarray(vals[0]), axis=tuple(range(2, vals[0].ndim)), keepdims=True)],
+    "Softmax": _op_softmax,
+    "LayerNormalization": _op_layernorm,
+    "Flatten": _op_flatten,
+    "Transpose": _op_transpose,
+    "Reshape": _op_reshape,
+    "Squeeze": _op_squeeze,
+    "Unsqueeze": _op_unsqueeze,
+    "Slice": _op_slice,
+    "Split": _op_split,
+    "Pad": _op_pad,
+    "Gather": _op_gather,
+    "Cast": _op_cast,
+    "CastLike": lambda node, vals: [vals[0].astype(vals[1].dtype)],
+    "Clip": _op_clip,
+    "Constant": _op_constant,
+    "ConstantOfShape": _op_constantofshape,
+    "Expand": _op_expand,
+    "ReduceMean": _op_reduce("mean"),
+    "ReduceSum": _op_reduce("sum"),
+    "ReduceMax": _op_reduce("max"),
+    "ReduceMin": _op_reduce("min"),
+    "ReduceProd": _op_reduce("prod"),
+}
+
+
+# ---------------------------------------------------------------------------
+
+
+def _sanitize(name: str) -> str:
+    return name.replace("/", ".").replace("__", "_")
+
+
+class OnnxProgram:
+    """An ONNX graph compiled to a pure JAX function.
+
+    Attributes:
+        params:       float-initializer pytree ``{sanitized_name: array}``.
+        input_names:  dynamic graph inputs (pinned static inputs excluded).
+        output_names: graph outputs, in graph order.
+
+    ``apply(params, inputs_dict)`` evaluates the graph; wrap it in
+    ``jax.jit`` (the whole graph traces into one XLA program).
+    """
+
+    def __init__(self, graph: Dict, static_inputs: Optional[Dict[str, Any]] = None,
+                 _params: Optional[Dict[str, np.ndarray]] = None):
+        self._static_inputs = {k: np.asarray(v) for k, v in (static_inputs or {}).items()}
+        inits = dict(graph.get("initializers", {}))
+        nodes = self._fold_if(list(graph["nodes"]), inits)
+
+        self._inits_static: Dict[str, np.ndarray] = {}
+        params: Dict[str, np.ndarray] = {}
+        self._param_key: Dict[str, str] = {}
+        for name, arr in inits.items():
+            arr = np.asarray(arr)
+            if arr.dtype in [np.dtype(d) for d in _FLOAT_DTYPES]:
+                key = _sanitize(name) or "_"
+                while key in params:
+                    key += "_"
+                params[key] = arr.astype(np.float32) if arr.dtype != np.float32 else arr
+                self._param_key[name] = key
+            else:
+                self._inits_static[name] = arr
+        self.params = _params if _params is not None else params
+
+        self.nodes = nodes
+        in_names = [i["name"] for i in graph["inputs"] if i["name"] not in inits]
+        self.input_names = [n for n in in_names if n not in self._static_inputs]
+        self.output_names = [o["name"] for o in graph["outputs"]]
+        self._graph_inputs = {i["name"]: i for i in graph["inputs"]}
+
+        # Build-time static pass: evaluate everything derivable from
+        # initializers + pinned inputs (used for If folding above and as the
+        # fallback for shape slots whose producer became a param).
+        self._static = self._eval_static()
+
+    # -- If folding --------------------------------------------------------
+
+    def _fold_if(self, nodes: List[Dict], inits: Dict[str, np.ndarray]) -> List[Dict]:
+        """Splice statically-decidable If branches inline (Silero's sr switch)."""
+        out: List[Dict] = []
+        static: Dict[str, np.ndarray] = dict(self._static_inputs)
+        for name, arr in inits.items():
+            static[name] = np.asarray(arr)
+        changed = True
+        pending = list(nodes)
+        while pending:
+            n = pending.pop(0)
+            if n["op_type"] != "If":
+                out.append(n)
+                # keep the static env current for later If conditions
+                if all(i in static or i == "" for i in n["input"]) and n["op_type"] in _OPS:
+                    try:
+                        vals = [static[i] if i else None for i in n["input"]]
+                        res = _OPS[n["op_type"]](n, vals)
+                        for o_name, v in zip(n["output"], res):
+                            if _is_static(v):
+                                static[o_name] = np.asarray(v)
+                    except Exception:
+                        pass
+                continue
+            cond_name = n["input"][0]
+            if cond_name not in static:
+                raise NotImplementedError(
+                    f"ONNX If node '{n['name']}' has a dynamic condition "
+                    f"'{cond_name}'; pin it via static_inputs.")
+            branch = _attr(node=n, name="then_branch") if bool(np.asarray(static[cond_name]).reshape(-1)[0]) \
+                else _attr(node=n, name="else_branch")
+            sub_inits = branch.get("initializers", {})
+            rename = {}
+            for k, v in sub_inits.items():
+                nk = k if k not in inits else f"{n['name']}.{k}"
+                inits[nk] = v
+                rename[k] = nk
+            sub_outs = [o["name"] for o in branch["outputs"]]
+            out_map = dict(zip(sub_outs, n["output"]))
+            spliced = []
+            for sn in branch["nodes"]:
+                sn = dict(sn)
+                sn["input"] = [rename.get(i, i) for i in sn["input"]]
+                sn["output"] = [out_map.get(rename.get(o, o), rename.get(o, o)) for o in sn["output"]]
+                spliced.append(sn)
+            # If a branch output is a direct passthrough of an outer tensor,
+            # alias it with an Identity node.
+            produced = {o for sn in spliced for o in sn["output"]}
+            for so, oo in out_map.items():
+                if oo not in produced:
+                    spliced.append({"op_type": "Identity", "input": [rename.get(so, so)],
+                                    "output": [oo], "name": f"{n['name']}.alias.{oo}",
+                                    "attributes": {}})
+            pending = spliced + pending
+        return out
+
+    # -- evaluation --------------------------------------------------------
+
+    def _eval_static(self) -> Dict[str, np.ndarray]:
+        env: Dict[str, Any] = dict(self._static_inputs)
+        for name, arr in self._inits_static.items():
+            env[name] = arr
+        for name, key in self._param_key.items():
+            env[name] = np.asarray(self.params[key]) if key in self.params else None
+        for n in self.nodes:
+            if n["op_type"] not in _OPS:
+                continue
+            if not all((i == "") or (i in env and env[i] is not None) for i in n["input"]):
+                continue
+            if n["op_type"] == "Constant":
+                env[n["output"][0]] = np.asarray(_op_constant(n, [])[0])
+                continue
+            try:
+                vals = [env[i] if i else None for i in n["input"]]
+                res = _OPS[n["op_type"]](n, vals)
+            except Exception:
+                continue
+            for o, v in zip(n["output"], res):
+                if _is_static(v):
+                    env[o] = np.asarray(v)
+        return {k: v for k, v in env.items() if v is not None}
+
+    def apply(self, params: Dict, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        """Evaluate the graph. ``inputs`` maps dynamic input names to arrays."""
+        missing = [n for n in self.input_names if n not in inputs]
+        if missing:
+            raise ValueError(f"ONNX program missing inputs: {missing}")
+        env: Dict[str, Any] = {}
+        env.update(self._static_inputs)
+        env.update(self._inits_static)
+        for name, key in self._param_key.items():
+            env[name] = params[key]
+        for name in self.input_names:
+            env[name] = inputs[name]
+
+        for n in self.nodes:
+            t = n["op_type"]
+            impl = _OPS.get(t)
+            if impl is None:
+                raise NotImplementedError(f"ONNX op '{t}' is not supported "
+                                          f"(node '{n['name']}')")
+            vals = []
+            for i in n["input"]:
+                if i == "":
+                    vals.append(None)
+                elif i in env:
+                    vals.append(env[i])
+                elif i in self._static:
+                    vals.append(self._static[i])
+                else:
+                    raise ValueError(f"ONNX program: tensor '{i}' (input of "
+                                     f"'{n['name']}') has no producer")
+            res = impl(n, vals)
+            for o, v in zip(n["output"], res):
+                if o:
+                    env[o] = v
+        return {o: env[o] for o in self.output_names}
+
+    def __call__(self, params: Dict, *args) -> Tuple:
+        """Positional convenience: args align with input_names, outputs with
+        output_names."""
+        out = self.apply(params, dict(zip(self.input_names, args)))
+        return tuple(out[o] for o in self.output_names)
+
+    # -- serialization -----------------------------------------------------
+
+    def to_spec(self) -> Dict:
+        """JSON-safe structural spec (params stored separately)."""
+        def enc_attr(a):
+            out = {}
+            for k in ("i", "f"):
+                if k in a:
+                    out[k] = a[k]
+            if "s" in a:
+                out["s"] = a["s"].decode() if isinstance(a["s"], bytes) else a["s"]
+            for k in ("ints", "floats"):
+                if k in a:
+                    out[k] = list(a[k])
+            if "t" in a:
+                arr = a["t"]["array"]
+                out["t"] = {"dtype": str(arr.dtype), "shape": list(arr.shape),
+                            "data": np.asarray(arr).reshape(-1).tolist()}
+            return out
+
+        nodes = []
+        for n in self.nodes:
+            nodes.append({"op_type": n["op_type"], "name": n["name"],
+                          "input": n["input"], "output": n["output"],
+                          "attributes": {k: enc_attr(a) for k, a in n["attributes"].items()}})
+        return {
+            "nodes": nodes,
+            "input_names": self.input_names,
+            "output_names": self.output_names,
+            "param_key": self._param_key,
+            "static_inputs": {k: {"dtype": str(v.dtype), "shape": list(v.shape),
+                                  "data": v.reshape(-1).tolist()}
+                              for k, v in self._static_inputs.items()},
+            "inits_static": {k: {"dtype": str(v.dtype), "shape": list(v.shape),
+                                 "data": v.reshape(-1).tolist()}
+                             for k, v in self._inits_static.items()},
+        }
+
+    @classmethod
+    def from_spec(cls, spec: Dict, params: Dict) -> "OnnxProgram":
+        def dec_tensor(d):
+            return np.asarray(d["data"], dtype=np.dtype(d["dtype"])).reshape(d["shape"])
+
+        def dec_attr(name, d):
+            out = {"name": name}
+            out.update({k: d[k] for k in ("i", "f", "ints", "floats") if k in d})
+            if "s" in d:
+                out["s"] = d["s"].encode()
+            if "t" in d:
+                out["t"] = {"name": name, "array": dec_tensor(d["t"])}
+            return out
+
+        prog = cls.__new__(cls)
+        prog._static_inputs = {k: dec_tensor(v) for k, v in spec["static_inputs"].items()}
+        prog._inits_static = {k: dec_tensor(v) for k, v in spec["inits_static"].items()}
+        prog._param_key = dict(spec["param_key"])
+        prog.params = {k: jnp.asarray(v) if not isinstance(v, np.ndarray) else v
+                       for k, v in params.items()}
+        prog.nodes = [{"op_type": n["op_type"], "name": n["name"],
+                       "input": list(n["input"]), "output": list(n["output"]),
+                       "attributes": {k: dec_attr(k, a) for k, a in n["attributes"].items()}}
+                      for n in spec["nodes"]]
+        prog.input_names = list(spec["input_names"])
+        prog.output_names = list(spec["output_names"])
+        prog._graph_inputs = {}
+        prog._static = prog._eval_static()
+        return prog
+
+
+def load_program(path: str, static_inputs: Optional[Dict[str, Any]] = None) -> OnnxProgram:
+    """Read an .onnx file and compile it into an OnnxProgram."""
+    return OnnxProgram(op.load_onnx(path)["graph"], static_inputs=static_inputs)

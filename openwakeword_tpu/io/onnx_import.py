@@ -16,8 +16,26 @@ from openwakeword_tpu.io import onnx_proto as op
 from openwakeword_tpu.models import embedding as embedding_model
 
 
+def _all_op_types(graph: Dict):
+    """Op types of a graph including If/Loop subgraphs (Silero nests its
+    per-sample-rate models inside If branches)."""
+    for n in graph["nodes"]:
+        yield n["op_type"]
+        for a in n["attributes"].values():
+            if "g" in a:
+                yield from _all_op_types(a["g"])
+            for sub in a.get("graphs", []):
+                yield from _all_op_types(sub)
+
+
 def _classify(graph: Dict) -> str:
     ins = [i for i in graph["inputs"] if i["name"] not in graph["initializers"]]
+    # VAD: recurrent state carried through the graph I/O (h/c of the Silero
+    # contract, reference vad.py:92-96), or any LSTM in the (sub)graphs.
+    n_state = sum(1 for i in ins
+                  if len(i["shape"]) == 3 and i["shape"][0] == 2 and i["shape"][-1] == 64)
+    if n_state >= 2 or "LSTM" in set(_all_op_types(graph)):
+        return "vad"
     if ins:
         shape = ins[0]["shape"]
         concrete = [d for d in shape if isinstance(d, int)]
@@ -201,6 +219,24 @@ def import_embedding_onnx(path: str, graph: Dict = None) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# VAD (Silero graph: STFT-conv frontend + LSTM decoder + If sample-rate switch)
+# ---------------------------------------------------------------------------
+
+def import_vad_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
+    """Silero-family VAD .onnx -> (params pytree, meta with the compiled
+    program spec). The whole graph is compiled into one XLA program
+    (io.onnx_graph) with sr pinned to 16 kHz; scores match the onnxruntime
+    execution of the same graph (tests/test_onnx_graph.py cross-checks
+    against an independent torch oracle)."""
+    from openwakeword_tpu.models import silero
+    if graph is None:
+        graph = op.load_onnx(path)["graph"]
+    prog = silero.import_onnx(graph)
+    meta = {"kind": "vad", "format": "onnx_program", "spec": prog.program.to_spec()}
+    return prog.params, meta
+
+
+# ---------------------------------------------------------------------------
 
 def import_onnx_model(path: str) -> Tuple[str, Dict, Dict]:
     """Entry point used by io.loaders: (kind, params, meta)."""
@@ -212,6 +248,9 @@ def import_onnx_model(path: str) -> Tuple[str, Dict, Dict]:
         return "head", params, meta
     if kind == "embedding":
         return "embedding", import_embedding_onnx(path, graph), {"kind": "embedding"}
+    if kind == "vad":
+        params, meta = import_vad_onnx(path, graph)
+        return "vad", params, meta
     if kind == "melspectrogram":
         raise ValueError("The melspectrogram frontend is analytic in this framework; "
                          "no import needed (openwakeword_tpu.ops.melspec).")

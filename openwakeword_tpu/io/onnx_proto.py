@@ -124,6 +124,10 @@ def decode_attribute(data) -> Dict:
         out["s"] = bytes(f[4][0])
     if 5 in f:   # tensor t
         out["t"] = decode_tensor(f[5][0])
+    if 6 in f:   # subgraph g (If/Loop branches)
+        out["g"] = decode_graph(f[6][0])
+    if 11 in f:  # repeated subgraphs
+        out["graphs"] = [decode_graph(x) for x in f[11]]
     if 7 in f:   # repeated float floats (packed or repeated)
         vals = []
         for item in f[7]:
@@ -243,9 +247,21 @@ def encode_tensor(name: str, arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+class GraphAttr:
+    """Marker wrapping encoded GraphProto bytes for subgraph attributes
+    (If then/else branches)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+
 def encode_attribute(name: str, value) -> bytes:
     out = bytearray()
     _put_str(out, 1, name)
+    if isinstance(value, GraphAttr):
+        _put_bytes(out, 6, value.data)
+        _put_varint(out, 20, 5)   # type GRAPH
+        return bytes(out)
     if isinstance(value, float):
         _tag(out, 2, 5)
         out.extend(struct.pack("<f", value))
@@ -304,10 +320,9 @@ def encode_value_info(name: str, shape, elem_type: int = TP_FLOAT) -> bytes:
     return bytes(out)
 
 
-def encode_model(nodes: List[bytes], initializers: List[bytes],
+def encode_graph(nodes: List[bytes], initializers: List[bytes],
                  inputs: List[bytes], outputs: List[bytes],
-                 graph_name: str = "openwakeword_tpu", opset: int = 13,
-                 producer: str = "openwakeword_tpu") -> bytes:
+                 graph_name: str = "openwakeword_tpu") -> bytes:
     graph = bytearray()
     for n in nodes:
         _put_bytes(graph, 1, n)
@@ -318,13 +333,19 @@ def encode_model(nodes: List[bytes], initializers: List[bytes],
         _put_bytes(graph, 11, vi)
     for vi in outputs:
         _put_bytes(graph, 12, vi)
+    return bytes(graph)
 
+
+def encode_model(nodes: List[bytes], initializers: List[bytes],
+                 inputs: List[bytes], outputs: List[bytes],
+                 graph_name: str = "openwakeword_tpu", opset: int = 13,
+                 producer: str = "openwakeword_tpu") -> bytes:
     opset_imp = bytearray()
     _put_varint(opset_imp, 2, opset)
 
     model = bytearray()
     _put_varint(model, 1, 8)           # ir_version
     _put_str(model, 2, producer)       # producer_name
-    _put_bytes(model, 7, bytes(graph))
+    _put_bytes(model, 7, encode_graph(nodes, initializers, inputs, outputs, graph_name))
     _put_bytes(model, 8, bytes(opset_imp))
     return bytes(model)

@@ -181,14 +181,14 @@ class MultiStreamEngine:
             embedding_params = _load_embedding_params()
         emb_folded = embedding_model.ensure_folded(embedding_params)
 
-        if self.vad_threshold > 0 and vad_params is None:
-            import os
-            path = registry.VAD_MODELS["silero_vad"]["model_path"]
-            if path and os.path.exists(path):
-                from openwakeword_tpu.io.loaders import load_model_file
-                _, vad_params, _ = load_model_file(path)
-            else:
-                vad_params = vad_net.init_params(jax.random.PRNGKey(7))
+        self._vad_apply = vad_net.apply
+        if self.vad_threshold > 0:
+            if vad_params is None:
+                from openwakeword_tpu.vad import load_vad_apply
+                self._vad_apply, vad_params, _ = load_vad_apply()
+            # an imported Silero program (models.silero) and the trainable
+            # vad_net share the (params, x, h, c) -> (score, h', c') contract,
+            # so the fused step is implementation-agnostic
 
         # stack fused-group params once at init
         for gid, names in self._stacked_groups.items():
@@ -335,6 +335,7 @@ class MultiStreamEngine:
         F = self.max_head_frames
         vad_on = self.vad_threshold > 0
         vad_threshold = self.vad_threshold
+        vad_apply = self._vad_apply
         incremental = self.incremental
         use_pallas = self.use_pallas_melspec
         mel_dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
@@ -463,8 +464,8 @@ class MultiStreamEngine:
                 # the network scores every sample (one LSTM step per STFT frame)
                 h = jnp.swapaxes(state["vad_h"], 0, 1)                         # (2, S, 64)
                 c = jnp.swapaxes(state["vad_c"], 0, 1)
-                s1, h, c = vad_net.apply(params["vad"], chunk[:, 0:640] / 32767.0, h, c)
-                s2, h, c = vad_net.apply(params["vad"], chunk[:, 640:1280] / 32767.0, h, c)
+                s1, h, c = vad_apply(params["vad"], chunk[:, 0:640] / 32767.0, h, c)
+                s2, h, c = vad_apply(params["vad"], chunk[:, 640:1280] / 32767.0, h, c)
                 vad_score = (s1 + s2) / 2.0
                 vad_ring = jnp.concatenate([state["vad_ring"][:, 1:], vad_score[:, None]], axis=-1)
                 gate_window = vad_ring[:, 0:3]                                 # == buffer[-7:-4]

@@ -1,7 +1,16 @@
 """Voice activity detection with the reference's VAD class contract
 (reference openwakeword/vad.py:54-130): stateful 480-sample-frame scoring,
 explicit (2, B, 64) recurrent state across calls, chunked averaging, and a
-125-entry (~10 s) score history used by the Model's VAD gate."""
+125-entry (~10 s) score history used by the Model's VAD gate.
+
+Two interchangeable networks sit behind the same contract:
+
+- an imported Silero VAD graph (``silero_vad.onnx`` or its ``.npz``
+  conversion), compiled into one XLA program (models.silero) — scores match
+  the reference's onnxruntime execution of the same artifact;
+- the trainable native ``models.vad_net`` (openwakeword_tpu.training.vad),
+  used when no Silero artifact is available.
+"""
 
 import logging
 import os
@@ -15,26 +24,40 @@ from openwakeword_tpu import config, registry
 from openwakeword_tpu.models import vad_net
 
 
+def load_vad_apply(model_path: str = "", params=None):
+    """Resolve a VAD checkpoint -> (apply_fn, params, min_samples).
+
+    ``apply_fn(params, x, h, c) -> (score (B,), h', c')`` is the shared
+    calling convention (models.silero / models.vad_net); used by both the
+    single-stream VAD class and the MultiStreamEngine's fused step."""
+    if params is not None:
+        return vad_net.apply, params, vad_net.MIN_SAMPLES
+    path = model_path or registry.VAD_MODELS["silero_vad"]["model_path"]
+    if path and os.path.exists(path):
+        from openwakeword_tpu.io.loaders import load_model_file
+        kind, params, meta = load_model_file(path)
+        if kind not in ("vad", "unknown"):
+            raise ValueError(f"Checkpoint at {path} is a '{kind}' model, expected a VAD model")
+        if meta.get("format") == "onnx_program":
+            from openwakeword_tpu.models import silero
+            prog = silero.from_meta(meta, params)
+            return prog.apply, prog.params, prog.min_samples
+        return vad_net.apply, params, vad_net.MIN_SAMPLES
+    logging.warning(
+        "No VAD checkpoint found at '%s'; using a deterministic random "
+        "initialization. Train or import weights for meaningful VAD scores.", path)
+    return vad_net.apply, vad_net.init_params(jax.random.PRNGKey(7)), vad_net.MIN_SAMPLES
+
+
 class VAD():
     """Stateful voice-activity detector."""
 
     def __init__(self, model_path: str = "", n_threads: int = 1, params=None):
-        """``model_path`` may be a native .npz checkpoint; defaults to the
-        registry's bundled VAD. ``n_threads`` is accepted for API parity."""
-        if params is None:
-            path = model_path or registry.VAD_MODELS["silero_vad"]["model_path"]
-            if path and os.path.exists(path):
-                from openwakeword_tpu.io.loaders import load_model_file
-                kind, params, _ = load_model_file(path)
-                if kind not in ("vad", "unknown"):
-                    raise ValueError(f"Checkpoint at {path} is a '{kind}' model, expected a VAD model")
-            else:
-                logging.warning(
-                    "No VAD checkpoint found at '%s'; using a deterministic random "
-                    "initialization. Train or import weights for meaningful VAD scores.", path)
-                params = vad_net.init_params(jax.random.PRNGKey(7))
-        self.params = params
-        self._step = jax.jit(vad_net.apply)
+        """``model_path`` may be a native .npz checkpoint or a silero_vad
+        .onnx artifact; defaults to the registry's bundled VAD. ``n_threads``
+        is accepted for API parity."""
+        apply_fn, self.params, self._min_samples = load_vad_apply(model_path, params)
+        self._step = jax.jit(apply_fn)
 
         self.prediction_buffer: deque = deque(maxlen=config.VAD_BUFFER_MAX)
         self.sample_rate = np.array(config.SAMPLE_RATE).astype(np.int64)
@@ -54,8 +77,8 @@ class VAD():
         h, c = jnp.asarray(self._h), jnp.asarray(self._c)
         for i in range(0, x.shape[0], frame_size):
             chunk = (x[i:i + frame_size] / 32767).astype(np.float32)
-            if chunk.shape[0] < vad_net.MIN_SAMPLES:
-                chunk = np.pad(chunk, (0, vad_net.MIN_SAMPLES - chunk.shape[0]))
+            if chunk.shape[0] < self._min_samples:
+                chunk = np.pad(chunk, (0, self._min_samples - chunk.shape[0]))
             score, h, c = self._step(self.params, jnp.asarray(chunk[None]), h, c)
             scores.append(float(score[0]))
         self._h, self._c = np.asarray(h), np.asarray(c)

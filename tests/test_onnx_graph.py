@@ -1,0 +1,277 @@
+"""Tests for the ONNX graph -> JAX program compiler (io.onnx_graph) and the
+Silero VAD import path (models.silero, io.onnx_import kind 'vad').
+
+The oracle for the Silero-structured fixture is an independent torch
+implementation (torch.nn.LSTM with ONNX->torch gate reordering, F.conv1d,
+F.batch_norm) run in a subprocess (torch+jax deadlock in one process).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from fixture_builders import build_silero_onnx  # noqa: E402
+
+from openwakeword_tpu.io import onnx_proto as op  # noqa: E402
+from openwakeword_tpu.io.loaders import load_model_file  # noqa: E402
+from openwakeword_tpu.io.onnx_graph import OnnxProgram, load_program  # noqa: E402
+from openwakeword_tpu.models import silero  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def silero_fixture(tmp_path_factory):
+    rng = np.random.default_rng(20)
+    path = str(tmp_path_factory.mktemp("silero") / "silero_vad.onnx")
+    weights = build_silero_onnx(path, rng)
+    return path, weights
+
+
+_ORACLE = textwrap.dedent("""
+    import sys
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    z = np.load(sys.argv[1])
+    x = torch.from_numpy(z["x"])          # (B, T)
+    h = torch.from_numpy(z["h"])          # (2, B, 64)
+    c = torch.from_numpy(z["c"])
+    H = 64
+
+    def conv_block(y, i):
+        y = F.conv1d(y, torch.from_numpy(z[f"enc{i}_w"]), torch.from_numpy(z[f"enc{i}_b"]),
+                     stride=int(z[f"enc{i}_stride"]), padding=1)
+        y = F.batch_norm(y, torch.from_numpy(z[f"enc{i}_m"]), torch.from_numpy(z[f"enc{i}_v"]),
+                         torch.from_numpy(z[f"enc{i}_g"]), torch.from_numpy(z[f"enc{i}_bb"]),
+                         training=False, eps=1e-5)
+        return F.relu(y)
+
+    def run_lstm(xs, i, h0, c0):
+        W = torch.from_numpy(z[f"lstm{i}_W"])[0]   # (4H, I) onnx order iofc
+        R = torch.from_numpy(z[f"lstm{i}_R"])[0]
+        B = torch.from_numpy(z[f"lstm{i}_B"])[0]
+        reorder = lambda M: torch.cat([M[0:H], M[2*H:3*H], M[3*H:4*H], M[H:2*H]], 0)
+        lstm = torch.nn.LSTM(input_size=W.shape[1], hidden_size=H, num_layers=1)
+        with torch.no_grad():
+            lstm.weight_ih_l0.copy_(reorder(W))
+            lstm.weight_hh_l0.copy_(reorder(R))
+            lstm.bias_ih_l0.copy_(reorder(B[:4*H]))
+            lstm.bias_hh_l0.copy_(reorder(B[4*H:]))
+        out, (hn, cn) = lstm(xs, (h0.contiguous(), c0.contiguous()))
+        return out, hn, cn
+
+    with torch.no_grad():
+        y = x.unsqueeze(1)
+        y = F.pad(y, (64, 64), mode="reflect")
+        spec = F.conv1d(y, torch.from_numpy(z["stft_w"]), stride=64)
+        re, im = spec[:, :129], spec[:, 129:]
+        y = torch.sqrt(re * re + im * im)
+        for i in range(4):
+            y = conv_block(y, i)
+        xs = y.permute(2, 0, 1)                       # (T, B, C)
+        out0, hn0, cn0 = run_lstm(xs, 0, h[0:1], c[0:1])
+        out1, hn1, cn1 = run_lstm(out0, 1, h[1:2], c[1:2])
+        ys = F.relu(out1.permute(1, 2, 0))            # (B, 64, T)
+        logit = F.conv1d(ys, torch.from_numpy(z["head_w"]), torch.from_numpy(z["head_b"]))
+        probs = torch.sigmoid(logit)
+        output = probs.mean(dim=2)
+        hn = torch.cat([hn0, hn1], 0)
+        cn = torch.cat([cn0, cn1], 0)
+
+    np.savez(sys.argv[2], output=output.numpy(), hn=hn.numpy(), cn=cn.numpy())
+""")
+
+
+def _torch_oracle(tmp_path, weights, x, h, c):
+    flat = {"x": x, "h": h, "c": c, "stft_w": weights["stft_w"],
+            "head_w": weights["head_w"], "head_b": weights["head_b"]}
+    for i, blk in enumerate(weights["enc"]):
+        for k in ("w", "b", "g", "bb", "m", "v"):
+            flat[f"enc{i}_{k}"] = blk[k]
+        flat[f"enc{i}_stride"] = np.asarray(blk["stride"])
+    for i in range(2):
+        for k in ("W", "R", "B"):
+            flat[f"lstm{i}_{k}"] = weights[f"lstm{i}"][k]
+    in_npz = str(tmp_path / "oracle_in.npz")
+    out_npz = str(tmp_path / "oracle_out.npz")
+    script = str(tmp_path / "oracle.py")
+    np.savez(in_npz, **flat)
+    with open(script, "w") as f:
+        f.write(_ORACLE)
+    env = dict(os.environ, JAX_PLATFORMS="")
+    r = subprocess.run([sys.executable, script, in_npz, out_npz],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, f"torch oracle failed:\n{r.stderr[-2000:]}"
+    with np.load(out_npz) as z:
+        return z["output"], z["hn"], z["cn"]
+
+
+class TestSileroImport:
+    def test_classify_and_roles(self, silero_fixture):
+        path, _ = silero_fixture
+        kind, params, meta = load_model_file(path)
+        assert kind == "vad"
+        assert meta["format"] == "onnx_program"
+        prog = silero.from_meta(meta, params)
+        assert prog._in == ("input", "h", "c")
+        assert prog._out == ("output", "hn", "cn")
+
+    def test_scores_match_torch_oracle(self, silero_fixture, tmp_path):
+        """North-star-style parity: the compiled JAX program reproduces an
+        independent torch execution of the same graph to well under 1e-3."""
+        path, weights = silero_fixture
+        rng = np.random.default_rng(21)
+        x = rng.normal(0, 0.2, (3, 640)).astype(np.float32)
+        h = rng.normal(0, 0.5, (2, 3, 64)).astype(np.float32)
+        c = rng.normal(0, 0.5, (2, 3, 64)).astype(np.float32)
+
+        prog = silero.import_onnx(path)
+        score, hn, cn = jax.jit(prog.apply)(
+            prog.params, jnp.asarray(x), jnp.asarray(h), jnp.asarray(c))
+        exp_out, exp_hn, exp_cn = _torch_oracle(tmp_path, weights, x, h, c)
+        assert np.abs(np.asarray(score) - exp_out[:, 0]).max() < 1e-3
+        assert np.abs(np.asarray(hn) - exp_hn).max() < 1e-3
+        assert np.abs(np.asarray(cn) - exp_cn).max() < 1e-3
+        # and much tighter in practice
+        assert np.abs(np.asarray(score) - exp_out[:, 0]).max() < 1e-5
+
+    def test_state_threading(self, silero_fixture):
+        """The recurrent state must actually advance and influence scores."""
+        path, _ = silero_fixture
+        prog = silero.import_onnx(path)
+        rng = np.random.default_rng(22)
+        x = rng.normal(0, 0.2, (1, 640)).astype(np.float32)
+        z = np.zeros((2, 1, 64), np.float32)
+        fn = jax.jit(prog.apply)
+        s1, h1, c1 = fn(prog.params, x, z, z)
+        assert np.abs(np.asarray(h1)).max() > 0
+        s2, _, _ = fn(prog.params, x, np.asarray(h1), np.asarray(c1))
+        assert abs(float(s1[0]) - float(s2[0])) > 1e-7
+
+    def test_sr_switch_folds(self, silero_fixture):
+        """Pinning sr=8000 must select the else branch (analytically
+        sigmoid(mean(x)) in the fixture)."""
+        path, _ = silero_fixture
+        prog8 = silero.import_onnx(path, static_sr=8000)
+        rng = np.random.default_rng(23)
+        x = rng.normal(0, 0.3, (2, 640)).astype(np.float32)
+        z = np.zeros((2, 2, 64), np.float32)
+        s, hn, cn = jax.jit(prog8.apply)(prog8.params, x, z, z)
+        expect = 1 / (1 + np.exp(-x.mean(axis=1)))
+        np.testing.assert_allclose(np.asarray(s), expect, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hn), z)  # passthrough state
+
+    def test_vad_class_and_npz_round_trip(self, silero_fixture, tmp_path):
+        from openwakeword_tpu.io.checkpoints import save_checkpoint
+        from openwakeword_tpu.vad import VAD
+        path, _ = silero_fixture
+        rng = np.random.default_rng(24)
+        audio = rng.integers(-5000, 5000, 1280).astype(np.int16)
+
+        v1 = VAD(model_path=path)
+        s1 = v1.predict(audio, frame_size=640)
+        kind, params, meta = load_model_file(path)
+        npz = str(tmp_path / "silero_vad.npz")
+        save_checkpoint(npz, kind, params, meta)
+        v2 = VAD(model_path=npz)
+        s2 = v2.predict(audio, frame_size=640)
+        assert abs(s1 - s2) < 1e-6
+        # state carried across predict calls
+        s3 = v2.predict(audio, frame_size=640)
+        assert abs(s2 - s3) > 0 or np.abs(v2._h).max() > 0
+
+    def test_engine_uses_silero_program(self, silero_fixture, monkeypatch):
+        """MultiStreamEngine picks up an imported Silero program through the
+        registry and runs the fused step with its state in StreamState."""
+        from openwakeword_tpu import registry
+        from openwakeword_tpu.parallel.engine import MultiStreamEngine
+        path, _ = silero_fixture
+        monkeypatch.setitem(registry.VAD_MODELS, "silero_vad",
+                            {"model_path": path, "download_url": ""})
+        eng = MultiStreamEngine(wakeword_models=["alexa"], n_streams=4,
+                                vad_threshold=0.3)
+        rng = np.random.default_rng(25)
+        chunk = rng.integers(-8000, 8000, (4, 1280)).astype(np.float32)
+        scores = eng.predict(chunk)
+        assert scores.shape == (4, 1)
+        assert np.abs(np.asarray(eng.state["vad_h"])).max() > 0
+
+
+class TestOnnxProgramGeneral:
+    def test_head_graph_via_program(self, tmp_path):
+        """The generic program executor agrees with the structural head
+        importer + native heads.apply on a torch-style export graph."""
+        from openwakeword_tpu.io.onnx_import import import_head_onnx
+        from openwakeword_tpu.models import heads
+        rng = np.random.default_rng(30)
+        W1 = rng.normal(0, 0.1, (64, 1536)).astype(np.float32)
+        b1 = rng.normal(0, 0.1, 64).astype(np.float32)
+        g1 = rng.normal(1, 0.1, 64).astype(np.float32)
+        be1 = rng.normal(0, 0.1, 64).astype(np.float32)
+        W2 = rng.normal(0, 0.1, (1, 64)).astype(np.float32)
+        b2 = np.zeros(1, np.float32)
+        inits = [op.encode_tensor(n, a) for n, a in [
+            ("W1", W1), ("b1", b1), ("g1", g1), ("be1", be1), ("W2", W2), ("b2", b2),
+            ("eps", np.float32(1e-5).reshape(())), ("two", np.float32(2.0).reshape(())),
+            ("shape", np.asarray([0, 1536], np.int64))]]
+        nodes = [
+            op.encode_node("Reshape", ["input", "shape"], ["flat"]),
+            op.encode_node("Gemm", ["flat", "W1", "b1"], ["fc1"], transB=1),
+            op.encode_node("ReduceMean", ["fc1"], ["mu"], axes=[-1], keepdims=1),
+            op.encode_node("Sub", ["fc1", "mu"], ["cen"]),
+            op.encode_node("Pow", ["cen", "two"], ["sq"]),
+            op.encode_node("ReduceMean", ["sq"], ["var"], axes=[-1], keepdims=1),
+            op.encode_node("Add", ["var", "eps"], ["vareps"]),
+            op.encode_node("Sqrt", ["vareps"], ["std"]),
+            op.encode_node("Div", ["cen", "std"], ["norm"]),
+            op.encode_node("Mul", ["norm", "g1"], ["scaled"]),
+            op.encode_node("Add", ["scaled", "be1"], ["ln1"]),
+            op.encode_node("Relu", ["ln1"], ["r1"]),
+            op.encode_node("Gemm", ["r1", "W2", "b2"], ["logits"], transB=1),
+            op.encode_node("Sigmoid", ["logits"], ["score"]),
+        ]
+        path = str(tmp_path / "head.onnx")
+        with open(path, "wb") as f:
+            f.write(op.encode_model(nodes, inits,
+                                    [op.encode_value_info("input", ["batch", 16, 96])],
+                                    [op.encode_value_info("score", ["batch", 1])]))
+        prog = load_program(path)
+        hp, _ = import_head_onnx(path)
+        x = rng.normal(0, 1, (5, 16, 96)).astype(np.float32)
+        via_prog = np.asarray(jax.jit(
+            lambda p, x: prog.apply(p, {"input": x})["score"])(prog.params, x))
+        via_head = np.asarray(heads.apply(hp, jnp.asarray(x)))
+        np.testing.assert_allclose(via_prog[:, 0], via_head[:, 0], atol=1e-6)
+
+    def test_spec_round_trip(self, silero_fixture):
+        path, _ = silero_fixture
+        prog = silero.import_onnx(path).program
+        spec = prog.to_spec()
+        import json
+        json.dumps(spec)  # must be JSON-safe
+        prog2 = OnnxProgram.from_spec(spec, prog.params)
+        rng = np.random.default_rng(31)
+        x = rng.normal(0, 0.2, (2, 512)).astype(np.float32)
+        z = np.zeros((2, 2, 64), np.float32)
+        o1 = prog.apply(prog.params, {"input": x, "h": z, "c": z})
+        o2 = prog2.apply(prog2.params, {"input": x, "h": z, "c": z})
+        for k in o1:
+            np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o2[k]), atol=1e-7)
+
+    def test_unsupported_op_errors(self, tmp_path):
+        nodes = [op.encode_node("TotallyMadeUpOp", ["x"], ["y"])]
+        path = str(tmp_path / "bad.onnx")
+        with open(path, "wb") as f:
+            f.write(op.encode_model(nodes, [],
+                                    [op.encode_value_info("x", [1, 4])],
+                                    [op.encode_value_info("y", [1, 4])]))
+        prog = load_program(path)
+        with pytest.raises(NotImplementedError, match="TotallyMadeUpOp"):
+            prog.apply(prog.params, {"x": np.zeros((1, 4), np.float32)})
