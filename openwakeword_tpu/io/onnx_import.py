@@ -198,6 +198,12 @@ def import_embedding_onnx(path: str, graph: Dict = None) -> Dict:
             w = np.asarray(inits[n["input"][1]], np.float32)      # OIHW
             convs.append(np.transpose(w, (2, 3, 1, 0)))            # -> HWIO
         elif n["op_type"] == "BatchNormalization":
+            eps = n["attributes"].get("epsilon", {}).get("f", 1e-5)
+            if abs(eps - embedding_model.BN_EPS) > 1e-9:
+                raise ValueError(
+                    f"Embedding graph BatchNormalization epsilon {eps} != the "
+                    f"Keras-export value {embedding_model.BN_EPS} assumed by "
+                    "fold_batchnorm (models/embedding.py)")
             gamma, beta, mean, var = (np.asarray(inits[i], np.float32) for i in n["input"][1:5])
             bns.append({"gamma": gamma, "beta": beta, "mean": mean, "var": var})
 

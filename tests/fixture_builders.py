@@ -12,6 +12,22 @@ two stacked ONNX LSTM nodes (state sliced from / concatenated back to the
 time-mean. Weights are random but the *structure* (op sequence, attribute
 placement, state routing, If nesting) mirrors the released silero_vad.onnx so
 the importer is exercised on the real graph shape.
+
+``build_melspec_onnx`` replicates the torch.onnx.export(opset 12) pattern of
+the torchlibrosa feature extractor the released ``melspectrogram.onnx`` was
+produced from (reference conversion notebook cell 15): real/imag STFT Conv1d
+pair, transpose/unsqueeze to (B,1,T,F), Pow/Add power spectrum, MatMul mel
+projection, and the monkey-patched power_to_db (Clip(amin) -> Log -> Div by
+ln(10) -> Mul 10 -> Sub ref term -> data-dependent ReduceMax/Sub/Max top_db
+floor).
+
+``build_head_onnx`` replicates the torch.onnx.export pattern of the released
+head artifacts: Flatten via Reshape, Gemm(transB=1), decomposed LayerNorm
+(ReduceMean/Sub/Pow/Sqrt/Div/Mul/Add), Sigmoid tail for binary heads or the
+timer's ReLU-logits + Softmax tail.
+
+``build_embedding_onnx`` emits the Conv(OIHW)/BatchNormalization graph form
+of the released embedding artifact from a given native param pytree.
 """
 
 from typing import Dict, List, Tuple
@@ -177,3 +193,224 @@ def build_silero_onnx(path: str, rng: np.random.Generator) -> Dict:
         f.write(op.encode_model(nodes, inits, inputs, outputs,
                                 graph_name="silero_vad", opset=16))
     return weights
+
+
+def build_melspec_onnx(path: str) -> None:
+    """torchlibrosa-pattern melspectrogram graph (true analytic weights, so
+    the compiled program must agree with ops.melspec to float tolerance).
+    Output is the raw dB spectrogram (B,1,T,32) -- the /10+2 affine is applied
+    downstream in Python, exactly as the reference does (utils.py:180)."""
+    from openwakeword_tpu.ops import melspec as ms
+    from openwakeword_tpu import config
+
+    basis = np.asarray(ms.stft_power_basis(), np.float32)     # (512, 2*257)
+    w_real = basis[:, 0::2].T[:, None, :]                     # (257, 1, 512)
+    w_imag = basis[:, 1::2].T[:, None, :]
+    melw = np.asarray(ms.mel_filterbank(), np.float32)        # (257, 32)
+
+    inits = [op.encode_tensor(n, a) for n, a in [
+        ("stft.conv_real.weight", w_real), ("stft.conv_imag.weight", w_imag),
+        ("melW", melw),
+        ("amin", np.float32(config.MEL_AMIN).reshape(())),
+        ("ln10", np.float32(np.log(10.0)).reshape(())),
+        ("ten", np.float32(10.0).reshape(())),
+        ("ref_term", np.float32(0.0).reshape(())),
+        ("top_db", np.float32(config.MEL_TOP_DB).reshape(())),
+        ("ax1", np.asarray([1], np.int64)),
+    ]]
+    nodes = [
+        op.encode_node("Unsqueeze", ["input", "ax1"], ["x3"]),
+        op.encode_node("Conv", ["x3", "stft.conv_real.weight"], ["re"],
+                       strides=[config.HOP_LENGTH], pads=[0, 0]),
+        op.encode_node("Conv", ["x3", "stft.conv_imag.weight"], ["im"],
+                       strides=[config.HOP_LENGTH], pads=[0, 0]),
+        op.encode_node("Transpose", ["re"], ["reT"], perm=[0, 2, 1]),
+        op.encode_node("Transpose", ["im"], ["imT"], perm=[0, 2, 1]),
+        op.encode_node("Unsqueeze", ["reT", "ax1"], ["re4"]),
+        op.encode_node("Unsqueeze", ["imT", "ax1"], ["im4"]),
+        op.encode_node("Mul", ["re4", "re4"], ["re2"]),
+        op.encode_node("Mul", ["im4", "im4"], ["im2"]),
+        op.encode_node("Add", ["re2", "im2"], ["power"]),
+        op.encode_node("MatMul", ["power", "melW"], ["mel"]),
+        op.encode_node("Clip", ["mel", "amin"], ["clipped"]),
+        op.encode_node("Log", ["clipped"], ["ln"]),
+        op.encode_node("Div", ["ln", "ln10"], ["log10"]),
+        op.encode_node("Mul", ["log10", "ten"], ["db_raw"]),
+        op.encode_node("Sub", ["db_raw", "ref_term"], ["db"]),
+        op.encode_node("ReduceMax", ["db"], ["peak"], keepdims=0),
+        op.encode_node("Sub", ["peak", "top_db"], ["floor"]),
+        op.encode_node("Max", ["db", "floor"], ["output"]),
+    ]
+    with open(path, "wb") as f:
+        f.write(op.encode_model(
+            nodes, inits,
+            [op.encode_value_info("input", ["batch_size", "samples"])],
+            [op.encode_value_info("output", ["batch_size", 1, "time", 32])],
+            graph_name="torchlibrosa_melspectrogram", opset=12))
+
+
+def _ln_nodes(nodes, inits, x_name, out_name, gamma, beta, tag):
+    """torch opset-12/13 decomposed LayerNorm."""
+    inits.append(op.encode_tensor(f"{tag}.weight", gamma))
+    inits.append(op.encode_tensor(f"{tag}.bias", beta))
+    inits.append(op.encode_tensor(f"{tag}.eps", np.float32(1e-5).reshape(())))
+    inits.append(op.encode_tensor(f"{tag}.two", np.float32(2.0).reshape(())))
+    nodes += [
+        op.encode_node("ReduceMean", [x_name], [f"{tag}.mu"], axes=[-1], keepdims=1),
+        op.encode_node("Sub", [x_name, f"{tag}.mu"], [f"{tag}.cen"]),
+        op.encode_node("Pow", [f"{tag}.cen", f"{tag}.two"], [f"{tag}.sq"]),
+        op.encode_node("ReduceMean", [f"{tag}.sq"], [f"{tag}.var"], axes=[-1], keepdims=1),
+        op.encode_node("Add", [f"{tag}.var", f"{tag}.eps"], [f"{tag}.vareps"]),
+        op.encode_node("Sqrt", [f"{tag}.vareps"], [f"{tag}.std"]),
+        op.encode_node("Div", [f"{tag}.cen", f"{tag}.std"], [f"{tag}.norm"]),
+        op.encode_node("Mul", [f"{tag}.norm", f"{tag}.weight"], [f"{tag}.scaled"]),
+        op.encode_node("Add", [f"{tag}.scaled", f"{tag}.bias"], [out_name]),
+    ]
+
+
+def build_head_onnx(path: str, rng: np.random.Generator, model_type: str = "dnn",
+                    input_frames: int = 16, n_classes: int = 1,
+                    layer_dim: int = 64, n_blocks: int = 1,
+                    output_name: str = "output") -> Dict:
+    """torch-export-style head graph; returns the native params pytree with
+    the same weights for oracle comparison (models.heads.apply layout)."""
+    n_in = input_frames * 96
+    nodes: List[bytes] = []
+    inits: List[bytes] = []
+    params: Dict = {}
+
+    def linear(x_name, out_name, din, dout, tag, scale=0.1):
+        w = rng.normal(0, scale, (dout, din)).astype(np.float32)   # torch (out,in)
+        b = rng.normal(0, 0.05, dout).astype(np.float32)
+        inits.append(op.encode_tensor(f"{tag}.weight", w))
+        inits.append(op.encode_tensor(f"{tag}.bias", b))
+        nodes.append(op.encode_node("Gemm", [x_name, f"{tag}.weight", f"{tag}.bias"],
+                                    [out_name], transB=1, alpha=1.0, beta=1.0))
+        return {"w": w.T.copy(), "b": b}
+
+    inits.append(op.encode_tensor("flat_shape", np.asarray([0, n_in], np.int64)))
+    nodes.append(op.encode_node("Reshape", ["input", "flat_shape"], ["flat"]))
+
+    if model_type == "dnn":
+        params["layer1"] = linear("flat", "fc1", n_in, layer_dim, "model.0")
+        g = (1 + rng.normal(0, 0.1, layer_dim)).astype(np.float32)
+        b = rng.normal(0, 0.1, layer_dim).astype(np.float32)
+        _ln_nodes(nodes, inits, "fc1", "ln1", g, b, "model.1")
+        params["ln1"] = {"gamma": g, "beta": b}
+        nodes.append(op.encode_node("Relu", ["ln1"], ["act1"]))
+        prev = "act1"
+        for i in range(n_blocks):
+            # reference FCNBlock order: relu(layer_norm(fc(x)))
+            # (reference train.py:56-64)
+            params[f"block{i}_fc"] = linear(prev, f"blk{i}.fc", layer_dim, layer_dim,
+                                            f"model.{3 + i}.0")
+            g = (1 + rng.normal(0, 0.1, layer_dim)).astype(np.float32)
+            b = rng.normal(0, 0.1, layer_dim).astype(np.float32)
+            _ln_nodes(nodes, inits, f"blk{i}.fc", f"blk{i}.ln", g, b, f"model.{3 + i}.2")
+            params[f"block{i}_ln"] = {"gamma": g, "beta": b}
+            nodes.append(op.encode_node("Relu", [f"blk{i}.ln"], [f"blk{i}.relu"]))
+            prev = f"blk{i}.relu"
+        params["out"] = linear(prev, "logits", layer_dim, n_classes, "model.out")
+        nodes.append(op.encode_node("Sigmoid", ["logits"], [output_name]))
+        meta = {"model_type": "dnn", "input_frames": input_frames,
+                "n_classes": n_classes, "layer_dim": layer_dim, "n_blocks": n_blocks}
+    elif model_type == "mlp":
+        params["layer1"] = linear("flat", "fc1", n_in, layer_dim, "model.0")
+        nodes.append(op.encode_node("Relu", ["fc1"], ["act1"]))
+        params["layer2"] = linear("act1", "fc2", layer_dim, layer_dim, "model.2")
+        nodes.append(op.encode_node("Relu", ["fc2"], ["act2"]))
+        params["out"] = linear("act2", "logits", layer_dim, n_classes, "model.4")
+        # the released timer head applies ReLU to the logits before the
+        # export-time softmax wrapper (heads relu_logits meta)
+        nodes.append(op.encode_node("Relu", ["logits"], ["relu_logits"]))
+        nodes.append(op.encode_node("Softmax", ["relu_logits"], [output_name], axis=-1))
+        meta = {"model_type": "mlp", "input_frames": input_frames,
+                "n_classes": n_classes, "layer_dim": layer_dim, "relu_logits": True}
+    else:
+        raise ValueError(model_type)
+
+    with open(path, "wb") as f:
+        f.write(op.encode_model(
+            nodes, inits,
+            [op.encode_value_info("input", ["batch", input_frames, 96])],
+            [op.encode_value_info(output_name, ["batch", n_classes])],
+            graph_name=output_name, opset=13))
+    params["__meta__"] = meta
+    return params
+
+
+def build_embedding_onnx(path: str, params: Dict) -> None:
+    """tf2onnx-style export of the released embedding CNN: NHWC graph input
+    (B,76,32,1), boundary Transposes to/from NCHW, Conv(OIHW, explicit pads),
+    BatchNormalization, the clipped-leaky activation as Mul/Max pairs
+    (conversion notebook cell 18), and MaxPool nodes. Semantically executable
+    end-to-end, from a native (unfolded) param pytree
+    (models.embedding.init_params layout)."""
+    from openwakeword_tpu.models import embedding
+
+    nodes: List[bytes] = []
+    inits: List[bytes] = []
+    inits.append(op.encode_tensor("alpha", np.float32(0.2).reshape(())))
+    inits.append(op.encode_tensor("clip_lo", np.float32(-0.4000000059604645).reshape(())))
+    nodes.append(op.encode_node("Transpose", ["input_1"], ["nchw"], perm=[0, 3, 1, 2]))
+    prev = "nchw"
+    conv_i = bn_i = act_i = 0
+    stem_relu = [False]
+
+    def bn_activation(prev):
+        nonlocal act_i
+        nodes.append(op.encode_node("Mul", [prev, "alpha"], [f"act{act_i}.scaled"]))
+        nodes.append(op.encode_node("Max", [f"act{act_i}.scaled", prev], [f"act{act_i}.leak"]))
+        nodes.append(op.encode_node("Max", [f"act{act_i}.leak", "clip_lo"], [f"act{act_i}"]))
+        out = f"act{act_i}"
+        act_i += 1
+        return out
+
+    for layer in embedding.spec():
+        if layer[0] == "pad":
+            ph, pw = layer[1]
+            inits.append(op.encode_tensor(
+                "stem_pads", np.asarray([0, 0, ph, pw, 0, 0, ph, pw], np.int64)))
+            nodes.append(op.encode_node("Pad", [prev, "stem_pads"], ["padded"],
+                                        mode="constant"))
+            prev = "padded"
+        elif layer[0] == "conv":
+            _, out_ch, (kh, kw), padding, act = layer
+            w = np.transpose(np.asarray(params[f"conv_{conv_i}"]["w"], np.float32),
+                             (3, 2, 0, 1))                     # HWIO -> OIHW
+            inits.append(op.encode_tensor(f"conv{conv_i}.weight", w))
+            pads = [0, 0, 0, 0] if padding == "VALID" else \
+                [(kh - 1) // 2, (kw - 1) // 2, kh // 2, kw // 2]
+            nodes.append(op.encode_node("Conv", [prev, f"conv{conv_i}.weight"],
+                                        [f"conv{conv_i}"], kernel_shape=[kh, kw],
+                                        strides=[1, 1], pads=pads))
+            prev = f"conv{conv_i}"
+            if act == "relu":
+                nodes.append(op.encode_node("Relu", [prev], [f"conv{conv_i}.relu"]))
+                prev = f"conv{conv_i}.relu"
+            conv_i += 1
+        elif layer[0] == "bnact":
+            bn = params[f"bn_{bn_i}"]
+            for nm, arr in [("gamma", bn["gamma"]), ("beta", bn["beta"]),
+                            ("mean", bn["mean"]), ("var", bn["var"])]:
+                inits.append(op.encode_tensor(f"bn{bn_i}.{nm}", np.asarray(arr, np.float32)))
+            nodes.append(op.encode_node(
+                "BatchNormalization",
+                [prev, f"bn{bn_i}.gamma", f"bn{bn_i}.beta", f"bn{bn_i}.mean", f"bn{bn_i}.var"],
+                [f"bn{bn_i}"], epsilon=float(embedding.BN_EPS)))  # Keras default
+            prev = bn_activation(f"bn{bn_i}")
+            bn_i += 1
+        elif layer[0] == "pool":
+            _, ksize, strides, padding = layer
+            attrs = dict(kernel_shape=list(ksize), strides=list(strides))
+            if padding == "SAME":
+                attrs["auto_pad"] = "SAME_UPPER"
+            nodes.append(op.encode_node("MaxPool", [prev], [f"pool{conv_i}_{bn_i}"], **attrs))
+            prev = f"pool{conv_i}_{bn_i}"
+    nodes.append(op.encode_node("Transpose", [prev], ["output"], perm=[0, 2, 3, 1]))
+    with open(path, "wb") as f:
+        f.write(op.encode_model(
+            nodes, inits,
+            [op.encode_value_info("input_1", ["batch", 76, 32, 1])],
+            [op.encode_value_info("output", ["batch", 1, 1, 96])],
+            graph_name="embedding_model", opset=13))

@@ -139,7 +139,8 @@ class TestOnnxEmbedding:
                 out = f"bn{bn_i}"
                 nodes.append(op.encode_node(
                     "BatchNormalization",
-                    [prev, f"bn{bn_i}g", f"bn{bn_i}b", f"bn{bn_i}m", f"bn{bn_i}v"], [out]))
+                    [prev, f"bn{bn_i}g", f"bn{bn_i}b", f"bn{bn_i}m", f"bn{bn_i}v"], [out],
+                    epsilon=float(embedding.BN_EPS)))
                 prev = out
                 bn_i += 1
         path = str(tmp_path / "emb.onnx")
