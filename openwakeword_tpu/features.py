@@ -135,12 +135,13 @@ class AudioFeatures():
         self._melspec_fn = _melspec_jit
 
         # Streaming state (host mirrors; all FLOPs happen on device)
+        from openwakeword_tpu.streaming import ChunkAccumulator
         self.raw_data_buffer = np.zeros(0, dtype=np.int16)   # <= 10 s of PCM
         self.raw_data_buffer_max = sr * 10
         self.melspectrogram_buffer = np.ones((76, 32), dtype=np.float32)
         self.melspectrogram_max_len = config.MEL_BUFFER_MAX_FRAMES
-        self.accumulated_samples = 0
-        self.raw_data_remainder = np.empty(0, dtype=np.int16)
+        self._accumulator = ChunkAccumulator()
+        self._last_push_processed = False
         self.feature_buffer = self._get_embeddings(self._seed_noise())
         self.feature_buffer_max_len = config.FEATURE_BUFFER_MAX
 
@@ -252,91 +253,80 @@ class AudioFeatures():
     # ------------------------------------------------------------------
 
     def reset(self):
-        """Reset the internal buffers (reference utils.py:172-178)."""
+        """Reset the internal buffers (reference utils.py:172-178 contract)."""
         self.raw_data_buffer = np.zeros(0, dtype=np.int16)
         self.melspectrogram_buffer = np.ones((76, 32), dtype=np.float32)
-        self.accumulated_samples = 0
-        self.raw_data_remainder = np.empty(0, dtype=np.int16)
+        self._accumulator.reset()
+        self._last_push_processed = False
         self.feature_buffer = self._get_embeddings(self._seed_noise())
 
-    def _buffer_raw_data(self, x):
-        x = np.asarray(x, dtype=np.int16)
-        self.raw_data_buffer = np.concatenate([self.raw_data_buffer, x])[-self.raw_data_buffer_max:]
+    # Introspection mirrors of the reference's accumulation attributes
+    # (utils.py:167-168): after a processing call the leftover tail is the
+    # "remainder"; between processing calls it is the accumulated count.
+    @property
+    def raw_data_remainder(self) -> np.ndarray:
+        return self._accumulator._pending if self._last_push_processed \
+            else np.empty(0, dtype=np.int16)
 
-    def _streaming_melspectrogram(self, n_samples):
-        """Mel frames for the newest n_samples, recomputing a 480-sample
-        (3-hop) look-back so streaming matches whole-clip output
-        (reference utils.py:387-401). The top_db clamp scope is the whole
-        per-call window, exactly like the frozen graph saw it."""
-        if len(self.raw_data_buffer) < 400:
-            raise ValueError("The number of input frames must be at least 400 samples @ 16khz (25 ms)!")
-        window = self.raw_data_buffer[-n_samples - config.MEL_LOOKBACK_SAMPLES:]
-        new = np.atleast_2d(self._get_melspectrogram(window))
-        self.melspectrogram_buffer = np.vstack((self.melspectrogram_buffer, new))
-        if self.melspectrogram_buffer.shape[0] > self.melspectrogram_max_len:
-            self.melspectrogram_buffer = self.melspectrogram_buffer[-self.melspectrogram_max_len:, :]
+    @property
+    def accumulated_samples(self) -> int:
+        return 0 if self._last_push_processed else self._accumulator.pending
 
     def _streaming_features(self, x) -> int:
-        """Accumulate PCM into 1280-sample chunks; when ready, compute mel
-        frames once for the whole accumulation and one embedding per 80 ms
-        sub-chunk (all sub-chunk windows batched into a single device call).
-        Returns the number of samples processed this call (reference
-        utils.py:409-452 contract)."""
-        processed_samples = 0
-        x = np.asarray(x, dtype=np.int16).reshape(-1)
+        """Advance the streaming state with a PCM packet of any size.
 
-        if self.raw_data_remainder.shape[0] != 0:
-            x = np.concatenate((self.raw_data_remainder, x))
-            self.raw_data_remainder = np.empty(0, dtype=np.int16)
+        Packets coalesce into whole 80 ms frames (streaming.ChunkAccumulator);
+        each completed batch of frames triggers one device dispatch computing
+        all new mel frames (with the 3-hop look-back that keeps streaming
+        equal to whole-clip output) and all new embeddings at once. Returns
+        the processed-sample count, or the waiting count when no frame
+        completed (the Model's score-recycling signal)."""
+        ready = self._accumulator.push(x)
+        self._last_push_processed = ready is not None
+        if ready is None:
+            return self._accumulator.pending
 
-        if self.accumulated_samples + x.shape[0] >= config.CHUNK_SAMPLES:
-            remainder = (self.accumulated_samples + x.shape[0]) % config.CHUNK_SAMPLES
-            if remainder != 0:
-                x_even_chunks = x[0:-remainder]
-                self._buffer_raw_data(x_even_chunks)
-                self.accumulated_samples += len(x_even_chunks)
-                self.raw_data_remainder = x[-remainder:]
-            else:
-                self._buffer_raw_data(x)
-                self.accumulated_samples += x.shape[0]
-        else:
-            self.accumulated_samples += x.shape[0]
-            self._buffer_raw_data(x)
+        # Keep up to 10 s of raw PCM for mel look-back and introspection.
+        self.raw_data_buffer = np.concatenate(
+            [self.raw_data_buffer, ready])[-self.raw_data_buffer_max:]
 
-        if self.accumulated_samples >= config.CHUNK_SAMPLES \
-           and self.accumulated_samples % config.CHUNK_SAMPLES == 0:
-            self._streaming_melspectrogram(self.accumulated_samples)
+        # New mel frames: recompute over the ready samples plus 480 samples
+        # of look-back context so frame boundaries match the whole-clip STFT.
+        # The data-dependent top_db clamp scope is this per-dispatch window,
+        # the same scope the reference's per-call graph invocation saw.
+        n_ready = int(ready.shape[0])
+        mel_window = self.raw_data_buffer[-(n_ready + config.MEL_LOOKBACK_SAMPLES):]
+        new_mel = np.atleast_2d(self._get_melspectrogram(mel_window))
+        self.melspectrogram_buffer = np.vstack(
+            [self.melspectrogram_buffer, new_mel])[-self.melspectrogram_max_len:]
 
-            # One 76-frame window per 80 ms sub-chunk, oldest first
-            # (reference utils.py:437-443), batched into a single device call.
-            n_chunks = self.accumulated_samples // config.CHUNK_SAMPLES
-            buf_len = len(self.melspectrogram_buffer)
-            windows = []
-            for i in range(n_chunks - 1, -1, -1):
-                end = buf_len - 8 * i
-                if end - 76 >= 0:
-                    windows.append(self.melspectrogram_buffer[end - 76:end])
-            if windows:
-                batch = np.stack(windows).astype(np.float32)
-                emb = np.asarray(self._embed_fn(self._embedding_params, jnp.asarray(batch)))
-                self.feature_buffer = np.vstack((self.feature_buffer,
-                                                 emb.reshape(len(windows), config.EMB_DIM)))
-
-            processed_samples = self.accumulated_samples
-            self.accumulated_samples = 0
-
-        if self.feature_buffer.shape[0] > self.feature_buffer_max_len:
-            self.feature_buffer = self.feature_buffer[-self.feature_buffer_max_len:, :]
-
-        return processed_samples if processed_samples != 0 else self.accumulated_samples
+        # One 76-frame embedding window per completed 80 ms frame (oldest
+        # first), batched into a single device call.
+        n_frames = n_ready // config.CHUNK_SAMPLES
+        mel_len = self.melspectrogram_buffer.shape[0]
+        ends = mel_len - config.EMB_STEP_FRAMES * np.arange(n_frames)[::-1]
+        spans = [(e - config.EMB_WINDOW_FRAMES, e) for e in ends
+                 if e >= config.EMB_WINDOW_FRAMES]
+        if spans:
+            batch = np.stack([self.melspectrogram_buffer[s:e] for s, e in spans])
+            emb = np.asarray(self._embed_fn(self._embedding_params,
+                                            jnp.asarray(batch.astype(np.float32))))
+            self.feature_buffer = np.vstack(
+                [self.feature_buffer, emb.reshape(len(spans), config.EMB_DIM)]
+            )[-self.feature_buffer_max_len:]
+        return n_ready
 
     def get_features(self, n_feature_frames: int = 16, start_ndx: int = -1) -> np.ndarray:
-        """Last-N (or indexed) feature window, shaped (1, N, 96) float32."""
-        if start_ndx != -1:
-            end_ndx = start_ndx + int(n_feature_frames) \
-                if start_ndx + n_feature_frames != 0 else len(self.feature_buffer)
-            return self.feature_buffer[start_ndx:end_ndx, :][None, ].astype(np.float32)
-        return self.feature_buffer[int(-1 * n_feature_frames):, :][None, ].astype(np.float32)
+        """Feature window as (1, n_feature_frames, 96) float32: the newest
+        frames by default, or an absolute slice via ``start_ndx`` (negative
+        indices address from the buffer end, as the sub-frame scoring path
+        uses)."""
+        if start_ndx == -1:
+            window = self.feature_buffer[-int(n_feature_frames):]
+        else:
+            stop = start_ndx + int(n_feature_frames)
+            window = self.feature_buffer[start_ndx:(stop if stop != 0 else None)]
+        return window[None].astype(np.float32)
 
     def __call__(self, x) -> int:
         return self._streaming_features(x)

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from openwakeword_tpu import config, registry
+from openwakeword_tpu import config, gating, registry
 from openwakeword_tpu.features import AudioFeatures
 from openwakeword_tpu.models import heads as heads_lib
 from openwakeword_tpu.utils.args import re_arg
@@ -109,13 +109,25 @@ class Model():
                     self.custom_verifier_models[mdl_name] = pickle.load(
                         open(custom_verifier_models[mdl_name], 'rb'))
 
-        if len(self.custom_verifier_models.keys()) < len(custom_verifier_models.keys()):
+        if len(self.custom_verifier_models) < len(custom_verifier_models):
+            unmatched = sorted(set(custom_verifier_models) - set(self.models))
             raise ValueError(
-                "Custom verifier models were provided, but some were not matched with a base model!"
-                " Make sure that the keys provided in the `custom_verifier_models` dictionary argument"
-                " exactly match that of the `.models` attribute of an instantiated openWakeWord Model object"
-                " that has the same base models but doesn't have custom verifier models."
-            )
+                f"custom_verifier_models keys {unmatched} do not name any loaded "
+                f"base model (loaded: {sorted(self.models)}); key every verifier "
+                "by its base model's name")
+
+        # Ordered output-label vector + label->parent map, used to run the
+        # shared vectorized gating (gating.py) over all labels at once.
+        self._labels: List[str] = []
+        self._label_parent: Dict[str, str] = {}
+        for mdl_name in self.models:
+            self._label_parent[mdl_name] = mdl_name
+            if self.model_outputs[mdl_name] == 1:
+                self._labels.append(mdl_name)
+            else:
+                for cls in self.class_mapping[mdl_name].values():
+                    self._labels.append(cls)
+                    self._label_parent[cls] = mdl_name
 
         # Per-label score history for warm-up / patience / debounce
         self.prediction_buffer: DefaultDict[str, deque] = defaultdict(partial(deque, maxlen=config.PREDICTION_BUFFER_MAX))
@@ -165,14 +177,8 @@ class Model():
         return params, {}
 
     def get_parent_model_from_label(self, label):
-        """Gets the parent model associated with a given prediction label."""
-        parent_model = ""
-        for mdl in self.class_mapping.keys():
-            if label in self.class_mapping[mdl].values():
-                parent_model = mdl
-            elif label in self.class_mapping.keys() and label == mdl:
-                parent_model = mdl
-        return parent_model
+        """Parent model name for a prediction label ("" if unknown)."""
+        return self._label_parent.get(label, "")
 
     def reset(self):
         """Reset the prediction and audio feature buffers."""
@@ -192,153 +198,161 @@ class Model():
         debounce; VAD gate over scores 0.4-0.56 s back.
         """
         if not isinstance(x, np.ndarray):
-            raise ValueError(f"The input audio data (x) must by a Numpy array, instead received an object of type {type(x)}.")
+            raise ValueError(f"predict expects int16 PCM as a numpy array; got {type(x)}")
 
-        if timing:
-            timing_dict: Dict[str, Dict] = {"models": {}}
-            feature_start = time.time()
+        timing_dict: Dict[str, Dict] = {"models": {}}
+        t0 = time.time()
+        pcm = self.speex_ns.process_frames(x) if self.speex_ns else x
+        n_prepared = self.preprocessor(pcm)
+        timing_dict["models"]["preprocessor"] = time.time() - t0
 
-        if self.speex_ns:
-            n_prepared_samples = self.preprocessor(self.speex_ns.process_frames(x))
-        else:
-            n_prepared_samples = self.preprocessor(x)
+        scores = self._score_heads(n_prepared, timing_dict["models"])
+        scores = self._apply_verifiers(scores)
+        scores = self._postprocess(scores, n_prepared, patience, threshold, debounce_time)
 
-        if timing:
-            timing_dict["models"]["preprocessor"] = time.time() - feature_start
-
-        predictions = {}
-        for mdl in self.models.keys():
-            if timing:
-                model_start = time.time()
-
-            n_in = self.model_inputs[mdl]
-            if n_prepared_samples > config.CHUNK_SAMPLES:
-                # One window per processed 80 ms sub-frame, batched
-                n_sub = n_prepared_samples // config.CHUNK_SAMPLES
-                windows = [self.preprocessor.get_features(n_in, start_ndx=-n_in - i)[0]
-                           for i in range(n_sub - 1, -1, -1)]
-                group = self.model_prediction_function[mdl](np.stack(windows))
-                prediction = group.max(axis=0)[None, ]
-            elif n_prepared_samples == config.CHUNK_SAMPLES:
-                prediction = self.model_prediction_function[mdl](
-                    self.preprocessor.get_features(n_in))
-            else:  # not enough new samples; recycle previous score
-                if self.model_outputs[mdl] == 1:
-                    score = self.prediction_buffer[mdl][-1] if len(self.prediction_buffer[mdl]) > 0 else 0
-                    prediction = np.array([[score]], dtype=np.float32)
-                else:
-                    n_classes = max([int(i) for i in self.class_mapping[mdl].keys()])
-                    prediction = np.zeros((1, n_classes + 1), dtype=np.float32)
-
-            if self.model_outputs[mdl] == 1:
-                predictions[mdl] = float(prediction[0][0])
-            else:
-                for int_label, cls in self.class_mapping[mdl].items():
-                    predictions[cls] = float(prediction[0][int(int_label)])
-
-            # Custom verifier override (reference model.py:319-328)
-            if self.custom_verifier_models != {}:
-                for cls in predictions.keys():
-                    if predictions[cls] >= self.custom_verifier_threshold:
-                        parent_model = self.get_parent_model_from_label(cls)
-                        if self.custom_verifier_models.get(parent_model, False):
-                            verifier_prediction = self.custom_verifier_models[parent_model].predict_proba(
-                                self.preprocessor.get_features(self.model_inputs[mdl])
-                            )[0][-1]
-                            predictions[cls] = verifier_prediction
-
-            # Warm-up: zero scores for the first 5 calls
-            for cls in predictions.keys():
-                if len(self.prediction_buffer[cls]) < config.WARMUP_FRAMES:
-                    predictions[cls] = 0.0
-
-            if timing:
-                timing_dict["models"][mdl] = time.time() - model_start
-
-        # Patience XOR debounce filtering (reference model.py:339-359)
-        if patience != {} or debounce_time > 0:
-            if threshold == {}:
-                raise ValueError("Error! When using the `patience` argument, threshold "
-                                 "values must be provided via the `threshold` argument!")
-            if patience != {} and debounce_time > 0:
-                raise ValueError("Error! The `patience` and `debounce_time` arguments cannot be used together!")
-            for mdl in predictions.keys():
-                parent_model = self.get_parent_model_from_label(mdl)
-                if predictions[mdl] != 0.0:
-                    if parent_model in patience.keys():
-                        scores = np.array(self.prediction_buffer[mdl])[-patience[parent_model]:]
-                        if (scores >= threshold[parent_model]).sum() < patience[parent_model]:
-                            predictions[mdl] = 0.0
-                    elif debounce_time > 0:
-                        if parent_model in threshold.keys():
-                            n_frames = int(np.ceil(debounce_time / (n_prepared_samples / self.preprocessor.sr)))
-                            recent_predictions = np.array(self.prediction_buffer[mdl])[-n_frames:]
-                            if predictions[mdl] >= threshold[parent_model] and \
-                               (recent_predictions >= threshold[parent_model]).sum() > 0:
-                                predictions[mdl] = 0.0
-
-        for mdl in predictions.keys():
-            self.prediction_buffer[mdl].append(predictions[mdl])
-
-        # VAD gate (reference model.py:365-381)
         if self.vad_threshold > 0:
-            if timing:
-                vad_start = time.time()
+            t0 = time.time()
             self.vad(x)
-            if timing:
-                timing_dict["models"]["vad"] = time.time() - vad_start
+            timing_dict["models"]["vad"] = time.time() - t0
+            gate = np.asarray(list(self.vad.prediction_buffer)
+                              [config.VAD_GATE_LO:config.VAD_GATE_HI], dtype=np.float32)
+            if gate.size == 0:
+                gate = np.array([-1.0], dtype=np.float32)   # unfilled sentinel
+            scores = gating.vad_gate(np, scores, gate, self.vad_threshold)
 
-            vad_frames = list(self.vad.prediction_buffer)[config.VAD_GATE_LO:config.VAD_GATE_HI]
-            vad_max_score = np.max(vad_frames) if len(vad_frames) > 0 else 0
-            if vad_max_score < self.vad_threshold:
-                for mdl in predictions.keys():
-                    predictions[mdl] = 0.0
+        predictions = {lbl: float(s) for lbl, s in zip(self._labels, scores)}
+        return (predictions, timing_dict) if timing else predictions
 
-        if timing:
-            return predictions, timing_dict
-        return predictions
+    def _score_heads(self, n_prepared: int, model_timing: Dict) -> np.ndarray:
+        """Raw per-label scores for this call, ordered as self._labels.
+
+        Sub-frame semantics per the reference hot path: more than one frame
+        prepared -> max over all sub-frame windows (batched into one device
+        call per head); exactly one -> score the newest window; none -> binary
+        labels recycle their previous score, multiclass labels read zero."""
+        out = np.zeros(len(self._labels), dtype=np.float32)
+        cursor = 0
+        n_sub = n_prepared // config.CHUNK_SAMPLES
+        for mdl, params in self.models.items():
+            t0 = time.time()
+            n_in = self.model_inputs[mdl]
+            width = 1 if self.model_outputs[mdl] == 1 else len(self.class_mapping[mdl])
+            if n_sub >= 1:
+                windows = np.concatenate(
+                    [self.preprocessor.get_features(n_in, start_ndx=-n_in - i)
+                     for i in range(n_sub - 1, -1, -1)])
+                group = self.model_prediction_function[mdl](windows)  # (n_sub, C)
+                row = group.max(axis=0)
+            elif self.model_outputs[mdl] == 1:
+                hist = self.prediction_buffer[mdl]
+                row = np.array([hist[-1] if hist else 0.0], dtype=np.float32)
+            else:
+                row = np.zeros(self.model_outputs[mdl], dtype=np.float32)
+            if self.model_outputs[mdl] == 1:
+                out[cursor] = row[0]
+            else:
+                cols = [int(i) for i in self.class_mapping[mdl].keys()]
+                out[cursor:cursor + width] = row[cols]
+            cursor += width
+            model_timing[mdl] = time.time() - t0
+        return out
+
+    def _apply_verifiers(self, scores: np.ndarray) -> np.ndarray:
+        """Second-stage speaker verification: labels at or above the verifier
+        threshold are re-scored by their parent model's sklearn pipeline on
+        the same feature window (reference model.py:319-328 contract)."""
+        if not self.custom_verifier_models:
+            return scores
+        scores = scores.copy()
+        for i, lbl in enumerate(self._labels):
+            if scores[i] < self.custom_verifier_threshold:
+                continue
+            parent = self.get_parent_model_from_label(lbl)
+            verifier = self.custom_verifier_models.get(parent)
+            if verifier is not None:
+                window = self.preprocessor.get_features(self.model_inputs[parent])
+                scores[i] = verifier.predict_proba(window)[0][-1]
+        return scores
+
+    def _postprocess(self, scores: np.ndarray, n_prepared: int,
+                     patience: dict, threshold: dict, debounce_time: float) -> np.ndarray:
+        """Warm-up + patience/debounce via the shared vectorized gating
+        (gating.py — the MultiStreamEngine compiles the same functions), then
+        push the filtered scores into the per-label history."""
+        L = len(self._labels)
+        hist_len = np.array([len(self.prediction_buffer[lbl]) for lbl in self._labels])
+        scores = gating.warmup_zero(np, scores, hist_len)
+
+        use_patience, use_debounce = gating.validate_gating_args(
+            patience, threshold, debounce_time)
+        if use_patience or use_debounce:
+            h = config.PREDICTION_BUFFER_MAX
+            history = np.zeros((L, h), dtype=np.float32)
+            for i, lbl in enumerate(self._labels):
+                past = np.fromiter(self.prediction_buffer[lbl], dtype=np.float32)
+                if past.size:
+                    history[i, -past.size:] = past
+            parents = [self.get_parent_model_from_label(lbl) for lbl in self._labels]
+            threshold_vec = np.array([threshold.get(p, np.inf) for p in parents],
+                                     dtype=np.float32)
+            if use_patience:
+                patience_vec = np.array([patience.get(p, 0) for p in parents])
+                scores = gating.patience_filter(np, scores, history,
+                                                patience_vec, threshold_vec)
+            else:
+                frame_seconds = max(n_prepared, 1) / self.preprocessor.sr
+                n_frames = int(np.ceil(debounce_time / frame_seconds))
+                active = np.array([p in threshold for p in parents])
+                scores = gating.debounce_filter(np, scores, history, threshold_vec,
+                                                min(n_frames, h), active)
+
+        for lbl, s in zip(self._labels, scores):
+            self.prediction_buffer[lbl].append(float(s))
+        return scores
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _read_pcm(clip: Union[str, np.ndarray]) -> np.ndarray:
+        """WAV path or array -> int16 PCM."""
+        if not isinstance(clip, str):
+            return clip
+        with wave.open(clip, mode='rb') as f:
+            return np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+
+    def _stream_chunks(self, data: np.ndarray, chunk_size: int = config.CHUNK_SAMPLES,
+                       **kwargs):
+        """Yield (sample_offset, predictions) streaming over a PCM array."""
+        for i in range(0, data.shape[0] - chunk_size, chunk_size):
+            yield i, self.predict(data[i:i + chunk_size], **kwargs)
 
     def predict_clip(self, clip: Union[str, np.ndarray], padding: int = 1,
                      chunk_size: int = 1280, **kwargs):
         """Streaming prediction over a whole 16-bit 16 kHz WAV clip/array,
         padded with ``padding`` seconds of silence on both sides."""
-        if isinstance(clip, str):
-            with wave.open(clip, mode='rb') as f:
-                data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
-        else:
-            data = clip
-
+        data = self._read_pcm(clip)
         if padding:
             z = np.zeros(self.preprocessor.sr * padding, dtype=np.int16)
             data = np.concatenate((z, data, z))
-
-        predictions = []
-        for i in range(0, data.shape[0] - chunk_size, chunk_size):
-            predictions.append(self.predict(data[i:i + chunk_size], **kwargs))
-        return predictions
+        return [p for _, p in self._stream_chunks(data, chunk_size, **kwargs)]
 
     def _get_positive_prediction_frames(self, file: str, threshold: float = 0.5,
                                         return_type: str = "features", **kwargs):
         """Harvest feature windows (or 4 s audio context) wherever any label
         scores >= threshold. Useful for false-positive mining."""
-        with wave.open(file, mode='rb') as f:
-            data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
-
-        positive_data = defaultdict(list)
-        step_size = config.CHUNK_SAMPLES
-        for i in range(0, data.shape[0] - step_size, step_size):
-            predictions = self.predict(data[i:i + step_size], **kwargs)
-            for lbl in predictions.keys():
-                if predictions[lbl] >= threshold:
-                    mdl = self.get_parent_model_from_label(lbl)
-                    features = self.preprocessor.get_features(self.model_inputs[mdl])
-                    if return_type == 'features':
-                        positive_data[lbl].append(features)
-                    if return_type == 'audio':
-                        context = data[max(0, i - self.preprocessor.sr * 3):i + self.preprocessor.sr]
-                        if len(context) == self.preprocessor.sr * 4:
-                            positive_data[lbl].append(context)
-
-        return {lbl: np.vstack(v) for lbl, v in positive_data.items()}
+        data = self._read_pcm(file)
+        sr = self.preprocessor.sr
+        harvested = defaultdict(list)
+        for offset, predictions in self._stream_chunks(data, **kwargs):
+            for lbl, score in predictions.items():
+                if score < threshold:
+                    continue
+                if return_type == "features":
+                    parent = self.get_parent_model_from_label(lbl)
+                    harvested[lbl].append(
+                        self.preprocessor.get_features(self.model_inputs[parent]))
+                elif return_type == "audio":
+                    context = data[max(0, offset - sr * 3):offset + sr]
+                    if context.shape[0] == sr * 4:
+                        harvested[lbl].append(context)
+        return {lbl: np.vstack(v) for lbl, v in harvested.items()}

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from openwakeword_tpu import config, registry
+from openwakeword_tpu import config, gating, registry
 from openwakeword_tpu.models import embedding as embedding_model
 from openwakeword_tpu.models import embedding_stream
 from openwakeword_tpu.models import heads as heads_lib
@@ -79,10 +79,7 @@ class MultiStreamEngine:
                  incremental: bool = True,
                  use_pallas_melspec: Optional[bool] = None,
                  precision: str = "high"):
-        if patience and debounce_time > 0:
-            raise ValueError("The `patience` and `debounce_time` arguments cannot be used together!")
-        if (patience or debounce_time > 0) and not threshold:
-            raise ValueError("When using `patience` or `debounce_time`, `threshold` must be provided!")
+        gating.validate_gating_args(patience, threshold, debounce_time)
 
         self.n_streams = int(n_streams)
         self.vad_threshold = float(vad_threshold)
@@ -174,6 +171,13 @@ class MultiStreamEngine:
                 self._patience_vec[start:end] = patience[name]
         self._use_patience = bool(patience)
         self._use_debounce = debounce_time > 0
+        # per-label recycle vector for masked (packetized) stepping: binary
+        # labels recycle their previous score when a stream has no complete
+        # frame; multiclass labels read zero (reference model.py:303-311)
+        self._recycle_mask = np.zeros(n_labels, dtype=np.float32)
+        for start, end, name, n_cls, mapping in label_head_slices:
+            if n_cls == 1:
+                self._recycle_mask[start:end] = 1.0
 
         # ---- shared frontend params ----
         if embedding_params is None:
@@ -248,7 +252,8 @@ class MultiStreamEngine:
             "mel_ring": jnp.ones((S, MEL_RING, config.N_MELS), jnp.float32),
             "feat_ring": feat_ring,
             "score_hist": jnp.zeros((S, len(self.labels), config.PREDICTION_BUFFER_MAX), jnp.float32),
-            "frames_seen": jnp.zeros((S,), jnp.int32),
+            "frames_seen": jnp.zeros((S,), jnp.int32),   # processed frames (drives cache priming)
+            "ticks": jnp.zeros((S,), jnp.int32),         # predict calls (drives warm-up)
         }
         if self.incremental:
             # shape-correct caches; values are overwritten by the first
@@ -328,9 +333,16 @@ class MultiStreamEngine:
 
     # ------------------------------------------------------------------
 
-    def _build_step(self):
+    def _build_step(self, masked: bool = False):
+        """The fused per-frame program. With ``masked`` the step takes an
+        extra (S,) bool ``valid``: streams without a complete frame keep their
+        audio state frozen and recycle their previous score (the reference's
+        sub-frame contract, model.py:303-311) while the call-driven state
+        (score history, warm-up tick) still advances — matching what the
+        single-stream Model does on sub-frame predict calls."""
         exec_plan = list(self._exec_plan)
         label_slices = list(self._label_slices)
+        recycle_mask = jnp.asarray(self._recycle_mask)
         n_labels = len(self.labels)
         F = self.max_head_frames
         vad_on = self.vad_threshold > 0
@@ -350,10 +362,10 @@ class MultiStreamEngine:
         threshold_vec = jnp.asarray(self._threshold_vec)
         debounce_frames = self._debounce_frames
         top_db = config.MEL_TOP_DB
-        HIST = config.PREDICTION_BUFFER_MAX
 
-        def step(params, state, chunk):
-            """(params, state, (S, 1280) float32 raw PCM) -> (state', (S, L) scores)."""
+        def step(params, state, chunk, valid=None):
+            """(params, state, (S, 1280) float32 raw PCM[, (S,) bool]) ->
+            (state', (S, L) scores)."""
             chunk = chunk.astype(jnp.float32)
             window = jnp.concatenate([state["pcm_tail"], chunk], axis=-1)     # (S, 1760)
             if use_pallas:
@@ -428,25 +440,21 @@ class MultiStreamEngine:
                         label_cols[start + j] = out[:, c]
             scores = jnp.stack(label_cols, axis=-1)                                 # (S, L)
 
-            # Warm-up: zero scores for the first 5 frames (model.py:330-333)
-            warm = (state["frames_seen"] >= config.WARMUP_FRAMES)[:, None]
-            scores = jnp.where(warm, scores, 0.0)
+            if masked:
+                recycled = state["score_hist"][:, :, -1] * recycle_mask
+                scores = jnp.where(valid[:, None], scores, recycled)
 
+            # Shared warm-up / patience / debounce post-processing (gating.py;
+            # the host Model runs the same functions with numpy)
+            scores = gating.warmup_zero(jnp, scores, state["ticks"])
             hist = state["score_hist"]                                         # (S, L, HIST)
             if use_patience:
-                # last `patience` history entries must clear threshold
-                idx = jnp.arange(HIST)[None, None, :]
-                in_window = idx >= (HIST - patience_vec[None, :, None])
-                cnt = jnp.sum((hist >= threshold_vec[None, :, None]) & in_window, axis=-1)
-                ok = cnt >= patience_vec[None, :]
-                scores = jnp.where((scores != 0.0) & (patience_vec[None, :] > 0) & ~ok, 0.0, scores)
+                scores = gating.patience_filter(jnp, scores, hist,
+                                                patience_vec, threshold_vec)
             elif use_debounce:
-                recent = hist[:, :, HIST - debounce_frames:]
-                fired_recently = jnp.any(recent >= threshold_vec[None, :, None], axis=-1)
-                suppress = (scores >= threshold_vec[None, :]) & fired_recently
-                scores = jnp.where(suppress, 0.0, scores)
-
-            hist = jnp.concatenate([hist[:, :, 1:], scores[:, :, None]], axis=-1)
+                scores = gating.debounce_filter(jnp, scores, hist,
+                                                threshold_vec, debounce_frames)
+            hist = gating.push_history(jnp, hist, scores)
 
             new_state = {
                 "pcm_tail": window[:, -config.MEL_LOOKBACK_SAMPLES:],
@@ -454,9 +462,24 @@ class MultiStreamEngine:
                 "feat_ring": feat_ring,
                 "score_hist": hist,
                 "frames_seen": state["frames_seen"] + 1,
+                "ticks": state["ticks"] + 1,
             }
             if incremental:
                 new_state["conv_caches"] = conv_caches
+            if masked:
+                # freeze the audio-path state of streams that had no frame;
+                # score history / tick advance for every call (as the host
+                # Model's sub-frame predict calls do)
+                def keep(new, old):
+                    v = valid.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jnp.where(v, new, old)
+                for key in ("pcm_tail", "mel_ring", "feat_ring"):
+                    new_state[key] = keep(new_state[key], state[key])
+                new_state["frames_seen"] = jnp.where(valid, new_state["frames_seen"],
+                                                     state["frames_seen"])
+                if incremental:
+                    new_state["conv_caches"] = jax.tree.map(
+                        keep, new_state["conv_caches"], state["conv_caches"])
 
             if vad_on:
                 # reference VAD call path: two 640-sample chunks per 80 ms
@@ -468,12 +491,18 @@ class MultiStreamEngine:
                 s2, h, c = vad_apply(params["vad"], chunk[:, 640:1280] / 32767.0, h, c)
                 vad_score = (s1 + s2) / 2.0
                 vad_ring = jnp.concatenate([state["vad_ring"][:, 1:], vad_score[:, None]], axis=-1)
-                gate_window = vad_ring[:, 0:3]                                 # == buffer[-7:-4]
-                gate_max = jnp.max(jnp.where(gate_window >= 0.0, gate_window, 0.0), axis=-1)
-                scores = jnp.where((gate_max < vad_threshold)[:, None], 0.0, scores)
                 new_state["vad_h"] = jnp.swapaxes(h, 0, 1)
                 new_state["vad_c"] = jnp.swapaxes(c, 0, 1)
                 new_state["vad_ring"] = vad_ring
+                if masked:
+                    # a starved stream has no audio for the VAD either: its
+                    # recurrent state and gate ring stay frozen
+                    for key in ("vad_h", "vad_c", "vad_ring"):
+                        v = valid.reshape((-1,) + (1,) * (new_state[key].ndim - 1))
+                        new_state[key] = jnp.where(v, new_state[key], state[key])
+                    vad_ring = new_state["vad_ring"]
+                # gate window ring[0:3] == prediction_buffer[-7:-4]
+                scores = gating.vad_gate(jnp, scores, vad_ring[:, 0:3], vad_threshold)
 
             return new_state, scores
 
@@ -504,6 +533,30 @@ class MultiStreamEngine:
         if self.mesh is not None:
             x = jax.device_put(x, NamedSharding(self.mesh, P("streams")))
         self.state, scores = self._step_fn(self.params, self.state, x)
+        return np.asarray(scores)
+
+    def predict_masked(self, chunks: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """Advance only the streams with a complete frame (packetized
+        serving). Streams with ``valid[i] == False`` keep their audio state
+        and recycle their previous score exactly like the single-stream
+        Model's sub-frame predict calls.
+
+        Args:
+            chunks: (n_streams, 1280) PCM (rows of invalid streams ignored).
+            valid: (n_streams,) bool.
+        Returns:
+            (n_streams, n_labels) float32 scores.
+        """
+        if not hasattr(self, "_step_masked_fn"):
+            self._step_masked_fn = jax.jit(self._build_step(masked=True),
+                                           donate_argnums=(1,))
+        x = jnp.asarray(np.asarray(chunks), dtype=jnp.float32)
+        v = jnp.asarray(np.asarray(valid, dtype=bool))
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P("streams"))
+            x = jax.device_put(x, sharding)
+            v = jax.device_put(v, sharding)
+        self.state, scores = self._step_masked_fn(self.params, self.state, x, v)
         return np.asarray(scores)
 
     def predict_frames(self, frames: np.ndarray) -> np.ndarray:

@@ -6,10 +6,13 @@ collected per stream. ``StreamServer`` manages a fixed-capacity engine as a
 slot pool:
 
   * ``add_stream()`` leases a slot (resetting its on-device state row);
-  * ``push(sid, pcm)`` buffers arbitrary-size PCM per slot;
-  * ``step()`` advances every slot by one 80 ms frame, consuming buffered
-    audio (slots without a full frame are fed silence -- real-time streams
-    deliver 1280 samples per 80 ms by construction);
+  * ``push(sid, pcm)`` coalesces arbitrary-size PCM packets per slot
+    (streaming.ChunkAccumulator, the same component behind the host
+    AudioFeatures frontend);
+  * ``step()`` advances the slots that have a complete 80 ms frame through
+    the engine's masked step; starved slots keep their audio state frozen
+    and recycle their previous score (the reference's sub-frame contract,
+    model.py:303-311) instead of being fed silence;
   * ``poll(sid)`` drains that stream's activations (label, frame, score).
 
 Per-slot reset works through the engine's first-step prime branch: resetting
@@ -27,6 +30,7 @@ import jax.numpy as jnp
 
 from openwakeword_tpu import config
 from openwakeword_tpu.parallel.engine import MultiStreamEngine
+from openwakeword_tpu.streaming import ChunkAccumulator
 
 
 class StreamServer:
@@ -59,7 +63,8 @@ class StreamServer:
             raise RuntimeError(f"StreamServer at capacity ({self.capacity} streams)")
         sid = self._free.popleft()
         self._reset_slot(sid)
-        self._active[sid] = {"buffer": np.zeros(0, np.int16),
+        self._active[sid] = {"acc": ChunkAccumulator(),
+                             "frames": deque(),
                              "activations": deque(maxlen=1000)}
         return sid
 
@@ -68,25 +73,31 @@ class StreamServer:
         self._free.append(sid)
 
     def push(self, sid: int, pcm: np.ndarray):
-        """Buffer arbitrary-length 16-bit PCM for a stream."""
+        """Add an arbitrary-length 16-bit PCM packet to a stream."""
         st = self._active[sid]
-        st["buffer"] = np.concatenate([st["buffer"], np.asarray(pcm, np.int16)])
+        ready = st["acc"].push(pcm)
+        if ready is not None:
+            for i in range(0, ready.shape[0], config.CHUNK_SAMPLES):
+                st["frames"].append(ready[i:i + config.CHUNK_SAMPLES])
 
     def pending_frames(self, sid: int) -> int:
-        return len(self._active[sid]["buffer"]) // config.CHUNK_SAMPLES
+        return len(self._active[sid]["frames"])
 
     def step(self) -> np.ndarray:
-        """Advance every slot by one frame. Returns the full (capacity, L)
-        score matrix (inactive slots process silence; ignore their rows)."""
+        """One serving tick: advance every slot holding a complete frame
+        (masked engine step); starved and inactive slots are untouched.
+        Returns the full (capacity, L) score matrix."""
         chunk = np.zeros((self.capacity, config.CHUNK_SAMPLES), np.int16)
+        valid = np.zeros(self.capacity, dtype=bool)
         for sid, st in self._active.items():
-            buf = st["buffer"]
-            if len(buf) >= config.CHUNK_SAMPLES:
-                chunk[sid] = buf[:config.CHUNK_SAMPLES]
-                st["buffer"] = buf[config.CHUNK_SAMPLES:]
-        scores = self.engine.predict(chunk)
+            if st["frames"]:
+                chunk[sid] = st["frames"].popleft()
+                valid[sid] = True
+        scores = self.engine.predict_masked(chunk, valid)
         self._frame_counter += 1
         for sid, st in self._active.items():
+            if not valid[sid]:
+                continue
             for k, label in enumerate(self.labels):
                 if scores[sid, k] >= self.threshold:
                     st["activations"].append((label, self._frame_counter,

@@ -1,0 +1,52 @@
+"""Host-edge packet handling for streaming audio.
+
+The device step consumes whole 80 ms frames (1280 samples at 16 kHz); real
+clients deliver arbitrary packet sizes. ``ChunkAccumulator`` owns that gap:
+it coalesces incoming PCM into whole frames and holds the tail until enough
+arrives. One accumulator drives the single-stream ``AudioFeatures`` frontend;
+the ``StreamServer`` keeps one per slot so a starved stream simply *waits*
+instead of being fed silence.
+
+Behavioral contract (matches the reference's accumulation semantics,
+openwakeword/utils.py:409-452, re-derived rather than ported): a call that
+completes at least one whole frame reports the number of samples handed to
+the compute path this call; a call that doesn't reports the total number of
+samples waiting. The single-stream Model turns that report into its
+score-recycling decision for sub-frame calls (reference model.py:303-311).
+"""
+
+from typing import Optional
+
+import numpy as np
+
+from openwakeword_tpu import config
+
+
+class ChunkAccumulator:
+    """Coalesce arbitrary-size PCM packets into whole fixed-size frames."""
+
+    def __init__(self, frame_samples: int = config.CHUNK_SAMPLES,
+                 dtype=np.int16):
+        self.frame_samples = int(frame_samples)
+        self._dtype = dtype
+        self._pending = np.empty(0, dtype=dtype)
+
+    @property
+    def pending(self) -> int:
+        """Samples currently waiting for a complete frame."""
+        return int(self._pending.shape[0])
+
+    def reset(self):
+        self._pending = np.empty(0, dtype=self._dtype)
+
+    def push(self, x) -> Optional[np.ndarray]:
+        """Add a packet; return the ready whole-frame samples (a multiple of
+        ``frame_samples``) or None when no frame completed."""
+        x = np.asarray(x, dtype=self._dtype).reshape(-1)
+        buf = np.concatenate([self._pending, x]) if self._pending.size else x
+        n_ready = (buf.shape[0] // self.frame_samples) * self.frame_samples
+        if n_ready == 0:
+            self._pending = buf
+            return None
+        self._pending = buf[n_ready:]
+        return buf[:n_ready]
