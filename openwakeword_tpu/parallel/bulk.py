@@ -51,24 +51,28 @@ def bulk_predict(file_paths: List[str],
 
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
+    # One engine for the whole run (heads load and programs build once);
+    # short final batches are zero-padded to the engine's stream capacity.
+    n_streams = min(batch_size, max(1, len(file_paths)))
+    engine = MultiStreamEngine(wakeword_models=list(wakeword_models),
+                               n_streams=n_streams, **{
+                                   k: v for k, v in kwargs.items()
+                                   if k in ("vad_threshold", "patience", "threshold",
+                                            "debounce_time", "mesh", "rng_seed")})
+
     results: Dict[str, list] = {}
-    for i in range(0, len(file_paths), batch_size):
-        batch_paths = file_paths[i:i + batch_size]
+    for i in range(0, len(file_paths), n_streams):
+        batch_paths = file_paths[i:i + n_streams]
         clips = [_read_wav(p) for p in batch_paths]
         pad = 16000 * padding
         # per-clip frame count under the reference predict_clip contract
         frame_counts = [max(0, -(-(len(c) + 2 * pad - config.CHUNK_SAMPLES)
                                  // config.CHUNK_SAMPLES)) for c in clips]
         max_len = max(len(c) for c in clips)
-        batch = np.zeros((len(clips), max_len), dtype=np.int16)
+        batch = np.zeros((n_streams, max_len), dtype=np.int16)
         for j, c in enumerate(clips):
             batch[j, :len(c)] = c
 
-        engine = MultiStreamEngine(wakeword_models=list(wakeword_models),
-                                   n_streams=len(clips), **{
-                                       k: v for k, v in kwargs.items()
-                                       if k in ("vad_threshold", "patience", "threshold",
-                                                "debounce_time", "mesh", "rng_seed")})
         scores = engine.predict_clips(batch, padding=padding)   # (T, S, L)
         for j, path in enumerate(batch_paths):
             t_j = frame_counts[j]

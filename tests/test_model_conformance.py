@@ -57,14 +57,19 @@ class TestModels:
             np.testing.assert_approx_equal(s, base, significant=5)
 
     def test_chunk_size_invariance_default(self, test_clips):
-        """With default config the max score must still be stable to the
-        tolerance the clamp scoping allows."""
-        scores = []
-        for chunk in (1280, 2560):
+        """Default config (top_db clamp active) is chunk-size invariant by
+        construction: the streaming frontend fixes the clamp scope to the
+        80 ms block regardless of how callers chunk their audio, so every
+        chunking produces identical mel frames (well inside the reference's
+        5-significant-figure contract, reference tests/test_models.py:68-100)."""
+        scores = {}
+        for chunk in (1280, 2560, 1024, 2048):
             m = oww.Model(wakeword_models=["alexa"])
             preds = m.predict_clip(test_clips["alexa"], chunk_size=chunk)
-            scores.append(max(p["alexa"] for p in preds))
-        assert abs(scores[0] - scores[1]) < 0.05
+            scores[chunk] = max(p["alexa"] for p in preds)
+        base = scores[1280]
+        for chunk, s in scores.items():
+            np.testing.assert_approx_equal(s, base, significant=5)
 
     def test_multiclass_chunk_size_invariance(self, test_clips, monkeypatch):
         monkeypatch.setattr(config, "MEL_TOP_DB", None)

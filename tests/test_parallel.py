@@ -19,7 +19,12 @@ def audio(rng_seed=3):
 class TestEngineEquivalence:
     def test_matches_single_stream_model(self, audio):
         """The fused on-device step must reproduce the Model's 1280-chunk
-        streaming scores exactly (same noise seed => same init state)."""
+        streaming scores (same noise seed => same init state). Since the host
+        frontend fixes the top_db clamp scope to the 80 ms block, the two
+        paths compute mathematically identical values; the bound below is
+        pure float32 reassociation noise (different XLA fusion choices for
+        the batched vs fused programs), measured at <=5e-7 over 20 frames x
+        8 labels and asserted with 20x headroom."""
         engine = MultiStreamEngine(wakeword_models=["alexa", "timer"], n_streams=2, rng_seed=0)
         ref = oww.Model(wakeword_models=["alexa", "timer"])
         assert ref.preprocessor._np_rng.bit_generator.state["state"]["state"] is not None
@@ -33,7 +38,7 @@ class TestEngineEquivalence:
 
         for t in range(20):
             for k, lbl in enumerate(engine.labels):
-                assert abs(eng_scores[t][0, k] - ref_scores[t][lbl]) < 2e-4, \
+                assert abs(eng_scores[t][0, k] - ref_scores[t][lbl]) < 1e-5, \
                     f"frame {t} label {lbl}: {eng_scores[t][0, k]} vs {ref_scores[t][lbl]}"
 
     def test_predict_clips_matches_predict_clip(self, test_clips):
@@ -45,7 +50,7 @@ class TestEngineEquivalence:
         ref = oww.Model(wakeword_models=["alexa"])
         ref_scores = [p["alexa"] for p in ref.predict_clip(test_clips["alexa"])]
         assert scores.shape[0] == len(ref_scores)
-        np.testing.assert_allclose(scores[:, 0, 0], ref_scores, atol=2e-4)
+        np.testing.assert_allclose(scores[:, 0, 0], ref_scores, atol=1e-5)
         np.testing.assert_allclose(scores[:, 0, 0], scores[:, 1, 0], atol=1e-6)
 
     def test_streams_are_independent(self, audio):
