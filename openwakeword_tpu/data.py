@@ -33,13 +33,37 @@ from openwakeword_tpu.ops import augment as A
 # ---------------------------------------------------------------------------
 
 def read_audio(path: str) -> np.ndarray:
-    """Load a 16-bit WAV file as float32 in [-1, 1] (first channel)."""
-    with wave.open(path, "rb") as f:
-        n_ch = f.getnchannels()
-        data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
-    if n_ch > 1:
-        data = data.reshape(-1, n_ch)[:, 0]
-    return (data / 32768.0).astype(np.float32)
+    """Load an audio file as float32 in [-1, 1] (first channel).
+
+    16-bit WAV reads natively (stdlib); other formats (mp3/flac/ogg/...)
+    decode through ffmpeg when it is installed (the reference reaches the
+    same formats through torchaudio, data.py:67-111)."""
+    if path.lower().endswith(".wav"):
+        with wave.open(path, "rb") as f:
+            n_ch = f.getnchannels()
+            data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+        if n_ch > 1:
+            data = data.reshape(-1, n_ch)[:, 0]
+        return (data / 32768.0).astype(np.float32)
+    return _decode_with_ffmpeg(path)
+
+
+def _decode_with_ffmpeg(path: str, sr: int = 16000) -> np.ndarray:
+    """Decode any ffmpeg-supported format to 16 kHz mono float32."""
+    import shutil
+    if shutil.which("ffmpeg") is None:
+        raise ValueError(
+            f"Cannot decode '{path}': only WAV decodes natively and ffmpeg is "
+            "not installed. Install ffmpeg or convert the corpus with "
+            "data.convert_clips.")
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", path, "-f", "s16le", "-acodec",
+         "pcm_s16le", "-ar", str(sr), "-ac", "1", "-"],
+        capture_output=True)
+    if proc.returncode != 0:
+        raise ValueError(f"ffmpeg failed to decode '{path}': "
+                         f"{proc.stderr.decode(errors='replace')[-500:]}")
+    return (np.frombuffer(proc.stdout, dtype=np.int16) / 32768.0).astype(np.float32)
 
 
 def write_audio(path: str, data: np.ndarray, sr: int = 16000):
@@ -111,37 +135,75 @@ def get_wav_duration_from_filesize(size: int, nbytes: int = 2) -> float:
 
 
 def estimate_clip_duration(audio_files: List[str], sizes: List[int]) -> List[float]:
-    """Cheap duration estimates from file sizes (WAV header assumption)."""
-    return [get_wav_duration_from_filesize(s) for s in sizes]
+    """Size-based duration estimates for a homogeneous corpus: probe the
+    first file's headers for the bitrate and a size correction, then scale
+    every other file by size alone (the reference derives the same constants
+    through torchaudio + mutagen, data.py:205-230). Works for wav/flac/mp3."""
+    from openwakeword_tpu.utils.audio_meta import probe
+    if not audio_files:
+        return []
+    info = probe(audio_files[0])
+    if not info.bitrate:
+        return [0.0 for _ in sizes]
+    correction = 8 * os.path.getsize(audio_files[0]) - info.bitrate * info.duration
+    return [(size * 8 - correction) / info.bitrate for size in sizes]
+
+
+def estimate_mp3_duration(fpath: str) -> float:
+    """MP3 duration from metadata + file size for 16 kHz streams (reference
+    data.py:233-264 formula, including its hard-coded conversion factors)."""
+    conversion_factors = {1: 0.000333318208471784, 2: 0.000333318208471784 / 2}
+    try:
+        from openwakeword_tpu.utils.audio_meta import probe
+        md = probe(fpath)
+    except ValueError:
+        return 0.0
+    if md.sample_rate != 16000 or md.channels not in conversion_factors:
+        return 0.0
+    return os.path.getsize(fpath) * conversion_factors[md.channels]
 
 
 def get_clip_duration(clip: str) -> float:
-    with wave.open(clip, "rb") as f:
-        return f.getnframes() / f.getframerate()
+    """Exact duration from header information (wav/flac/mp3); 0 when the
+    header can't be read (reference data.py:267-275 contract)."""
+    try:
+        from openwakeword_tpu.utils.audio_meta import probe
+        return probe(clip).duration
+    except (ValueError, OSError):
+        return 0.0
 
 
 def filter_audio_paths(target_dirs: List[str], min_length_secs: float,
                        max_length_secs: float, duration_method: str = "size",
                        glob_filter: str = None) -> Tuple[List[str], List[float]]:
     """Paths + durations of audio files within a length band, via fast
-    os.scandir size estimates or exact headers (reference data.py:153-202)."""
+    size-scaled estimates or exact headers (reference data.py:153-202).
+    Handles mixed wav/flac/mp3 corpora (per-directory homogeneity assumed
+    for the 'size' method, like the reference)."""
     import fnmatch
     paths, durations = [], []
     for d in target_dirs:
-        for entry in os.scandir(d):
+        dir_paths, sizes = [], []
+        for entry in sorted(os.scandir(d), key=lambda e: e.name):
             if not entry.is_file():
                 continue
             if glob_filter and not fnmatch.fnmatch(entry.name, glob_filter):
                 continue
-            if duration_method == "size":
-                dur = get_wav_duration_from_filesize(entry.stat().st_size)
-            else:
-                try:
-                    dur = get_clip_duration(entry.path)
-                except (wave.Error, EOFError):
-                    continue
+            dir_paths.append(entry.path)
+            sizes.append(entry.stat().st_size)
+        if duration_method == "size":
+            try:
+                dir_durations = estimate_clip_duration(dir_paths, sizes)
+            except ValueError:
+                dir_durations = [get_wav_duration_from_filesize(s) for s in sizes]
+        elif duration_method == "header":
+            dir_durations = [get_clip_duration(p) for p in dir_paths]
+        else:
+            paths.extend(dir_paths)
+            continue
+        for p, dur in zip(dir_paths, dir_durations):
             if min_length_secs <= dur <= max_length_secs:
-                paths.append(entry.path)
+                paths.append(p)
                 durations.append(dur)
     return paths, durations
 
@@ -529,6 +591,60 @@ def phoneme_replacement(input_chars, max_replace, replace_char='"(.){1,3}"'):
     return results
 
 
+_PHONEMIZER = None
+_PHONEMIZER_URL = ("https://public-asai-dl-models.s3.eu-central-1.amazonaws.com/"
+                   "DeepPhonemizer/en_us_cmudict_forward.pt")
+
+
+def _load_phonemizer():
+    """Lazily resolve a word -> CMU-phoneme-string callable for OOV words via
+    the optional DeepPhonemizer package (reference data.py:925-952: download
+    the forward-transformer checkpoint, strip the bracket markup). Returns
+    None when the package is unavailable."""
+    global _PHONEMIZER
+    if _PHONEMIZER is not None:
+        return _PHONEMIZER or None
+    try:
+        from dp.phonemizer import Phonemizer
+    except ImportError:
+        _PHONEMIZER = False
+        return None
+    res_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "resources")
+    mdl_path = os.path.join(res_dir, "en_us_cmudict_forward.pt")
+    if not os.path.exists(mdl_path):
+        logging.warning("Downloading the DeepPhonemizer checkpoint for OOV words...")
+        os.makedirs(res_dir, exist_ok=True)
+        import requests
+        r = requests.get(_PHONEMIZER_URL, stream=True)
+        with open(mdl_path, "wb") as f:
+            for chunk in r.iter_content(chunk_size=1 << 15):
+                f.write(chunk)
+    model = Phonemizer.from_checkpoint(mdl_path)
+
+    def phonemize(word: str) -> str:
+        raw = model(word, lang="en_us")              # "[HH][EY]" markup
+        return re.sub(r"[\[\]]", " ", raw).strip().replace("  ", " ")
+
+    _PHONEMIZER = phonemize
+    return phonemize
+
+
+def _phonemize_oov(word: str) -> str:
+    """CMU phoneme string for an out-of-vocabulary word, or '' when no
+    phonemizer backend is available."""
+    fn = _load_phonemizer()
+    if fn is None:
+        return ""
+    try:
+        phones = fn(word)
+        logging.warning("Phones for OOV word '%s': %s", word, phones)
+        return phones
+    except Exception as e:
+        logging.warning("Phonemizer failed for '%s' (%s); using grapheme fallback.",
+                        word, e)
+        return ""
+
+
 def _fallback_adversarial_words(word: str, rng) -> List[str]:
     """Grapheme-level pseudo-word synthesis for environments without the
     `pronouncing` CMUdict interface: swap/perturb letters to produce
@@ -574,8 +690,8 @@ def generate_adversarial_texts(input_text: str, N: int,
                 word_phones.append(phones[0])
             else:
                 logging.warning("Word '%s' not in the pronunciation dictionary; "
-                                "using grapheme fallback for it.", word)
-                word_phones.append(None)
+                                "trying the DeepPhonemizer OOV path.", word)
+                word_phones.append(_phonemize_oov(word) or None)
 
         adversarial_phrases = []
         for phones, word in zip(word_phones, words):

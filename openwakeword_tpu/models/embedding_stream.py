@@ -151,3 +151,121 @@ def step(folded: Dict, caches: Dict, new_mel: jnp.ndarray, precision=None) -> Tu
             _, window, strides, padding = layer
             x = _pool(x, window, strides, padding)
     return new_caches, x.reshape(x.shape[0], E.OUTPUT_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Stream-minor ("lanes") layout: activations as (C, T, W, S)
+# ---------------------------------------------------------------------------
+# With streams on the (128-wide) lane axis every tensor is lane-dense for
+# S % 128 == 0, and each conv is exactly one MXU matmul
+# (Cout, kh*kw*Cin) @ (kh*kw*Cin, T*W*S) instead of a lane-padded
+# <=96-channel convolution. This targets the dominant engine stage
+# (PERF_NOTES.md: incremental CNN = 53% of step time at ~8% MFU).
+
+
+def _weight_mat(w: jnp.ndarray) -> jnp.ndarray:
+    """HWIO (kh, kw, Cin, Cout) -> (Cout, kh*kw*Cin), tap order (dt, dw, c)."""
+    kh, kw, cin, cout = w.shape
+    return jnp.transpose(w.reshape(kh * kw * cin, cout))
+
+
+def _conv_t(x, w, kh, kw, precision):
+    """x: (Cin, T, W, S) unpadded/valid -> (Cout, T-kh+1, W-kw+1, S)."""
+    cin, t, wd, s = x.shape
+    t_out, w_out = t - kh + 1, wd - kw + 1
+    taps = [x[:, dt:dt + t_out, dw:dw + w_out, :]
+            for dt in range(kh) for dw in range(kw)]
+    col = jnp.concatenate(taps, axis=0) if len(taps) > 1 else taps[0]
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
+    out = jax.lax.dot_general(
+        _weight_mat(w).astype(w.dtype), col.astype(w.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    return out
+
+
+def _pool_t(x, window, strides):
+    """Exact-tiling max pool in (C, T, W, S) layout (all pools in the spec
+    tile their inputs exactly at streaming shapes)."""
+    c, t, wd, s = x.shape
+    if window[0] > 1:
+        x = x.reshape(c, t // window[0], window[0], wd, s).max(axis=2)
+        t = t // window[0]
+    if window[1] > 1:
+        x = x.reshape(c, t, wd // window[1], window[1], s).max(axis=3)
+    return x
+
+
+def _forward_t(folded: Dict, x: jnp.ndarray, caches: Dict = None,
+               precision=None) -> Tuple[Dict, jnp.ndarray]:
+    """Shared layer program in (C, T, W, S) layout.
+
+    With ``caches`` given, runs one streaming step (8 new rows, consuming and
+    refreshing the 2-row tails); with ``caches=None`` primes from a full
+    window, capturing the tails.
+    """
+    new_caches: Dict[str, jnp.ndarray] = {}
+    prime = caches is None
+    conv_i = bn_i = 0
+    for layer in E.spec():
+        kind = layer[0]
+        if kind == "pad":
+            pw = layer[1]
+            x = jnp.pad(x, ((0, 0), (pw[0], pw[0]) if prime else (0, 0),
+                            (pw[1], pw[1]), (0, 0)))
+        elif kind == "conv":
+            _, _, (kh, kw), padding, act = layer
+            if kw > 1 and padding == "SAME":
+                x = jnp.pad(x, ((0, 0), (0, 0), (kw // 2, kw // 2), (0, 0)))
+            if kh > 1:
+                if prime:
+                    new_caches[f"cache_{conv_i}"] = x[:, -2:]
+                else:
+                    x = jnp.concatenate([caches[f"cache_{conv_i}"], x], axis=1)
+                    new_caches[f"cache_{conv_i}"] = x[:, -2:]
+            c = folded[f"conv_{conv_i}"]
+            x = _conv_t(x, c["w"], kh, kw, precision) \
+                + c["b"].astype(jnp.float32)[:, None, None, None]
+            if act == "relu":
+                x = jnp.maximum(x, 0.0)
+            conv_i += 1
+        elif kind == "bnact":
+            aff = folded.get(f"affine_{bn_i}")
+            if aff is not None:
+                x = x * aff["scale"][:, None, None, None] \
+                    + aff["shift"][:, None, None, None]
+            x = _clipped_leaky(x)
+            bn_i += 1
+        elif kind == "pool":
+            _, window, strides, padding = layer
+            x = _pool_t(x, window, strides)
+    return new_caches, x.reshape(E.OUTPUT_DIM, x.shape[-1])
+
+
+def init_caches_t(folded: Dict, mel_window: jnp.ndarray, precision=None
+                  ) -> Tuple[Dict, jnp.ndarray]:
+    """Prime in stream-minor layout.
+
+    Args:
+        mel_window: (S, 76, 32).
+    Returns:
+        (caches in (C, rows, W, S) layout, embedding (S, 96)).
+    """
+    x = jnp.transpose(mel_window, (1, 2, 0))[None].astype(jnp.float32)  # (1,76,32,S)
+    caches, emb = _forward_t(folded, x, caches=None, precision=precision)
+    return caches, jnp.transpose(emb)
+
+
+def step_t(folded: Dict, caches: Dict, new_mel: jnp.ndarray, precision=None
+           ) -> Tuple[Dict, jnp.ndarray]:
+    """Streaming step in stream-minor layout; bit-compatible with ``step``.
+
+    Args:
+        new_mel: (S, 8, 32).
+    Returns:
+        (new caches, embedding (S, 96)).
+    """
+    x = jnp.transpose(new_mel, (1, 2, 0))[None].astype(jnp.float32)     # (1,8,32,S)
+    new_caches, emb = _forward_t(folded, x, caches, precision=precision)
+    return new_caches, jnp.transpose(emb)
