@@ -51,8 +51,49 @@ def bench(name, init_fn, step_fn):
     return best
 
 
+def bench_pallas():
+    from openwakeword_tpu.ops.cnn_pallas import CnnStepKernel
+    folded = E.fold_batchnorm(E.init_params(jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(0)
+    mel0 = jnp.asarray(rng.normal(0, 1, (76, 32, S)).astype(np.float32))
+    frames = jnp.asarray(rng.normal(0, 1, (T, 8, 32, S)).astype(np.float32))
+    k = CnnStepKernel(folded, sb=int(__import__("os").environ.get("BENCH_SB", 128)),
+                      precision="high")
+    caches, _ = k.prime(mel0)
+
+    @jax.jit
+    def scan(caches, frames):
+        def body(c, f):
+            c2, emb = k.step(c, f)
+            return c2, jnp.sum(emb)
+        c, sums = jax.lax.scan(body, caches, frames)
+        return jax.tree.leaves(c)[0].reshape(-1)[0] + jnp.sum(sums)
+
+    t0 = time.time()
+    out = scan(caches, frames)
+    _ = float(out)
+    compile_s = time.time() - t0
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        out = scan(caches, frames)
+        _ = float(out)
+        best = min(best, time.time() - t0)
+    rt = S * T * 0.08 / best
+    print(f"pallas kernel : wall={best:.4f}s  compile={compile_s:.1f}s  "
+          f"rt-streams={rt:,.0f}", flush=True)
+    return best
+
+
 if __name__ == "__main__":
+    import os
     print(f"devices: {jax.devices()}  S={S} T={T}", flush=True)
-    t_nhwc = bench("nhwc lax.conv ", ES.init_caches, ES.step)
-    t_lanes = bench("stream-minor  ", ES.init_caches_t, ES.step_t)
-    print(f"speedup: {t_nhwc / t_lanes:.2f}x", flush=True)
+    which = os.environ.get("BENCH_WHICH", "all")
+    t_nhwc = bench("nhwc lax.conv ", ES.init_caches, ES.step) \
+        if which in ("all", "nhwc") else None
+    if which in ("all", "lanes"):
+        bench("stream-minor  ", ES.init_caches_t, ES.step_t)
+    if which in ("all", "pallas"):
+        t_p = bench_pallas()
+        if t_nhwc:
+            print(f"pallas speedup vs nhwc: {t_nhwc / t_p:.2f}x", flush=True)
