@@ -34,8 +34,7 @@ JSON-serializable via ``to_spec``/``from_spec`` so imported graphs round-trip
 through the native ``.npz`` checkpoint format.
 """
 
-import json
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax

@@ -93,7 +93,8 @@ def _extract_linears_and_lns(graph: Dict) -> Tuple[List[Dict], List[Dict], Dict]
         t = n["op_type"]
         if t == "Gemm":
             w = np.asarray(inits[n["input"][1]], np.float32)
-            b = np.asarray(inits[n["input"][2]], np.float32) if len(n["input"]) > 2 else np.zeros(w.shape[-1], np.float32)
+            b = np.asarray(inits[n["input"][2]], np.float32) if len(n["input"]) > 2 \
+                else np.zeros(w.shape[-1], np.float32)
             trans_b = n["attributes"].get("transB", {}).get("i", 0)
             if trans_b:
                 w = w.T

@@ -130,7 +130,8 @@ class Model():
                     self._label_parent[cls] = mdl_name
 
         # Per-label score history for warm-up / patience / debounce
-        self.prediction_buffer: DefaultDict[str, deque] = defaultdict(partial(deque, maxlen=config.PREDICTION_BUFFER_MAX))
+        self.prediction_buffer: DefaultDict[str, deque] = defaultdict(
+            partial(deque, maxlen=config.PREDICTION_BUFFER_MAX))
 
         # Noise suppression (native C++ spectral-subtraction module; the
         # reference binds SpeexDSP here, model.py:200-205)
