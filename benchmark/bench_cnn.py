@@ -58,7 +58,7 @@ def bench_pallas():
     mel0 = jnp.asarray(rng.normal(0, 1, (76, 32, S)).astype(np.float32))
     frames = jnp.asarray(rng.normal(0, 1, (T, 8, 32, S)).astype(np.float32))
     k = CnnStepKernel(folded, sb=int(__import__("os").environ.get("BENCH_SB", 128)),
-                      precision="high")
+                      precision=__import__("os").environ.get("BENCH_KPREC", "high"))
     caches, _ = k.prime(mel0)
 
     @jax.jit

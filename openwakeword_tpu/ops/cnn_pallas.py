@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from openwakeword_tpu.models import embedding as E
 
@@ -239,13 +240,22 @@ def _run(mel_t, caches_flat, params_flat, sb, precision_name, prime, interpret):
         out_shapes.append(jax.ShapeDtypeStruct(shape[:2] + shape[2:] + (S,), c.dtype))
         out_specs.append(lane_block(*shape))
 
+    kwargs = {}
+    if not interpret:
+        # v5e has 128 MB of VMEM; Mosaic's default 16 MB scoped limit is
+        # conservative for this kernel's transients at 128-stream tiles
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     outs = pl.pallas_call(
         _make_kernel(precision_name, prime),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        # caches update in place: saves VMEM double-buffers and HBM traffic
+        input_output_aliases={1 + i: 1 + i for i in range(len(caches_flat))},
         interpret=interpret,
+        **kwargs,
     )(mel_t, *caches_flat, *params_flat)
     return outs[0], list(outs[1:])
 
@@ -262,6 +272,7 @@ class CnnStepKernel:
         self.sb = sb
         self.precision = precision
         self.interpret = interpret
+        self._folded = folded
         self.params_flat = [jnp.asarray(a.astype(weight_dtype)
                                         if a.ndim == 3 else a)
                             for a in _prep_params(folded, np.float32)]
@@ -270,13 +281,28 @@ class CnnStepKernel:
     def _flat(self, caches: Dict) -> List[jnp.ndarray]:
         return [caches[n] for n in self.cache_names]
 
-    def prime(self, mel_window_t: jnp.ndarray):
-        shapes = cache_shapes()
-        dummy = [jnp.zeros(s[:2] + s[2:] + (mel_window_t.shape[-1],), jnp.float32)
-                 for _, s in shapes]
-        emb, new_caches = _run(mel_window_t, tuple(dummy), tuple(self.params_flat),
-                               self.sb, self.precision, True, self.interpret)
-        return dict(zip(self.cache_names, new_caches)), emb
+    def prime(self, mel_window_t: jnp.ndarray, use_pallas: bool = False):
+        """Derive the caches from a full (76, 32, S) window.
+
+        Priming happens once per reset, so by default it runs through the
+        XLA stream-minor path (embedding_stream.init_caches_t) — the Mosaic
+        compile of the full-window kernel is minutes-slow for no steady-state
+        benefit — and only the per-step kernel is Pallas."""
+        if use_pallas:
+            shapes = cache_shapes()
+            dummy = [jnp.zeros(s[:2] + s[2:] + (mel_window_t.shape[-1],), jnp.float32)
+                     for _, s in shapes]
+            emb, new_caches = _run(mel_window_t, tuple(dummy), tuple(self.params_flat),
+                                   self.sb, self.precision, True, self.interpret)
+            return dict(zip(self.cache_names, new_caches)), emb
+        from openwakeword_tpu.models import embedding_stream as ES
+        folded = self._folded
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "bf16": None}[self.precision]
+        caches, emb = ES.init_caches_t(folded, jnp.transpose(mel_window_t, (2, 0, 1)),
+                                       precision=prec)
+        return caches, jnp.transpose(emb)
 
     def step(self, caches: Dict, new_mel_t: jnp.ndarray):
         emb, new_caches = _run(new_mel_t, tuple(self._flat(caches)),
