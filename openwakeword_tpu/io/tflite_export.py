@@ -5,9 +5,11 @@ tensorflow (reference train.py:574-593); this writer emits the TFLite
 flatbuffer directly with the flatbuffers runtime: RESHAPE -> FULLY_CONNECTED
 chains with decomposed LayerNorm (MEAN / SQUARED_DIFFERENCE / ADD / RSQRT /
 MUL / SUB) and LOGISTIC / SOFTMAX tails -- the same op vocabulary the
-converter produces, so files round-trip through this package's
-tflite_import and aim for LiteRT compatibility (builtin-option tables are
-best-effort; validated against our own reader in tests).
+converter produces, with the builtin-options union populated per op
+(FullyConnectedOptions, ReshapeOptions with new_shape, ReducerOptions with
+keep_dims, Add/Sub/Mul fused-activation NONE, SoftmaxOptions beta=1) so
+LiteRT can load the files; round-trip is validated against this package's
+own reader in tests.
 
 ``convert_onnx_to_tflite`` keeps the reference's conversion entry point.
 """
@@ -82,7 +84,46 @@ class _TfliteBuilder:
             self._opcode_idx[code] = len(self.opcodes) - 1
         return self._opcode_idx[code]
 
-    def add_op(self, code: int, inputs, outputs):
+    # BuiltinOptions union discriminants (tensorflow/lite/schema/schema.fbs)
+    OPT_FULLY_CONNECTED = 8
+    OPT_SOFTMAX = 9
+    OPT_ADD = 11
+    OPT_RESHAPE = 17
+    OPT_MUL = 21
+    OPT_REDUCER = 27
+    OPT_SUB = 28
+    OPT_SQUARED_DIFFERENCE = 76
+
+    def _empty_options(self, n_fields: int = 1):
+        """Options table with all-default fields (fused activation NONE)."""
+        b = self.b
+        b.StartObject(n_fields)
+        return b.EndObject()
+
+    def _reshape_options(self, new_shape):
+        b = self.b
+        v = self._int_vector(list(new_shape))
+        b.StartObject(1)
+        b.PrependUOffsetTRelativeSlot(0, v, 0)
+        return b.EndObject()
+
+    def _softmax_options(self, beta: float = 1.0):
+        b = self.b
+        b.StartObject(1)
+        b.PrependFloat32Slot(0, beta, 0.0)
+        return b.EndObject()
+
+    def _reducer_options(self, keep_dims: bool):
+        b = self.b
+        b.StartObject(1)
+        b.PrependBoolSlot(0, keep_dims, False)
+        return b.EndObject()
+
+    def add_op(self, code: int, inputs, outputs, options_type: int = 0,
+               options=None):
+        """LiteRT requires the builtin-options union on ops that declare one
+        (e.g. FULLY_CONNECTED's fused activation, MEAN's keep_dims); callers
+        pass the discriminant + table built by the _*_options helpers."""
         b = self.b
         idx = self._opcode(code)
         ins, outs = self._int_vector(inputs), self._int_vector(outputs)
@@ -90,6 +131,10 @@ class _TfliteBuilder:
         b.PrependUint32Slot(0, idx, 0)
         b.PrependUOffsetTRelativeSlot(1, ins, 0)
         b.PrependUOffsetTRelativeSlot(2, outs, 0)
+        if options_type:
+            b.PrependUint8Slot(3, options_type, 0)
+            if options is not None:
+                b.PrependUOffsetTRelativeSlot(4, options, 0)
         self.operators.append(b.EndObject())
 
     def finish(self, graph_inputs, graph_outputs, description="openwakeword_tpu") -> bytes:
@@ -134,7 +179,8 @@ def export_head_tflite(params: Dict, path: str, output_name: str = "output"):
     shape_c = tb.add_tensor([2], "flatten_shape",
                             np.asarray([1, n_in], np.int32), ttype=2)
     flat = tb.add_tensor([1, n_in], "flat")
-    tb.add_op(TL.OP_RESHAPE, [x, shape_c], [flat])
+    tb.add_op(TL.OP_RESHAPE, [x, shape_c], [flat],
+              tb.OPT_RESHAPE, tb._reshape_options([1, n_in]))
     cur, cur_dim = flat, n_in
 
     def fc(cur, cur_dim, p, name):
@@ -143,33 +189,42 @@ def export_head_tflite(params: Dict, path: str, output_name: str = "output"):
         wi = tb.add_tensor(list(w.shape), name + "_w", w)
         bi = tb.add_tensor([w.shape[0]], name + "_b", bvec)
         out = tb.add_tensor([1, w.shape[0]], name)
-        tb.add_op(TL.OP_FULLY_CONNECTED, [cur, wi, bi], [out])
+        tb.add_op(TL.OP_FULLY_CONNECTED, [cur, wi, bi], [out],
+                  tb.OPT_FULLY_CONNECTED, tb._empty_options(4))
         return out, w.shape[0]
 
     def layer_norm(cur, dim, p, name, eps=1e-5):
         axes = tb.add_tensor([1], name + "_axes", np.asarray([1], np.int32), ttype=2)
         mean = tb.add_tensor([1, 1], name + "_mean")
-        tb.add_op(TL.OP_MEAN, [cur, axes], [mean])
+        tb.add_op(TL.OP_MEAN, [cur, axes], [mean],
+                  tb.OPT_REDUCER, tb._reducer_options(True))
         sq = tb.add_tensor([1, dim], name + "_sqd")
-        tb.add_op(TL.OP_SQUARED_DIFFERENCE, [cur, mean], [sq])
+        tb.add_op(TL.OP_SQUARED_DIFFERENCE, [cur, mean], [sq],
+                  tb.OPT_SQUARED_DIFFERENCE, tb._empty_options(1))
         axes2 = tb.add_tensor([1], name + "_axes2", np.asarray([1], np.int32), ttype=2)
         var = tb.add_tensor([1, 1], name + "_var")
-        tb.add_op(TL.OP_MEAN, [sq, axes2], [var])
+        tb.add_op(TL.OP_MEAN, [sq, axes2], [var],
+                  tb.OPT_REDUCER, tb._reducer_options(True))
         epsc = tb.add_tensor([1], name + "_eps", np.asarray([eps], np.float32))
         vareps = tb.add_tensor([1, 1], name + "_vareps")
-        tb.add_op(TL.OP_ADD, [var, epsc], [vareps])
+        tb.add_op(TL.OP_ADD, [var, epsc], [vareps],
+                  tb.OPT_ADD, tb._empty_options(1))
         rstd = tb.add_tensor([1, 1], name + "_rstd")
         tb.add_op(TL.OP_RSQRT, [vareps], [rstd])
         centered = tb.add_tensor([1, dim], name + "_centered")
-        tb.add_op(TL.OP_SUB, [cur, mean], [centered])
+        tb.add_op(TL.OP_SUB, [cur, mean], [centered],
+                  tb.OPT_SUB, tb._empty_options(1))
         normed = tb.add_tensor([1, dim], name + "_normed")
-        tb.add_op(TL.OP_MUL, [centered, rstd], [normed])
+        tb.add_op(TL.OP_MUL, [centered, rstd], [normed],
+                  tb.OPT_MUL, tb._empty_options(1))
         g = tb.add_tensor([dim], name + "_gamma", np.asarray(p["gamma"], np.float32))
         scaled = tb.add_tensor([1, dim], name + "_scaled")
-        tb.add_op(TL.OP_MUL, [normed, g], [scaled])
+        tb.add_op(TL.OP_MUL, [normed, g], [scaled],
+                  tb.OPT_MUL, tb._empty_options(1))
         be = tb.add_tensor([dim], name + "_beta", np.asarray(p["beta"], np.float32))
         out = tb.add_tensor([1, dim], name)
-        tb.add_op(TL.OP_ADD, [scaled, be], [out])
+        tb.add_op(TL.OP_ADD, [scaled, be], [out],
+                  tb.OPT_ADD, tb._empty_options(1))
         return out
 
     def relu(cur, dim, name):
@@ -201,7 +256,8 @@ def export_head_tflite(params: Dict, path: str, output_name: str = "output"):
         if meta.get("relu_logits", True):
             logits = relu(logits, n_classes, "relu_logits")
         final = tb.add_tensor([1, n_classes], output_name)
-        tb.add_op(TL.OP_SOFTMAX, [logits], [final])
+        tb.add_op(TL.OP_SOFTMAX, [logits], [final],
+                  tb.OPT_SOFTMAX, tb._softmax_options(1.0))
 
     data = tb.finish([x], [final])
     with open(path, "wb") as f:

@@ -344,3 +344,35 @@ class TestTfliteExport:
         x = jnp.asarray(np.random.default_rng(9).normal(0, 1, (2, 16, 96)), jnp.float32)
         np.testing.assert_allclose(np.asarray(heads.apply(p, x)),
                                    np.asarray(heads.apply(p2, x)), atol=1e-6)
+
+
+class TestTfliteBuiltinOptions:
+    def test_exported_ops_carry_builtin_options(self, tmp_path):
+        """LiteRT requires the builtin-options union on option-bearing ops;
+        verify the exporter writes the right discriminants (schema.fbs
+        BuiltinOptions values)."""
+        import struct
+        from openwakeword_tpu.io import tflite_import as TL
+        from openwakeword_tpu.io.tflite_export import export_head_tflite
+
+        p = heads.init_params(jax.random.PRNGKey(9), "dnn", 16, 1, 64, 1)
+        p = {k: ({kk: np.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict) else v)
+             for k, v in p.items()}
+        path = str(tmp_path / "h.tflite")
+        export_head_tflite(p, path)
+
+        buf = open(path, "rb").read()
+        root = TL._Table(buf, struct.unpack_from("<I", buf, 0)[0])
+        opcodes = [max(oc.scalar(0, "<b", 0), oc.scalar(3, "<i", 0))
+                   for oc in root.vector_tables(1)]
+        sg = root.vector_tables(2)[0]
+        expected = {TL.OP_RESHAPE: 17, TL.OP_FULLY_CONNECTED: 8, TL.OP_MEAN: 27,
+                    TL.OP_SQUARED_DIFFERENCE: 76, TL.OP_ADD: 11, TL.OP_SUB: 28,
+                    TL.OP_MUL: 21, TL.OP_RSQRT: 0, TL.OP_RELU: 0, TL.OP_LOGISTIC: 0}
+        n_checked = 0
+        for op_t in sg.vector_tables(3):
+            code = opcodes[op_t.scalar(0, "<I", 0)]
+            opt_type = op_t.scalar(3, "<B", 0)
+            assert opt_type == expected[code], f"op {code}: options type {opt_type}"
+            n_checked += 1
+        assert n_checked >= 10
