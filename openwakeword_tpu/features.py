@@ -71,33 +71,23 @@ def compute_features_from_generator(generator, n_total: int, clip_duration: int,
     from openwakeword_tpu.data import trim_mmap
 
     F = AudioFeatures()
-    n_feature_cols = F.get_embedding_shape(clip_duration / F.sr)
-    output_shape = (n_total, n_feature_cols[0], n_feature_cols[1])
-    fp = open_memmap(output_file, mode='w+', dtype=np.float32, shape=output_shape)
-
-    row_counter = 0
-    audio_data = next(generator)
-    batch_size = audio_data.shape[0]
-    if batch_size > n_total:
-        raise ValueError(f"The value of 'n_total' ({n_total}) is less than the batch size ({batch_size})."
-                         " Please increase 'n_total' to be >= batch size.")
-
-    features = F.embed_clips(audio_data, batch_size=batch_size)
-    fp[row_counter:row_counter + features.shape[0]] = features
-    row_counter += features.shape[0]
-    fp.flush()
-
-    for audio_data in generator:
-        if row_counter >= n_total:
+    rows, cols = F.get_embedding_shape(clip_duration / F.sr)
+    out = open_memmap(output_file, mode='w+', dtype=np.float32,
+                      shape=(n_total, rows, cols))
+    written = 0
+    for batch in generator:
+        if written == 0 and batch.shape[0] > n_total:
+            raise ValueError(
+                f"n_total ({n_total}) must cover at least one generator "
+                f"batch ({batch.shape[0]} clips)")
+        feats = F.embed_clips(batch, batch_size=batch.shape[0], ncpu=ncpu)
+        take = min(feats.shape[0], n_total - written)
+        out[written:written + take] = feats[:take]
+        written += take
+        out.flush()
+        if written >= n_total:
             break
-        features = F.embed_clips(audio_data, batch_size=batch_size, ncpu=ncpu)
-        if row_counter + features.shape[0] > n_total:
-            features = features[0:n_total - row_counter]
-        fp[row_counter:row_counter + features.shape[0]] = features
-        row_counter += features.shape[0]
-        fp.flush()
-
-    del fp
+    del out
     trim_mmap(output_file)
 
 
@@ -156,10 +146,10 @@ class AudioFeatures():
                                      dtype=np.int64).astype(np.int16)
 
     def _check_pcm(self, x) -> np.ndarray:
-        x = np.array(x).astype(np.int16) if isinstance(x, list) else x
+        if isinstance(x, list):
+            x = np.asarray(x, dtype=np.int16)
         if x.dtype != np.int16:
-            raise ValueError("Input data must be 16-bit integers (i.e., 16-bit PCM audio)."
-                             f"You provided {x.dtype} data.")
+            raise ValueError(f"Expected 16-bit PCM audio (int16), got dtype {x.dtype}")
         return x
 
     def _get_melspectrogram(self, x: Union[np.ndarray, List],
@@ -229,7 +219,8 @@ class AudioFeatures():
         if x.ndim == 4:
             x = x[..., 0]
         if x.shape[1] < 76:
-            raise ValueError("Embedding model requires the input melspectrograms to have at least 76 frames")
+            raise ValueError(f"Need >= {config.EMB_WINDOW_FRAMES} mel frames per "
+                             f"embedding window, got {x.shape[1]}")
         n_windows = (x.shape[1] - config.EMB_WINDOW_FRAMES) // config.EMB_STEP_FRAMES + 1
         out = np.empty((x.shape[0], n_windows, config.EMB_DIM), dtype=np.float32)
         # Slice all windows of a clip on host (cheap views) and batch clips so

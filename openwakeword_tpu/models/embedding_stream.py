@@ -102,16 +102,24 @@ def init_caches(folded: Dict, mel_window: jnp.ndarray, precision=None) -> Tuple[
 
 
 def step(folded: Dict, caches: Dict, new_mel: jnp.ndarray, precision=None) -> Tuple[Dict, jnp.ndarray]:
-    """Advance the streaming CNN by 8 new mel frames.
+    """Advance the streaming CNN by 8*k new mel frames (k >= 1).
+
+    Every layer of the program is time-invariant, so the same 2-row caches
+    support any multiple of 8 new rows per call: feeding 8*k rows yields the
+    k per-80 ms embeddings in one pass with caches identical to k sequential
+    8-row calls. Multi-frame steps amortize the per-op overhead of the many
+    small convolutions (the time extent of each op grows ~k-fold), which is
+    the engine's frames_per_step throughput lever (PERF_NOTES.md).
 
     Args:
         folded: BN-folded embedding params.
         caches: per-time-conv 2-row input tails (from init_caches / prior step).
-        new_mel: (S, 8, 32) new transformed log-mel rows.
+        new_mel: (S, 8*k, 32) new transformed log-mel rows.
     Returns:
-        (new_caches, embedding (S, 96)) -- the embedding of the implicit
-        sliding 76-frame window ending at the newest frame, bit-identical to
-        the full-window forward.
+        (new_caches, embeddings) -- (S, 96) when k == 1, else (S, k, 96),
+        one embedding per implicit sliding 76-frame window ending at each
+        8-row boundary; equal to k sequential single-frame steps up to XLA
+        conv-tiling reassociation (~1e-5 on O(10) activations).
     """
     x = new_mel[..., None].astype(jnp.float32)
     new_caches: Dict[str, jnp.ndarray] = {}
@@ -150,7 +158,8 @@ def step(folded: Dict, caches: Dict, new_mel: jnp.ndarray, precision=None) -> Tu
         elif kind == "pool":
             _, window, strides, padding = layer
             x = _pool(x, window, strides, padding)
-    return new_caches, x.reshape(x.shape[0], E.OUTPUT_DIM)
+    emb = x.reshape(x.shape[0], x.shape[1], E.OUTPUT_DIM)   # (S, k, 96)
+    return new_caches, (emb[:, 0] if emb.shape[1] == 1 else emb)
 
 
 # ---------------------------------------------------------------------------

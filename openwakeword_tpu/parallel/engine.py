@@ -103,10 +103,31 @@ class MultiStreamEngine:
         #                (74x inside the 1e-3 parity budget).
         #   'highest' -- exact f32 (6-pass): 51,253 streams; for bit-level
         #                debugging against the host Model path.
+        #   'fast'    -- f32 params AND f32 state rings, 1-pass-bf16 MXU
+        #                matmuls (Precision.DEFAULT): only the matmul/conv
+        #                inputs quantize, every accumulation and all stored
+        #                state stay f32. Measured |dScore| <= 7.9e-3 -- over
+        #                the 1e-3 parity budget (PERF_NOTES.md ladder).
         #   'bf16'    -- serving mode: weights, mel DFT, AND activation state
         #                rings in bf16: 132,184 streams at |dScore| <= ~7e-3.
-        if precision not in ("highest", "high", "bf16"):
-            raise ValueError(f"precision must be 'highest', 'high' or 'bf16', got {precision!r}")
+        # A dict {'mel': mode, 'cnn': mode, 'heads': mode} (modes from
+        # 'highest'/'high'/'fast') sets the MXU precision per stage, f32
+        # storage throughout -- for trading per-stage speed against the
+        # measured drift contribution of each stage.
+        _modes = ("highest", "high", "fast", "bf16")
+        if isinstance(precision, dict):
+            bad = set(precision) - {"mel", "cnn", "heads"}
+            if bad or not all(v in _modes[:3] for v in precision.values()):
+                raise ValueError("per-stage precision takes keys mel/cnn/heads "
+                                 f"with values {_modes[:3]}, got {precision!r}")
+            self._stage_modes = {k: precision.get(k, "high")
+                                 for k in ("mel", "cnn", "heads")}
+            precision = "high"   # storage/dtype behavior of the f32 modes
+        elif precision in _modes:
+            self._stage_modes = {k: precision for k in ("mel", "cnn", "heads")}
+        else:
+            raise ValueError("precision must be 'highest', 'high', 'fast', "
+                             f"'bf16', or a per-stage dict; got {precision!r}")
         self.precision = precision
 
         # ---- heads ----
@@ -351,12 +372,18 @@ class MultiStreamEngine:
         incremental = self.incremental
         use_pallas = self.use_pallas_melspec
         mel_dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
-        mm_prec = {"highest": None,            # helpers default to HIGHEST for f32
-                   "high": jax.lax.Precision.HIGH,
-                   "bf16": None}[self.precision]
+        # per-stage MXU precision ('bf16' runs on bf16 weights: pass None so
+        # the helpers take the native bf16 path)
+        _mm = {"highest": None,                # helpers default to HIGHEST for f32
+               "high": jax.lax.Precision.HIGH,
+               "fast": jax.lax.Precision.DEFAULT,
+               "bf16": None}
+        mm_prec = _mm[self._stage_modes["cnn"]]
+        head_prec = _mm[self._stage_modes["heads"]]
         mel_prec = {"highest": jax.lax.Precision.HIGHEST,
                     "high": jax.lax.Precision.HIGH,
-                    "bf16": None}[self.precision]
+                    "fast": jax.lax.Precision.DEFAULT,
+                    "bf16": None}[self._stage_modes["mel"]]
         use_patience, use_debounce = self._use_patience, self._use_debounce
         patience_vec = jnp.asarray(self._patience_vec)
         threshold_vec = jnp.asarray(self._threshold_vec)
@@ -428,13 +455,13 @@ class MultiStreamEngine:
                 w = feat_ring[:, F - int(meta["input_frames"]):, :]
                 if kind == "stacked":
                     out = heads_lib.forward_stacked(params["heads"][key], w, meta,
-                                                    precision=mm_prec)              # (S,H,C)
+                                                    precision=head_prec)            # (S,H,C)
                     for h, (name, cols, start) in enumerate(members):
                         for j, c in enumerate(cols):
                             label_cols[start + j] = out[:, h, c]
                 else:
                     out = heads_lib.forward(params["heads"][key], w, meta,
-                                            precision=mm_prec)                      # (S,C)
+                                            precision=head_prec)                    # (S,C)
                     name, cols, start = members[0]
                     for j, c in enumerate(cols):
                         label_cols[start + j] = out[:, c]

@@ -193,3 +193,61 @@ class TestIncrementalCNN:
             # partitioning (activations are O(15); single-device it is 0.0)
             np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), atol=5e-5,
                                        err_msg=f"step {k}")
+
+    def test_multi_frame_step_matches_sequential(self):
+        """step() with 8*k new rows must equal k sequential 8-row steps --
+        same math, so only conv-tiling reassociation noise (O(1e-5) on
+        O(10) activations) may differ -- including the refreshed caches."""
+        import jax
+        import jax.numpy as jnp
+        from openwakeword_tpu.models import embedding, embedding_stream
+        p = embedding.fold_batchnorm(embedding.init_params(jax.random.PRNGKey(0)))
+        rng = np.random.default_rng(1)
+        win = jnp.asarray(rng.uniform(-1, 4, (2, 76, 32)), jnp.float32)
+        caches, _ = jax.jit(embedding_stream.init_caches)(p, win)
+        mel = jnp.asarray(rng.uniform(-1, 4, (2, 8 * 4, 32)), jnp.float32)
+
+        ck, emb_k = jax.jit(embedding_stream.step)(p, caches, mel)   # (2, 4, 96)
+        assert emb_k.shape == (2, 4, embedding.OUTPUT_DIM)
+        c1 = caches
+        step1 = jax.jit(embedding_stream.step)
+        for j in range(4):
+            c1, emb_j = step1(p, c1, mel[:, j * 8:(j + 1) * 8])
+            np.testing.assert_allclose(np.asarray(emb_k[:, j]), np.asarray(emb_j),
+                                       atol=1e-4, err_msg=f"frame {j}")
+        for key in ck:
+            np.testing.assert_allclose(np.asarray(ck[key]), np.asarray(c1[key]),
+                                       atol=1e-4, err_msg=f"cache {key}")
+
+
+class TestPrecisionModes:
+    def test_per_stage_precision_dict(self, audio):
+        """A per-stage precision dict compiles and stays close to 'high'
+        (both are f32-storage modes; only MXU pass counts differ)."""
+        e_hi = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0,
+                                 precision="high")
+        e_ps = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0,
+                                 precision={"mel": "fast", "cnn": "high",
+                                            "heads": "fast"})
+        for t in range(8):
+            s_hi = e_hi.predict(audio[:, t * 1280:(t + 1) * 1280])
+            s_ps = e_ps.predict(audio[:, t * 1280:(t + 1) * 1280])
+        assert np.abs(s_hi - s_ps).max() < 0.05
+        assert e_ps.state["mel_ring"].dtype == np.float32
+
+    def test_fast_mode_runs(self, audio):
+        e = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0,
+                              precision="fast")
+        s = e.predict(audio[:, :1280])
+        assert s.shape == (2, 1)
+        assert e.state["feat_ring"].dtype == np.float32
+
+    def test_bad_precision_rejected(self):
+        with pytest.raises(ValueError):
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1, precision="nope")
+        with pytest.raises(ValueError):
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                              precision={"cnn": "bf16"})
+        with pytest.raises(ValueError):
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                              precision={"vad": "high"})
