@@ -40,11 +40,12 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
         use_pallas_melspec=os.environ.get("BENCH_PALLAS", "0") == "1",
         precision=os.environ.get("BENCH_PRECISION", "high"))
     step = engine._build_step()
+    unroll = int(os.environ.get("BENCH_UNROLL", "2"))
 
     def run(params, state, frames):
         def body(st, fr):
             return step(params, st, fr)
-        state, scores = jax.lax.scan(body, state, frames)
+        state, scores = jax.lax.scan(body, state, frames, unroll=unroll)
         return state, jnp.mean(scores)
 
     run_jit = jax.jit(run, donate_argnums=(1,))

@@ -78,7 +78,8 @@ class MultiStreamEngine:
                  rng_seed: int = 0,
                  incremental: bool = True,
                  use_pallas_melspec: Optional[bool] = None,
-                 precision: str = "high"):
+                 precision: str = "high",
+                 scan_unroll: int = 2):
         gating.validate_gating_args(patience, threshold, debounce_time)
 
         self.n_streams = int(n_streams)
@@ -97,6 +98,11 @@ class MultiStreamEngine:
         # default stays False; the kernel remains available for standalone
         # mel workloads and experimentation (BENCH_PALLAS=1).
         self.use_pallas_melspec = bool(use_pallas_melspec)
+        # scan_unroll: unroll factor for the multi-frame scan (predict_frames
+        # / predict_clips). 2 software-pipelines consecutive frames so XLA
+        # overlaps the many small CNN ops across iterations: measured +15%
+        # (69.2k -> 79.7k rt streams, v5e 4096x50, 'high'); 3+ regresses.
+        self.scan_unroll = int(scan_unroll)
         # precision modes (measured on v5e, 4096 streams, real audio):
         #   'high' (default) -- f32 params, 3-pass-bf16 MXU matmuls:
         #                69,623 rt streams at |dScore| <= 1.4e-5 vs 'highest'
@@ -537,12 +543,13 @@ class MultiStreamEngine:
 
     def _build_scan(self):
         step = self._build_step()
+        unroll = self.scan_unroll
 
         def scan_clips(params, state, frames):
             """frames: (T, S, 1280) -> (state', (T, S, L) scores)."""
             def body(st, fr):
                 return step(params, st, fr)
-            return jax.lax.scan(body, state, frames)
+            return jax.lax.scan(body, state, frames, unroll=unroll)
 
         return scan_clips
 
