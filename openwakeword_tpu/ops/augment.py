@@ -5,8 +5,9 @@ transforms on CPU/GPU per clip (reference data.py:558-697). Here every
 augmentation is a pure, batched JAX function over (B, N) float audio in
 [-1, 1], so whole batches augment in one XLA program on TPU:
 
-  gain, tanh distortion, seven-band parametric EQ (FFT gain curve),
-  band-stop filter (FFT notch), colored noise at SNR (PSD ~ 1/f^decay),
+  gain, tanh distortion, seven-band parametric EQ (RBJ peaking-biquad
+  cascade, zero-state-exact in the FFT domain -- ops.filters), band-stop
+  filter (RBJ notch biquad), colored noise at SNR (PSD ~ 1/f^decay),
   background-noise mixing at SNR, RIR reverberation (FFT convolution with
   speechbrain-style average-amplitude rescale), and pitch shift
   (rfft bin remap).
@@ -35,45 +36,34 @@ def tanh_distortion(key, x, min_distortion=0.0001, max_distortion=0.10):
     return y * (rms_in / rms_out)
 
 
-def _fft_gain_curve(x, gains_db, centers_hz, sr=16000):
-    """Apply a smooth per-frequency gain curve defined at band centers."""
-    n = x.shape[-1]
-    freqs = jnp.asarray(np.fft.rfftfreq(n, 1.0 / sr), jnp.float32)
-    log_f = jnp.log10(jnp.maximum(freqs, 1.0))
-    log_c = jnp.log10(jnp.asarray(centers_hz, jnp.float32))
-    # piecewise-linear interpolation of gains over log-frequency, per example
-    def interp(g):
-        return jnp.interp(log_f, log_c, g)
-    curve_db = jax.vmap(interp)(gains_db)                     # (B, F)
-    spec = jnp.fft.rfft(x)
-    out = jnp.fft.irfft(spec * 10.0 ** (curve_db / 20.0), n=n)
-    return out.astype(x.dtype)
-
-
 def seven_band_eq(key, x, min_gain_db=-6.0, max_gain_db=6.0, sr=16000):
-    centers = [60.0, 150.0, 400.0, 1000.0, 2400.0, 4800.0, 7000.0]
-    gains = jax.random.uniform(key, (x.shape[0], len(centers)),
+    """Seven-band parametric EQ as a cascade of RBJ peaking biquads (the
+    filter family audiomentations' SevenBandParametricEQ runs sequentially
+    on CPU), applied batched via the cascade's exact transfer function
+    (ops.filters). Q = 1 gives ~1-octave bands that cross over smoothly."""
+    from openwakeword_tpu.ops import filters
+    centers = jnp.asarray([60.0, 150.0, 400.0, 1000.0, 2400.0, 4800.0, 7000.0])
+    gains = jax.random.uniform(key, (x.shape[0], centers.shape[0]),
                                minval=min_gain_db, maxval=max_gain_db)
-    return _fft_gain_curve(x, gains, centers, sr)
+    b, a = filters.peaking_coeffs(centers[None, :], 1.0, gains, sr)   # (B,7,3)
+    return filters.apply_cascade(x, b, a, sr)
 
 
 def band_stop(key, x, min_center_hz=200.0, max_center_hz=4000.0,
               min_bandwidth_fraction=0.5, max_bandwidth_fraction=1.99, sr=16000):
-    """Remove a random frequency band (torch_audiomentations BandStopFilter
-    parameter ranges)."""
+    """Attenuate a random frequency band with an RBJ notch biquad
+    (torch_audiomentations BandStopFilter parameter ranges: log-uniform
+    center, bandwidth as a fraction of it; Q = center/bandwidth = 1/frac),
+    zero-state-exact via the FFT-domain transfer function."""
+    from openwakeword_tpu.ops import filters
     k1, k2 = jax.random.split(key)
     B = x.shape[0]
-    n = x.shape[-1]
-    center = jnp.exp(jax.random.uniform(k1, (B, 1), minval=jnp.log(min_center_hz),
+    center = jnp.exp(jax.random.uniform(k1, (B,), minval=jnp.log(min_center_hz),
                                         maxval=jnp.log(max_center_hz)))
-    frac = jax.random.uniform(k2, (B, 1), minval=min_bandwidth_fraction,
+    frac = jax.random.uniform(k2, (B,), minval=min_bandwidth_fraction,
                               maxval=max_bandwidth_fraction)
-    bw = center * frac
-    lo, hi = center - bw / 2.0, center + bw / 2.0
-    freqs = jnp.asarray(np.fft.rfftfreq(n, 1.0 / sr), jnp.float32)[None, :]
-    mask = 1.0 - ((freqs >= lo) & (freqs <= hi)).astype(jnp.float32)
-    spec = jnp.fft.rfft(x)
-    return jnp.fft.irfft(spec * mask, n=n).astype(x.dtype)
+    b, a = filters.notch_coeffs(center, 1.0 / frac, sr)               # (B, 3)
+    return filters.apply_cascade(x, b[:, None, :], a[:, None, :], sr)
 
 
 def colored_noise(key, shape, f_decay, sr=16000):
