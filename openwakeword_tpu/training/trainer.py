@@ -145,7 +145,7 @@ class HeadTrainer:
 
     def __init__(self, n_classes: int = 1, input_shape=(16, 96), model_type: str = "dnn",
                  layer_dim: int = 128, n_blocks: int = 1, seconds_per_example=None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         self.n_classes = n_classes
         self.input_shape = tuple(input_shape)
         self.seconds_per_example = seconds_per_example
@@ -157,6 +157,10 @@ class HeadTrainer:
         self._meta_items = tuple(sorted(self.meta.items()))
         self._leaf = lambda p: {k: v for k, v in p.items() if k != "__meta__"}
         self.opt_state = _OPT.init(self._leaf(self.params))
+        self.mesh = None
+        self._batch_sharding = None
+        if mesh is not None:
+            self.shard(mesh)
 
         self.history: Dict[str, list] = defaultdict(list)
         self.best_models: List[Dict] = []
@@ -165,6 +169,40 @@ class HeadTrainer:
         self.best_val_accuracy = 0.0
         self.best_val_recall = 0.0
         self.n_fp = 0
+
+    def shard(self, mesh):
+        """Enable multi-chip data-parallel training over a 1-D device mesh.
+
+        Params and optimizer state replicate to every device; train_model
+        then lays each (x, y) batch out over the mesh axis, so the jitted
+        ``_train_step`` runs SPMD with XLA inserting one gradient
+        all-reduce over ICI per update (the heads are ~100k params -- pure
+        data parallelism is the only sharding that pays; SURVEY.md
+        section 2.3). Batch sizes must be divisible by the mesh size.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.mesh = mesh
+        replicated = NamedSharding(mesh, P())
+        axis = mesh.axis_names[0]
+        self._batch_sharding = NamedSharding(mesh, P(axis))
+        leaf = self._leaf(self.params)
+        leaf = jax.tree.map(lambda v: jax.device_put(jnp.asarray(v), replicated), leaf)
+        self.params = {"__meta__": dict(self.meta), **leaf}
+        self.opt_state = jax.tree.map(
+            lambda v: jax.device_put(jnp.asarray(v), replicated), self.opt_state)
+
+    def _device_batch(self, x, y):
+        x = jnp.asarray(np.asarray(x, np.float32))
+        y = jnp.asarray(np.asarray(y, np.float32))
+        if self._batch_sharding is not None:
+            n_dev = self.mesh.devices.size
+            if x.shape[0] % n_dev:
+                raise ValueError(
+                    f"batch size {x.shape[0]} must be divisible by the "
+                    f"{n_dev}-device mesh for data-parallel training")
+            x = jax.device_put(x, self._batch_sharding)
+            y = jax.device_put(y, self._batch_sharding)
+        return x, y
 
     # -- core API -----------------------------------------------------
 
@@ -217,7 +255,7 @@ class HeadTrainer:
         opt_state = self.opt_state
 
         for step_ndx, data in enumerate(X):
-            x, y = np.asarray(data[0], np.float32), np.asarray(data[1])
+            x, y = self._device_batch(data[0], data[1])
             step_lr = lr_warmup_cosine_decay(step_ndx, warmup_steps=warmup_steps,
                                              hold=hold_steps, total_steps=max_steps,
                                              target_lr=lr)
@@ -227,8 +265,7 @@ class HeadTrainer:
                 neg_w = float(negative_weight_schedule[min(step_ndx, len(negative_weight_schedule) - 1)])
 
             params, opt_state, acc, stats = _train_step(
-                params, opt_state, acc,
-                jnp.asarray(x), jnp.asarray(y.astype(np.float32)),
+                params, opt_state, acc, x, y,
                 jnp.asarray(neg_w, jnp.float32), jnp.asarray(step_lr, jnp.float32),
                 self._meta_items)
 

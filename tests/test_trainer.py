@@ -88,3 +88,42 @@ def test_predict_on_features_sliding_windows(rng):
     preds = t.predict_on_features(clips)
     assert preds.shape[0] == 2
     assert preds.shape[1] == 30 - 16  # step-1 sliding windows
+
+
+def test_mesh_data_parallel_matches_single_device(rng):
+    """Sharding batches over the 8-device CPU mesh must reproduce
+    single-device training (pure DP: same math, XLA inserts the gradient
+    all-reduce) up to f32 reassociation."""
+    import jax
+    from jax.sharding import Mesh
+
+    x = rng.normal(0, 1, (20, 64, 16, 96)).astype(np.float32)
+    y = rng.integers(0, 2, (20, 64))
+    data = list(zip(x, y))
+
+    t1 = HeadTrainer(layer_dim=32, seed=0)
+    t1.train_model(iter(data), max_steps=20, warmup_steps=4, hold_steps=4, lr=1e-3)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    t2 = HeadTrainer(layer_dim=32, seed=0, mesh=mesh)
+    assert t2._batch_sharding is not None
+    t2.train_model(iter(data), max_steps=20, warmup_steps=4, hold_steps=4, lr=1e-3)
+
+    for k in t1.params:
+        if k == "__meta__":
+            continue
+        for leaf in t1.params[k]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[k][leaf]), np.asarray(t2.params[k][leaf]),
+                atol=5e-5, err_msg=f"{k}/{leaf}")
+
+
+def test_mesh_rejects_indivisible_batch(rng):
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    t = HeadTrainer(layer_dim=32, seed=0, mesh=mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        t.train_model(iter([(rng.normal(0, 1, (33, 16, 96)).astype(np.float32),
+                             rng.integers(0, 2, 33))]),
+                      max_steps=1, warmup_steps=0, hold_steps=0, lr=1e-3)
