@@ -123,43 +123,87 @@ def reverberate(x, rir, rescale_amp="avg"):
     return y.astype(x.dtype)
 
 
-def pitch_shift(key, x, min_semitones=-3.0, max_semitones=3.0,
-                n_fft=1024, hop=256):
-    """Batch pitch shift via STFT frequency-bin remapping (magnitude-preserving
-    linear bin interpolation with phase propagation). One shift per batch
-    (torch_audiomentations 'per_batch' mode at reference data.py:632-639)."""
-    semis = jax.random.uniform(key, (), minval=min_semitones, maxval=max_semitones)
-    rate = 2.0 ** (semis / 12.0)
-    n = x.shape[-1]
-    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
-    t = (n - n_fft) // hop + 1
-    idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
-    frames = x[..., idx] * window
-    spec = jnp.fft.rfft(frames, axis=-1)                       # (B, T, F)
-    n_freqs = spec.shape[-1]
-    src_bins = jnp.arange(n_freqs) / rate
-    lo = jnp.clip(jnp.floor(src_bins).astype(jnp.int32), 0, n_freqs - 1)
-    hi = jnp.clip(lo + 1, 0, n_freqs - 1)
-    w = (src_bins - lo).astype(jnp.float32)
-    mag = jnp.abs(spec)
-    new_mag = mag[..., lo] * (1 - w) + mag[..., hi] * w
-    phase = jnp.angle(spec)
-    new_spec = new_mag * jnp.exp(1j * phase[..., lo] * rate)
-    out_frames = jnp.fft.irfft(new_spec, n=n_fft, axis=-1) * window
-    # overlap-add
-    out = jnp.zeros_like(x)
-    norm = jnp.zeros((n,), jnp.float32)
-    ones = window ** 2
+def _overlap_add(frames, hop, n_out, window_sq):
+    """(B, T, n_fft) windowed frames -> (B, n_out) with window-power
+    normalization (COLA)."""
+    t, n_fft = frames.shape[-2], frames.shape[-1]
+    out = jnp.zeros(frames.shape[:-2] + (n_out,), frames.dtype)
+    norm = jnp.zeros((n_out,), jnp.float32)
 
     def body(carry, i):
         out, norm = carry
         out = jax.lax.dynamic_update_slice_in_dim(
             out, jax.lax.dynamic_slice_in_dim(out, i * hop, n_fft, axis=-1)
-            + out_frames[..., i, :], i * hop, axis=-1)
+            + frames[..., i, :], i * hop, axis=-1)
         norm = jax.lax.dynamic_update_slice_in_dim(
-            norm, jax.lax.dynamic_slice_in_dim(norm, i * hop, n_fft, axis=-1) + ones,
-            i * hop, axis=-1)
+            norm, jax.lax.dynamic_slice_in_dim(norm, i * hop, n_fft, axis=-1)
+            + window_sq, i * hop, axis=-1)
         return (out, norm), None
 
     (out, norm), _ = jax.lax.scan(body, (out, norm), jnp.arange(t))
-    return (out / jnp.maximum(norm, 1e-6)).astype(x.dtype)
+    return out / jnp.maximum(norm, 1e-6)
+
+
+def pitch_shift(key, x, min_semitones=-3.0, max_semitones=3.0,
+                n_fft=1024, hop=256):
+    """Batch pitch shift: phase-vocoder time stretch, then resample back --
+    the same algorithm family as the reference's torch_audiomentations
+    PitchShift (torch-pitch-shift stretches with a vocoder then resamples).
+    One shift per batch (its 'per_batch' mode, reference data.py:632-639).
+
+    For a shift of ``semis`` semitones: the vocoder advances its analysis
+    position ``rate = 2^(-semis/12)`` input frames per synthesis frame
+    (fractional positions: magnitudes linearly interpolated, phases
+    propagated from the princarg-corrected instantaneous frequency), which
+    stretches the audio to ``n/rate`` samples at unchanged pitch; linear
+    resampling at read step ``1/rate`` then restores length ``n`` while
+    scaling every frequency by ``2^(semis/12)``.
+
+    Shapes are static: the synthesis frame count covers the largest
+    configured stretch, and the resample clamps within the synthesized
+    span (<= ``n_fft`` trailing samples repeat at the extreme shift).
+    """
+    semis = jax.random.uniform(key, (), minval=min_semitones, maxval=max_semitones)
+    rate = 2.0 ** (-semis / 12.0)          # analysis frames per synthesis frame
+    n = x.shape[-1]
+    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    t_in = (n - n_fft) // hop + 1
+    idx = np.arange(t_in)[:, None] * hop + np.arange(n_fft)[None, :]
+    spec = jnp.fft.rfft(x[..., idx] * window, axis=-1)          # (B, T, F)
+    mag, phase = jnp.abs(spec), jnp.angle(spec)
+
+    # static synthesis frame count: enough for the slowest configured rate
+    rate_min = 2.0 ** (-max(abs(float(min_semitones)), abs(float(max_semitones))) / 12.0)
+    t_syn = int(np.ceil((t_in - 1) / rate_min)) + 1
+    pos = jnp.arange(t_syn) * rate                               # fractional input frame
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_in - 1)
+    hi = jnp.clip(lo + 1, 0, t_in - 1)
+    w = (pos - lo)[:, None].astype(jnp.float32)
+    mag_t = mag[..., lo, :] * (1 - w) + mag[..., hi, :] * w      # (B, T', F)
+
+    # per-bin phase advance at each analysis position: expected advance
+    # omega plus the princarg-wrapped deviation measured between the
+    # neighboring input frames (the bin's instantaneous frequency)
+    omega = jnp.asarray(2.0 * np.pi * np.arange(n_fft // 2 + 1) * hop / n_fft,
+                        jnp.float32)
+    dphi = phase[..., 1:, :] - phase[..., :-1, :] - omega        # (B, T-1, F)
+    dphi = dphi - 2.0 * np.pi * jnp.round(dphi / (2.0 * np.pi))
+    inc = omega + dphi[..., jnp.clip(lo, 0, t_in - 2), :]        # (B, T', F)
+
+    # synthesis phase: first frame keeps its measured phase, then the
+    # increments accumulate (exclusive cumulative sum)
+    acc = phase[..., :1, :] + jnp.cumsum(
+        jnp.concatenate([jnp.zeros_like(inc[..., :1, :]), inc[..., :-1, :]],
+                        axis=-2), axis=-2)
+    frames_out = jnp.fft.irfft(mag_t * jnp.exp(1j * acc), n=n_fft, axis=-1) * window
+    n_stretch = (t_syn - 1) * hop + n_fft
+    y = _overlap_add(frames_out, hop, n_stretch, window ** 2)    # (B, n_stretch)
+
+    # resample: output sample i reads stretched position i/rate, undoing the
+    # duration change and scaling pitch by 2^(semis/12)
+    src = jnp.arange(n) / rate
+    lo_s = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_stretch - 1)
+    hi_s = jnp.clip(lo_s + 1, 0, n_stretch - 1)
+    ws = (src - lo_s).astype(jnp.float32)
+    out = y[..., lo_s] * (1 - ws) + y[..., hi_s] * ws
+    return out.astype(x.dtype)

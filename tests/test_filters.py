@@ -116,3 +116,38 @@ class TestAugmentSemantics:
         out = np.asarray(filters.apply_cascade(
             jnp.asarray(tone), jnp.asarray(b)[None, None], jnp.asarray(a)[None, None]))
         np.testing.assert_allclose(np.abs(out[0, 16000:]).max(), 1.0, atol=0.05)
+
+
+class TestPitchShift:
+    """Phase-vocoder pitch shift: a pure tone must move to exactly
+    f0 * 2^(semis/12) (measured by FFT peak), at unchanged length."""
+
+    def _dominant_hz(self, y, sr=16000):
+        n = y.shape[-1]
+        spec = np.abs(np.fft.rfft(y * np.hanning(n)))
+        return np.fft.rfftfreq(n, 1.0 / sr)[int(np.argmax(spec))]
+
+    @pytest.mark.parametrize("semis", [2.0, -3.0])
+    def test_tone_moves_by_semitones(self, semis):
+        sr, n = 16000, 32000
+        t = np.arange(n) / sr
+        tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)[None]
+        out = np.asarray(augment.pitch_shift(
+            jax.random.PRNGKey(0), jnp.asarray(tone),
+            min_semitones=semis, max_semitones=semis))
+        assert out.shape == tone.shape
+        got = self._dominant_hz(out[0, 4000:28000])
+        want = 440.0 * 2.0 ** (semis / 12.0)
+        assert abs(got - want) < 5.0, (got, want)
+        # energy preserved within a few dB (vocoder + resample losses)
+        r = np.linalg.norm(out[0, 4000:28000]) / np.linalg.norm(tone[0, 4000:28000])
+        assert 0.5 < r < 2.0
+
+    def test_zero_shift_is_near_identity(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 0.2, (2, 32000)).astype(np.float32)
+        out = np.asarray(augment.pitch_shift(
+            jax.random.PRNGKey(0), jnp.asarray(x),
+            min_semitones=0.0, max_semitones=0.0))
+        # vocoder round-trip at rate 1 reconstructs the COLA interior
+        np.testing.assert_allclose(out[:, 2048:-2048], x[:, 2048:-2048], atol=5e-3)
