@@ -147,13 +147,33 @@ def num_frames(n_samples: int,
 def frame_signal(x: jnp.ndarray,
                  n_fft: int = config.N_FFT,
                  hop: int = config.HOP_LENGTH) -> jnp.ndarray:
-    """Slice (..., N) audio into (..., T, n_fft) frames, center=False."""
+    """Slice (..., N) audio into (..., T, n_fft) frames, center=False.
+
+    Implemented as ``ceil(n_fft/hop)`` contiguous slice+reshape segments
+    concatenated along the frame axis instead of one overlapping-window
+    gather: frame k's segment j is samples ``k*hop + [j*hop, j*hop+w_j)``,
+    which for every k is a plain stride-``hop`` reshape of a contiguous
+    slice. TPU gathers materialize through scattered loads; the slice form
+    is pure layout work XLA fuses into the downstream DFT matmul. Measured
+    (pipelined dispatch, 4096 streams x 50 frames, precision 'high'): full
+    engine step 0.2033 -> 0.1792 s, +13% end-to-end (PERF_NOTES.md).
+    """
     n = x.shape[-1]
     t = num_frames(n, n_fft, hop)
     if t <= 0:
         raise ValueError(f"Input of {n} samples is shorter than one {n_fft}-sample STFT frame")
-    idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
-    return x[..., idx]
+    span = (t - 1) * hop + n_fft
+    y = x[..., :span]
+    lead = x.shape[:-1]
+    parts = []
+    for j in range(-(-n_fft // hop)):
+        w = min(hop, n_fft - j * hop)
+        # start so the slice length is exactly t*hop; for a partial last
+        # segment shift left by (hop - w) and drop those columns post-reshape
+        s = j * hop - (hop - w)
+        seg = y[..., s:s + t * hop].reshape(lead + (t, hop))
+        parts.append(seg if w == hop else seg[..., hop - w:])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def power_to_db(mel: jnp.ndarray,
