@@ -37,6 +37,20 @@ MEL_RING = config.EMB_WINDOW_FRAMES          # 76 frames (chunk=1280 => k=1)
 VAD_RING = 7                                 # enough for the [-7:-4] gate window
 
 
+
+def _as_device_pcm(chunks) -> jnp.ndarray:
+    """Host PCM -> device array, preserving int16.
+
+    int16 input is transferred raw (half the host->device bytes of f32) and
+    cast to float32 on device inside the jitted step; any other dtype is cast
+    to float32 on host. Each input dtype compiles its own step variant, so
+    serving hosts should feed a consistent dtype.
+    """
+    arr = np.asarray(chunks)
+    if arr.dtype != np.int16:
+        arr = arr.astype(np.float32, copy=False)
+    return jnp.asarray(arr)
+
 def _resolve_heads(wakeword_models: Sequence[str]) -> List[Tuple[str, Dict, Dict]]:
     """(name, params, class_mapping) per head, via the shared resolver +
     Model loader."""
@@ -563,7 +577,7 @@ class MultiStreamEngine:
         Returns:
             (n_streams, n_labels) float32 scores, ordered like ``self.labels``.
         """
-        x = jnp.asarray(np.asarray(chunks), dtype=jnp.float32)
+        x = _as_device_pcm(chunks)
         if self.mesh is not None:
             x = jax.device_put(x, NamedSharding(self.mesh, P("streams")))
         self.state, scores = self._step_fn(self.params, self.state, x)
@@ -584,7 +598,7 @@ class MultiStreamEngine:
         if not hasattr(self, "_step_masked_fn"):
             self._step_masked_fn = jax.jit(self._build_step(masked=True),
                                            donate_argnums=(1,))
-        x = jnp.asarray(np.asarray(chunks), dtype=jnp.float32)
+        x = _as_device_pcm(chunks)
         v = jnp.asarray(np.asarray(valid, dtype=bool))
         if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P("streams"))
@@ -601,7 +615,7 @@ class MultiStreamEngine:
         Returns:
             (T, n_streams, n_labels) scores.
         """
-        x = jnp.asarray(np.asarray(frames), dtype=jnp.float32)
+        x = _as_device_pcm(frames)
         if self.mesh is not None:
             x = jax.device_put(x, NamedSharding(self.mesh, P(None, "streams")))
         self.state, scores = self._scan_fn(self.params, self.state, x)
