@@ -157,7 +157,10 @@ class TestBulkPredict:
             assert len(results[p]) == len(ref)
             got = [r["alexa"] for r in results[p]]
             want = [r["alexa"] for r in ref]
-            np.testing.assert_allclose(got, want, atol=2e-4)
+            # measured max |d| ~2e-7 (CPU) since the block-scoped mel clamp
+            # made the engine's per-call clamp scope exact; 1e-5 leaves
+            # headroom for cross-platform reassociation
+            np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 class TestIncrementalCNN:
