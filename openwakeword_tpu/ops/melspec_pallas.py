@@ -46,17 +46,44 @@ def _consts():
     return cos, sin, melw
 
 
+def _bf16_split(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x (residual split)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _make_kernel(precision):
+    # Mosaic does not lower Precision.HIGH; spell out its 3-pass-bf16
+    # semantics (hi*hi + hi*lo + lo*hi) explicitly when requested.
+    three_pass = precision == jax.lax.Precision.HIGH
+    dot_prec = None if three_pass else precision
+
+    def _dot(a, b_hi, b_lo):
+        if not three_pass:
+            return jnp.dot(a, b_hi, preferred_element_type=jnp.float32,
+                           precision=dot_prec)
+        a_hi, a_lo = _bf16_split(a)
+        return (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32))
+
     def _kernel(win_ref, cos_ref, sin_ref, mel_ref, out_ref):
+        if three_pass:
+            cos_hi, cos_lo = _bf16_split(cos_ref[:])
+            sin_hi, sin_lo = _bf16_split(sin_ref[:])
+            mel_hi, mel_lo = _bf16_split(mel_ref[:])
+        else:
+            cos_hi = cos_ref[:]
+            sin_hi = sin_ref[:]
+            mel_hi = mel_ref[:]
+            cos_lo = sin_lo = mel_lo = None
         for j in range(FRAMES):
             frames = win_ref[:, HOP * j:HOP * j + N_FFT]                 # (T, 512)
-            re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
-                         precision=precision)
-            im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
-                         precision=precision)
+            re = _dot(frames, cos_hi, cos_lo)
+            im = _dot(frames, sin_hi, sin_lo)
             power = re * re + im * im                                    # (T, 257)
-            mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
-                          precision=precision)
+            mel = _dot(power, mel_hi, mel_lo)
             out_ref[:, j, :] = jnp.log(jnp.maximum(mel, config.MEL_AMIN)) * (10.0 * _LOG10_INV)
     return _kernel
 
@@ -68,7 +95,8 @@ def melspectrogram_pallas(windows: jnp.ndarray, tile_s: int = 128,
 
     S is padded up to a multiple of ``tile_s`` internally. ``precision``
     follows jax.lax.Precision: None = fast MXU passes (serving),
-    HIGHEST = exact f32 (parity mode, slower).
+    HIGH = explicit 3-pass-bf16 splits (Mosaic cannot lower Precision.HIGH
+    directly), HIGHEST = exact f32 (parity mode, slower).
     """
     S = windows.shape[0]
     pad = (-S) % tile_s

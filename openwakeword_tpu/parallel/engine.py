@@ -374,13 +374,29 @@ class MultiStreamEngine:
 
     # ------------------------------------------------------------------
 
-    def _build_step(self, masked: bool = False):
+    def _build_step(self, masked: bool = False, steady: bool = False):
         """The fused per-frame program. With ``masked`` the step takes an
         extra (S,) bool ``valid``: streams without a complete frame keep their
         audio state frozen and recycle their previous score (the reference's
         sub-frame contract, model.py:303-311) while the call-driven state
         (score history, warm-up tick) still advances — matching what the
-        single-stream Model does on sub-frame predict calls."""
+        single-stream Model does on sub-frame predict calls.
+
+        With ``steady`` (requires ``incremental``; used inside the multi-frame
+        scan after its peeled first step, where every stream is past its first
+        frame) the body is restructured to cut per-frame HBM traffic:
+          * no first-frame cond / prime branch — the streaming CNN step runs
+            unconditionally and the top_db clamp covers all 8 frames;
+          * ``mel_ring`` is not carried or rewritten (an 80 MB/frame
+            concat-shift at 4096 streams whose value is only consumed by the
+            prime branch); the scan emits each frame's 8 mel rows instead and
+            the caller reconstructs the ring once at scan exit;
+          * ``feat_ring`` becomes a circular double buffer ``feat_ring2`` of
+            2F rows plus a ``phase`` cursor: pushing an embedding is two
+            1-row writes instead of an F-row shift, and each head reads its
+            window as one contiguous dynamic slice.
+        Scores are identical to the full step (tests/test_streaming_consistency).
+        """
         exec_plan = list(self._exec_plan)
         label_slices = list(self._label_slices)
         recycle_mask = jnp.asarray(self._recycle_mask)
@@ -409,6 +425,8 @@ class MultiStreamEngine:
         threshold_vec = jnp.asarray(self._threshold_vec)
         debounce_frames = self._debounce_frames
         top_db = config.MEL_TOP_DB
+        if steady and (masked or not incremental):
+            raise ValueError("steady step requires incremental=True and masked=False")
 
         def step(params, state, chunk, valid=None):
             """(params, state, (S, 1280) float32 raw PCM[, (S,) bool]) ->
@@ -424,55 +442,82 @@ class MultiStreamEngine:
                                                      compute_dtype=mel_dtype,
                                                      precision=mel_prec)      # (S, 8, 32) dB
 
-            # First call after init/reset has no PCM look-back: the reference
-            # computes only 5 frames there (utils.py:393-397, window shorter
-            # than n+480). Frames 0..2 of our fixed window are fabricated from
-            # the zero tail then, so exclude them from the ring AND from the
-            # data-dependent top_db peak (clamp scope = the frames the
-            # reference's per-call graph invocation actually saw).
-            is_first = (state["frames_seen"] == 0)
-            frame_valid = jnp.arange(8)[None, :] >= jnp.where(is_first, 3, 0)[:, None]  # (S, 8)
-            if top_db is not None:
-                peak = jnp.max(jnp.where(frame_valid[:, :, None], mel_raw, -jnp.inf),
-                               axis=(-2, -1), keepdims=True)
-                mel_raw = jnp.maximum(mel_raw, peak - top_db)
-            mel = mel_raw * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
-
-            ring_dtype = state["mel_ring"].dtype
-            mel = mel.astype(ring_dtype)
-            ring8 = jnp.concatenate([state["mel_ring"][:, 8:], mel], axis=1)
-            ring5 = jnp.concatenate([state["mel_ring"][:, 5:], mel[:, 3:]], axis=1)
-            mel_ring = jnp.where(is_first[:, None, None], ring5, ring8)
-
-            if incremental:
-                # All streams advance in lockstep, so first-ness is uniform;
-                # the prime branch re-derives the activation caches from the
-                # full window, later steps stream only the 8 new rows.
-                any_first = jnp.any(is_first)
-
-                def prime(_):
-                    return embedding_stream.init_caches(params["embedding"], mel_ring,
-                                                        precision=mm_prec)
-
-                def stream(_):
-                    return embedding_stream.step(params["embedding"],
-                                                 state["conv_caches"], mel,
-                                                 precision=mm_prec)
-
-                conv_caches, emb = jax.lax.cond(any_first, prime, stream, None)
+            if steady:
+                # every stream is past its first frame: all 8 frames are
+                # real, so the data-dependent clamp covers them all
+                if top_db is not None:
+                    peak = jnp.max(mel_raw, axis=(-2, -1), keepdims=True)
+                    mel_raw = jnp.maximum(mel_raw, peak - top_db)
+                mel = mel_raw * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
+                ring_dtype = state["feat_ring2"].dtype
+                mel = mel.astype(ring_dtype)
+                conv_caches, emb = embedding_stream.step(
+                    params["embedding"], state["conv_caches"], mel,
+                    precision=mm_prec)
                 conv_caches = jax.tree.map(
                     lambda a, ref: a.astype(ref.dtype), conv_caches, state["conv_caches"])
+                # circular push: the cursor p marks the oldest logical row;
+                # write the new embedding at p and p+F, after which the
+                # ordered last-F window is the contiguous rows [p+1, p+1+F)
+                p = state["phase"]
+                embr = emb[:, None, :].astype(ring_dtype)
+                ring2 = jax.lax.dynamic_update_slice_in_dim(
+                    state["feat_ring2"], embr, p, axis=1)
+                ring2 = jax.lax.dynamic_update_slice_in_dim(ring2, embr, p + F, axis=1)
             else:
-                emb = embedding_model.apply_folded(params["embedding"], mel_ring,
-                                                   precision=mm_prec)          # (S, 96)
-            feat_ring = jnp.concatenate(
-                [state["feat_ring"][:, 1:],
-                 emb[:, None, :].astype(state["feat_ring"].dtype)], axis=1)
+                # First call after init/reset has no PCM look-back: the reference
+                # computes only 5 frames there (utils.py:393-397, window shorter
+                # than n+480). Frames 0..2 of our fixed window are fabricated from
+                # the zero tail then, so exclude them from the ring AND from the
+                # data-dependent top_db peak (clamp scope = the frames the
+                # reference's per-call graph invocation actually saw).
+                is_first = (state["frames_seen"] == 0)
+                frame_valid = jnp.arange(8)[None, :] >= jnp.where(is_first, 3, 0)[:, None]  # (S, 8)
+                if top_db is not None:
+                    peak = jnp.max(jnp.where(frame_valid[:, :, None], mel_raw, -jnp.inf),
+                                   axis=(-2, -1), keepdims=True)
+                    mel_raw = jnp.maximum(mel_raw, peak - top_db)
+                mel = mel_raw * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
+
+                ring_dtype = state["mel_ring"].dtype
+                mel = mel.astype(ring_dtype)
+                ring8 = jnp.concatenate([state["mel_ring"][:, 8:], mel], axis=1)
+                ring5 = jnp.concatenate([state["mel_ring"][:, 5:], mel[:, 3:]], axis=1)
+                mel_ring = jnp.where(is_first[:, None, None], ring5, ring8)
+
+                if incremental:
+                    # All streams advance in lockstep, so first-ness is uniform;
+                    # the prime branch re-derives the activation caches from the
+                    # full window, later steps stream only the 8 new rows.
+                    any_first = jnp.any(is_first)
+
+                    def prime(_):
+                        return embedding_stream.init_caches(params["embedding"], mel_ring,
+                                                            precision=mm_prec)
+
+                    def stream(_):
+                        return embedding_stream.step(params["embedding"],
+                                                     state["conv_caches"], mel,
+                                                     precision=mm_prec)
+
+                    conv_caches, emb = jax.lax.cond(any_first, prime, stream, None)
+                    conv_caches = jax.tree.map(
+                        lambda a, ref: a.astype(ref.dtype), conv_caches, state["conv_caches"])
+                else:
+                    emb = embedding_model.apply_folded(params["embedding"], mel_ring,
+                                                       precision=mm_prec)          # (S, 96)
+                feat_ring = jnp.concatenate(
+                    [state["feat_ring"][:, 1:],
+                     emb[:, None, :].astype(state["feat_ring"].dtype)], axis=1)
 
             # score all heads: fused-group heads run as stacked einsums
             label_cols = [None] * n_labels
             for kind, key, meta, members in exec_plan:
-                w = feat_ring[:, F - int(meta["input_frames"]):, :]
+                fh = int(meta["input_frames"])
+                if steady:
+                    w = jax.lax.dynamic_slice_in_dim(ring2, p + 1 + F - fh, fh, axis=1)
+                else:
+                    w = feat_ring[:, F - fh:, :]
                 if kind == "stacked":
                     out = heads_lib.forward_stacked(params["heads"][key], w, meta,
                                                     precision=head_prec)            # (S,H,C)
@@ -505,12 +550,16 @@ class MultiStreamEngine:
 
             new_state = {
                 "pcm_tail": window[:, -config.MEL_LOOKBACK_SAMPLES:],
-                "mel_ring": mel_ring,
-                "feat_ring": feat_ring,
                 "score_hist": hist,
                 "frames_seen": state["frames_seen"] + 1,
                 "ticks": state["ticks"] + 1,
             }
+            if steady:
+                new_state["feat_ring2"] = ring2
+                new_state["phase"] = jax.lax.rem(p + 1, jnp.int32(F))
+            else:
+                new_state["mel_ring"] = mel_ring
+                new_state["feat_ring"] = feat_ring
             if incremental:
                 new_state["conv_caches"] = conv_caches
             if masked:
@@ -551,6 +600,9 @@ class MultiStreamEngine:
                 # gate window ring[0:3] == prediction_buffer[-7:-4]
                 scores = gating.vad_gate(jnp, scores, vad_ring[:, 0:3], vad_threshold)
 
+            if steady:
+                # the scan caller reconstructs mel_ring from the emitted rows
+                return new_state, (scores, mel)
             return new_state, scores
 
         return step
@@ -558,12 +610,48 @@ class MultiStreamEngine:
     def _build_scan(self):
         step = self._build_step()
         unroll = self.scan_unroll
+        if not self.incremental:
+            def scan_clips(params, state, frames):
+                """frames: (T, S, 1280) -> (state', (T, S, L) scores)."""
+                def body(st, fr):
+                    return step(params, st, fr)
+                return jax.lax.scan(body, state, frames, unroll=unroll)
+            return scan_clips
+
+        steady = self._build_step(steady=True)
+        F = self.max_head_frames
 
         def scan_clips(params, state, frames):
-            """frames: (T, S, 1280) -> (state', (T, S, L) scores)."""
+            """frames: (T, S, 1280) -> (state', (T, S, L) scores).
+
+            The first frame runs the full step (it may prime the caches);
+            the remaining frames run the lean steady body (see _build_step's
+            ``steady`` docs), which skips the per-frame mel_ring rewrite and
+            pushes embeddings into a circular double buffer — both rings are
+            reconstructed canonically once at scan exit, so the returned
+            state is layout-identical to stepwise prediction.
+            """
+            state, s0 = step(params, state, frames[0])
+            mel_ring0 = state.pop("mel_ring")
+            feat_ring0 = state.pop("feat_ring")
+            state["feat_ring2"] = jnp.concatenate([feat_ring0, feat_ring0], axis=1)
+            state["phase"] = jnp.zeros((), jnp.int32)
+
             def body(st, fr):
-                return step(params, st, fr)
-            return jax.lax.scan(body, state, frames, unroll=unroll)
+                return steady(params, st, fr)
+
+            state, (scores, mels) = jax.lax.scan(body, state, frames[1:],
+                                                 unroll=unroll)
+
+            q = state.pop("phase")
+            ring2 = state.pop("feat_ring2")
+            state["feat_ring"] = jax.lax.dynamic_slice_in_dim(ring2, q, F, axis=1)
+            t1, S = mels.shape[0], mels.shape[1]
+            mel_flat = jnp.moveaxis(mels, 0, 1).reshape(S, t1 * config.MELS_PER_CHUNK,
+                                                        config.N_MELS)
+            state["mel_ring"] = jnp.concatenate(
+                [mel_ring0, mel_flat], axis=1)[:, -MEL_RING:]
+            return state, jnp.concatenate([s0[None], scores], axis=0)
 
         return scan_clips
 

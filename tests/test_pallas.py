@@ -17,6 +17,20 @@ def test_pallas_melspec_matches_reference_op(rng):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-5)
 
 
+def test_pallas_three_pass_high_precision(rng):
+    """Precision.HIGH lowers to explicit hi/lo bf16 splits (Mosaic cannot
+    lower HIGH itself); deviation vs the exact path must stay at the
+    3-pass-bf16 level."""
+    import jax
+    windows = (rng.uniform(-1, 1, (5, 1760)) * 25000).astype(np.float32)
+    got = np.asarray(melspectrogram_pallas(jnp.asarray(windows), tile_s=4,
+                                           interpret=True,
+                                           precision=jax.lax.Precision.HIGH))
+    want = np.asarray(M.melspectrogram(jnp.asarray(windows),
+                                       apply_transform=False, top_db=None))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-4)
+
+
 def test_pallas_handles_silence(rng):
     windows = np.zeros((3, 1760), np.float32)
     got = np.asarray(melspectrogram_pallas(jnp.asarray(windows), tile_s=4,
