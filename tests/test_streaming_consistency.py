@@ -36,6 +36,22 @@ def test_engine_scan_matches_stepwise(rng):
     np.testing.assert_allclose(stepwise, scanned, atol=1e-6)
 
 
+def test_engine_scan_single_frame(rng):
+    """T=1 scan: the peeled first step runs, the inner steady scan is empty,
+    and the exit-time ring reconstruction must still return canonical state."""
+    audio = (rng.uniform(-1, 1, (3, 1280 * 2)) * 9000).astype(np.int16)
+    e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=3, rng_seed=0)
+    e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=3, rng_seed=0)
+    for t in range(2):   # T=1 scans back-to-back, mid-stream on the 2nd
+        step = e1.predict(audio[:, t * 1280:(t + 1) * 1280])
+        scan = e2.predict_frames(audio[None, :, t * 1280:(t + 1) * 1280])
+        np.testing.assert_allclose(step, scan[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e1.state["mel_ring"]),
+                               np.asarray(e2.state["mel_ring"]), atol=0)
+    np.testing.assert_allclose(np.asarray(e1.state["feat_ring"]),
+                               np.asarray(e2.state["feat_ring"]), atol=0)
+
+
 def test_mixed_architecture_model(rng, tmp_path):
     """dnn + mlp + rnn heads coexist in one Model."""
     import jax
