@@ -41,7 +41,8 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     engine = MultiStreamEngine(
         wakeword_models=[], n_streams=n_streams,
         incremental=os.environ.get("BENCH_INCREMENTAL", "1") == "1",
-        use_pallas_melspec=os.environ.get("BENCH_PALLAS", "0") == "1",
+        use_pallas_melspec=(None if "BENCH_PALLAS" not in os.environ
+                            else os.environ["BENCH_PALLAS"] == "1"),
         precision=os.environ.get("BENCH_PRECISION", "high"))
     step = engine._build_step()
     unroll = int(os.environ.get("BENCH_UNROLL", "2"))

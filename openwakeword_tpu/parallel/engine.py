@@ -105,31 +105,38 @@ class MultiStreamEngine:
         # reference does.
         self.incremental = bool(incremental)
         # use_pallas_melspec: fused VMEM-resident mel frontend kernel
-        # (ops.melspec_pallas). Standalone it beats the XLA mel path (0.132 s
-        # vs 0.144 s at 4096x50 on v5e, HIGHEST precision, 5e-5 dB match),
-        # but inside the fused step the pallas_call is a fusion barrier and
-        # the engine nets ~1% slower (50.6k vs 51.2k streams) -- so the
-        # default stays False; the kernel remains available for standalone
-        # mel workloads and experimentation (BENCH_PALLAS=1).
+        # (ops.melspec_pallas). Measured with pipelined dispatch it is a ~6%
+        # end-to-end engine win at 'high' (97,791 vs 91,627 rt streams,
+        # v5e 4096x50) and ~17% at 'bf16' (216,047 vs 183,999), at the same
+        # score drift as the XLA path (3.5e-5 vs 3.1e-5 at 'high';
+        # PERF_NOTES.md). Default (None): on for TPU backends, except in
+        # 'highest' mel mode where the XLA path is kept for bit-level parity
+        # with the host Model. Off on CPU (Mosaic needs interpret mode there).
+        if use_pallas_melspec is None:
+            mel_mode = (precision.get("mel", "high")
+                        if isinstance(precision, dict) else precision)
+            use_pallas_melspec = (jax.default_backend() == "tpu"
+                                  and mel_mode != "highest")
         self.use_pallas_melspec = bool(use_pallas_melspec)
         # scan_unroll: unroll factor for the multi-frame scan (predict_frames
         # / predict_clips). 2 software-pipelines consecutive frames so XLA
         # overlaps the many small CNN ops across iterations: measured +15%
         # (69.2k -> 79.7k rt streams, v5e 4096x50, 'high'); 3+ regresses.
         self.scan_unroll = int(scan_unroll)
-        # precision modes (measured on v5e, 4096 streams, real audio):
+        # precision modes (measured on v5e, 4096 streams, real audio,
+        # pipelined dispatch; PERF_NOTES.md):
         #   'high' (default) -- f32 params, 3-pass-bf16 MXU matmuls:
-        #                69,623 rt streams at |dScore| <= 1.4e-5 vs 'highest'
-        #                (74x inside the 1e-3 parity budget).
-        #   'highest' -- exact f32 (6-pass): 51,253 streams; for bit-level
-        #                debugging against the host Model path.
+        #                97,791 rt streams at |dScore| <= 3.5e-5 vs 'highest'
+        #                (~30x inside the 1e-3 parity budget).
+        #   'highest' -- exact f32 (6-pass); for bit-level debugging against
+        #                the host Model path.
         #   'fast'    -- f32 params AND f32 state rings, 1-pass-bf16 MXU
         #                matmuls (Precision.DEFAULT): only the matmul/conv
         #                inputs quantize, every accumulation and all stored
         #                state stay f32. Measured |dScore| <= 7.9e-3 -- over
         #                the 1e-3 parity budget (PERF_NOTES.md ladder).
         #   'bf16'    -- serving mode: weights, mel DFT, AND activation state
-        #                rings in bf16: 132,184 streams at |dScore| <= ~7e-3.
+        #                rings in bf16: 216,047 streams at |dScore| <= ~4e-3.
         # A dict {'mel': mode, 'cnn': mode, 'heads': mode} (modes from
         # 'highest'/'high'/'fast') sets the MXU precision per stage, f32
         # storage throughout -- for trading per-stage speed against the
