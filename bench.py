@@ -43,21 +43,24 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
         incremental=os.environ.get("BENCH_INCREMENTAL", "1") == "1",
         use_pallas_melspec=(None if "BENCH_PALLAS" not in os.environ
                             else os.environ["BENCH_PALLAS"] == "1"),
-        precision=os.environ.get("BENCH_PRECISION", "high"))
-    step = engine._build_step()
-    unroll = int(os.environ.get("BENCH_UNROLL", "2"))
+        precision=os.environ.get("BENCH_PRECISION", "high"),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "2")))
+    # drive the engine's real multi-frame program (the predict_frames path:
+    # peeled prime frame + steady body), reduced to a scalar for the sync fetch
+    scan = engine._build_scan()
 
     def run(params, state, frames):
-        def body(st, fr):
-            return step(params, st, fr)
-        state, scores = jax.lax.scan(body, state, frames, unroll=unroll)
+        state, scores = scan(params, state, frames)
         return state, jnp.mean(scores)
 
     run_jit = jax.jit(run, donate_argnums=(1,))
 
     rng = np.random.default_rng(0)
+    # int16 is what real PCM sources feed (BENCH_INT16=0 for f32): half the
+    # HBM scan-input traffic; the step casts on device
+    dtype = np.int16 if os.environ.get("BENCH_INT16", "1") == "1" else np.float32
     frames = jnp.asarray(rng.integers(-2000, 2000, (n_frames, n_streams, 1280))
-                         .astype(np.float32))
+                         .astype(dtype))
 
     # compile + warm-up (first fetch also forces the transfer program)
     state, mean = run_jit(engine.params, engine.state, frames)

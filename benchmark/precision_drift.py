@@ -1,0 +1,74 @@
+"""Score-drift measurement across the engine's precision / mel-kernel
+configurations, against the exact `precision='highest'` XLA path.
+
+Feeds the reference test WAVs (`/root/reference/tests/data`, or any 16 kHz
+mono clips passed on the command line) plus noise streams through the
+multi-stream engine and reports the max |dScore| of each configuration —
+the numbers behind the precision ladder in PERF_NOTES.md and the engine's
+precision docstring. The 1e-3 budget is the reference-parity bar (SURVEY.md
+section 6: scores must match released models to ~3 decimals).
+
+Usage:
+    python benchmark/precision_drift.py [clip.wav ...]
+"""
+
+import argparse
+import glob
+import wave
+
+import numpy as np
+
+
+def load_clips(paths):
+    clips = []
+    for p in paths:
+        with wave.open(p) as w:
+            if w.getframerate() != 16000 or w.getnchannels() != 1:
+                continue
+            clips.append(np.frombuffer(w.readframes(w.getnframes()), np.int16))
+    return clips
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("clips", nargs="*",
+                        default=sorted(glob.glob("/root/reference/tests/data/*.wav")))
+    parser.add_argument("--streams", type=int, default=64)
+    args = parser.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/owwt_jax_cache")
+    from openwakeword_tpu.parallel.engine import MultiStreamEngine
+
+    clips = load_clips(args.clips)
+    if not clips:
+        raise SystemExit("no usable 16 kHz mono clips")
+    n = min(len(c) for c in clips)
+    T, S = n // 1280, args.streams
+    audio = np.stack([clips[i % len(clips)][:T * 1280] for i in range(S)])
+    rng = np.random.default_rng(0)
+    if S > len(clips):
+        audio[len(clips):] = rng.integers(-8000, 8000, (S - len(clips), T * 1280))
+    frames = np.stack([audio[:, t * 1280:(t + 1) * 1280]
+                       for t in range(T)]).astype(np.int16)
+
+    def run(**kw):
+        e = MultiStreamEngine(wakeword_models=[], n_streams=S, rng_seed=0, **kw)
+        return e.predict_frames(frames)
+
+    ref = run(precision="highest", use_pallas_melspec=False)
+    configs = [
+        ("high, XLA mel", dict(precision="high", use_pallas_melspec=False)),
+        ("high, Pallas mel", dict(precision="high", use_pallas_melspec=True)),
+        ("fast", dict(precision="fast", use_pallas_melspec=False)),
+        ("bf16, XLA mel", dict(precision="bf16", use_pallas_melspec=False)),
+        ("bf16, Pallas mel", dict(precision="bf16", use_pallas_melspec=True)),
+    ]
+    for name, kw in configs:
+        out = run(**kw)
+        print(f"{name:>18}: max|dScore| vs highest = "
+              f"{np.abs(out - ref).max():.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

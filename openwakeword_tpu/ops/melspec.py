@@ -162,9 +162,15 @@ def frame_signal(x: jnp.ndarray,
     t = num_frames(n, n_fft, hop)
     if t <= 0:
         raise ValueError(f"Input of {n} samples is shorter than one {n_fft}-sample STFT frame")
+    lead = x.shape[:-1]
+    if hop > n_fft:
+        # non-overlapping frames with gaps: the segment construction below
+        # assumes hop <= n_fft, and there is no traffic win to chase (each
+        # sample is read at most once) — plain gather
+        idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
+        return x[..., idx]
     span = (t - 1) * hop + n_fft
     y = x[..., :span]
-    lead = x.shape[:-1]
     parts = []
     for j in range(-(-n_fft // hop)):
         w = min(hop, n_fft - j * hop)

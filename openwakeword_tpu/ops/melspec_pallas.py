@@ -9,12 +9,15 @@ first-step frame-validity mask; see parallel/engine.py).
 
 Numerics: in interpret mode this matches
 ops.melspec.melspectrogram(apply_transform=False, top_db=None) to float32
-rounding (tests/test_pallas.py). On real TPU the in-kernel dots run at the
-MXU's fast f32 precision (bf16 passes): measured deviation vs the
-HIGHEST-precision XLA path is <= 0.6 dB on speech (~0.06 in transformed
-units), with ~12% higher engine throughput (57,271 vs 51,227 streams at
-f32). It therefore pairs with the bf16 serving mode; the exact-parity
-default keeps the XLA path (engine flag use_pallas_melspec / BENCH_PALLAS=1).
+rounding (tests/test_pallas.py). Precision follows jax.lax.Precision:
+None/DEFAULT runs the MXU's fast bf16 passes; HIGH is implemented as
+explicit 3-pass bf16 hi/lo splits (Mosaic cannot lower Precision.HIGH
+itself); HIGHEST is exact f32. Measured in-engine with pipelined dispatch
+(PERF_NOTES.md): ~6% end-to-end win at 'high' and ~17% at 'bf16' vs the
+XLA mel path, at the same score drift (3.5e-5 vs 3.1e-5 at 'high' against
+'highest'), so the engine defaults to this kernel on TPU backends for
+every mel mode except 'highest' (which keeps the XLA path for bit-level
+parity with the host Model).
 """
 
 import functools
@@ -56,7 +59,9 @@ def _bf16_split(x):
 def _make_kernel(precision):
     # Mosaic does not lower Precision.HIGH; spell out its 3-pass-bf16
     # semantics (hi*hi + hi*lo + lo*hi) explicitly when requested.
-    three_pass = precision == jax.lax.Precision.HIGH
+    if isinstance(precision, str):        # 'high' etc. — normalize before
+        precision = jax.lax.Precision(precision)   # comparing, or the string
+    three_pass = precision == jax.lax.Precision.HIGH  # would slip through to Mosaic
     dot_prec = None if three_pass else precision
 
     def _dot(a, b_hi, b_lo):

@@ -35,6 +35,10 @@ from openwakeword_tpu.ops import melspec as melspec_ops
 
 MEL_RING = config.EMB_WINDOW_FRAMES          # 76 frames (chunk=1280 => k=1)
 VAD_RING = 7                                 # enough for the [-7:-4] gate window
+# steady-scan mel tail: circular double buffer of 8-row mel blocks, just
+# large enough to rebuild the 76-row mel_ring at scan exit
+MEL_TAIL_SLOTS = -(-MEL_RING // config.MELS_PER_CHUNK)      # 10
+MEL_TAIL_ROWS = MEL_TAIL_SLOTS * config.MELS_PER_CHUNK      # 80
 
 
 
@@ -396,8 +400,9 @@ class MultiStreamEngine:
             unconditionally and the top_db clamp covers all 8 frames;
           * ``mel_ring`` is not carried or rewritten (an 80 MB/frame
             concat-shift at 4096 streams whose value is only consumed by the
-            prime branch); the scan emits each frame's 8 mel rows instead and
-            the caller reconstructs the ring once at scan exit;
+            prime branch); each frame's 8 mel rows go into a small circular
+            tail (``mel_tail2``/``mel_phase``) from which the caller rebuilds
+            the ring once at scan exit — O(1) memory in scan length;
           * ``feat_ring`` becomes a circular double buffer ``feat_ring2`` of
             2F rows plus a ``phase`` cursor: pushing an embedding is two
             1-row writes instead of an F-row shift, and each head reads its
@@ -471,6 +476,14 @@ class MultiStreamEngine:
                 ring2 = jax.lax.dynamic_update_slice_in_dim(
                     state["feat_ring2"], embr, p, axis=1)
                 ring2 = jax.lax.dynamic_update_slice_in_dim(ring2, embr, p + F, axis=1)
+                # small circular tail of the last MEL_TAIL_SLOTS mel blocks
+                # (same double-buffer scheme, 8-row slots): mel_ring is
+                # rebuilt from it once at scan exit — O(1) in scan length
+                pm = state["mel_phase"]
+                tail2 = jax.lax.dynamic_update_slice_in_dim(
+                    state["mel_tail2"], mel, pm * 8, axis=1)
+                tail2 = jax.lax.dynamic_update_slice_in_dim(
+                    tail2, mel, pm * 8 + MEL_TAIL_ROWS, axis=1)
             else:
                 # First call after init/reset has no PCM look-back: the reference
                 # computes only 5 frames there (utils.py:393-397, window shorter
@@ -564,6 +577,8 @@ class MultiStreamEngine:
             if steady:
                 new_state["feat_ring2"] = ring2
                 new_state["phase"] = jax.lax.rem(p + 1, jnp.int32(F))
+                new_state["mel_tail2"] = tail2
+                new_state["mel_phase"] = jax.lax.rem(pm + 1, jnp.int32(MEL_TAIL_SLOTS))
             else:
                 new_state["mel_ring"] = mel_ring
                 new_state["feat_ring"] = feat_ring
@@ -607,9 +622,6 @@ class MultiStreamEngine:
                 # gate window ring[0:3] == prediction_buffer[-7:-4]
                 scores = gating.vad_gate(jnp, scores, vad_ring[:, 0:3], vad_threshold)
 
-            if steady:
-                # the scan caller reconstructs mel_ring from the emitted rows
-                return new_state, (scores, mel)
             return new_state, scores
 
         return step
@@ -627,6 +639,7 @@ class MultiStreamEngine:
 
         steady = self._build_step(steady=True)
         F = self.max_head_frames
+        n_labels = len(self.labels)
 
         def scan_clips(params, state, frames):
             """frames: (T, S, 1280) -> (state', (T, S, L) scores).
@@ -638,26 +651,36 @@ class MultiStreamEngine:
             reconstructed canonically once at scan exit, so the returned
             state is layout-identical to stepwise prediction.
             """
+            if frames.shape[0] == 0:
+                S = jax.tree.leaves(state)[0].shape[0]
+                return state, jnp.zeros((0, S, n_labels), jnp.float32)
             state, s0 = step(params, state, frames[0])
             mel_ring0 = state.pop("mel_ring")
             feat_ring0 = state.pop("feat_ring")
             state["feat_ring2"] = jnp.concatenate([feat_ring0, feat_ring0], axis=1)
             state["phase"] = jnp.zeros((), jnp.int32)
+            # mel tail init: last MEL_TAIL_ROWS rows = (pad | mel_ring); the
+            # pad rows age out and the exit slice takes only the last 76
+            S = mel_ring0.shape[0]
+            pad = jnp.zeros((S, MEL_TAIL_ROWS - MEL_RING, config.N_MELS),
+                            mel_ring0.dtype)
+            tail = jnp.concatenate([pad, mel_ring0], axis=1)
+            state["mel_tail2"] = jnp.concatenate([tail, tail], axis=1)
+            state["mel_phase"] = jnp.zeros((), jnp.int32)
 
             def body(st, fr):
                 return steady(params, st, fr)
 
-            state, (scores, mels) = jax.lax.scan(body, state, frames[1:],
-                                                 unroll=unroll)
+            state, scores = jax.lax.scan(body, state, frames[1:], unroll=unroll)
 
             q = state.pop("phase")
             ring2 = state.pop("feat_ring2")
             state["feat_ring"] = jax.lax.dynamic_slice_in_dim(ring2, q, F, axis=1)
-            t1, S = mels.shape[0], mels.shape[1]
-            mel_flat = jnp.moveaxis(mels, 0, 1).reshape(S, t1 * config.MELS_PER_CHUNK,
-                                                        config.N_MELS)
-            state["mel_ring"] = jnp.concatenate(
-                [mel_ring0, mel_flat], axis=1)[:, -MEL_RING:]
+            qm = state.pop("mel_phase")
+            tail2 = state.pop("mel_tail2")
+            ordered = jax.lax.dynamic_slice_in_dim(tail2, qm * 8, MEL_TAIL_ROWS,
+                                                   axis=1)
+            state["mel_ring"] = ordered[:, -MEL_RING:]
             return state, jnp.concatenate([s0[None], scores], axis=0)
 
         return scan_clips

@@ -26,14 +26,20 @@ def test_streaming_mel_matches_whole_clip(rng, monkeypatch):
 
 
 def test_engine_scan_matches_stepwise(rng):
-    audio = (rng.uniform(-1, 1, (3, 1280 * 8)) * 9000).astype(np.int16)
+    # T=40 wraps both steady-scan circular buffers (mel tail: 10 slots,
+    # feature ring: 34 rows), covering the phase-cursor arithmetic
+    T = 40
+    audio = (rng.uniform(-1, 1, (3, 1280 * T)) * 9000).astype(np.int16)
     e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=3, rng_seed=0)
     e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=3, rng_seed=0)
     stepwise = np.stack([e1.predict(audio[:, t * 1280:(t + 1) * 1280])
-                         for t in range(8)])
-    frames = np.stack([audio[:, t * 1280:(t + 1) * 1280] for t in range(8)])
+                         for t in range(T)])
+    frames = np.stack([audio[:, t * 1280:(t + 1) * 1280] for t in range(T)])
     scanned = e2.predict_frames(frames)
     np.testing.assert_allclose(stepwise, scanned, atol=1e-6)
+    for key in ("mel_ring", "feat_ring"):
+        np.testing.assert_array_equal(np.asarray(e1.state[key]),
+                                      np.asarray(e2.state[key]))
 
 
 def test_engine_scan_single_frame(rng):
