@@ -45,8 +45,8 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
                             else os.environ["BENCH_PALLAS"] == "1"),
         precision=os.environ.get("BENCH_PRECISION", "high"),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "2")))
-    # drive the engine's real multi-frame program (the predict_frames path:
-    # peeled prime frame + steady body), reduced to a scalar for the sync fetch
+    # drive the engine's real multi-frame program (the predict_frames path),
+    # reduced to a scalar for the sync fetch
     scan = engine._build_scan()
 
     def run(params, state, frames):

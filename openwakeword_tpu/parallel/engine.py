@@ -35,10 +35,6 @@ from openwakeword_tpu.ops import melspec as melspec_ops
 
 MEL_RING = config.EMB_WINDOW_FRAMES          # 76 frames (chunk=1280 => k=1)
 VAD_RING = 7                                 # enough for the [-7:-4] gate window
-# steady-scan mel tail: circular double buffer of 8-row mel blocks, just
-# large enough to rebuild the 76-row mel_ring at scan exit
-MEL_TAIL_SLOTS = -(-MEL_RING // config.MELS_PER_CHUNK)      # 10
-MEL_TAIL_ROWS = MEL_TAIL_SLOTS * config.MELS_PER_CHUNK      # 80
 
 
 
@@ -385,7 +381,7 @@ class MultiStreamEngine:
 
     # ------------------------------------------------------------------
 
-    def _build_step(self, masked: bool = False, steady: bool = False):
+    def _build_step(self, masked: bool = False):
         """The fused per-frame program. With ``masked`` the step takes an
         extra (S,) bool ``valid``: streams without a complete frame keep their
         audio state frozen and recycle their previous score (the reference's
@@ -393,21 +389,11 @@ class MultiStreamEngine:
         (score history, warm-up tick) still advances — matching what the
         single-stream Model does on sub-frame predict calls.
 
-        With ``steady`` (requires ``incremental``; used inside the multi-frame
-        scan after its peeled first step, where every stream is past its first
-        frame) the body is restructured to cut per-frame HBM traffic:
-          * no first-frame cond / prime branch — the streaming CNN step runs
-            unconditionally and the top_db clamp covers all 8 frames;
-          * ``mel_ring`` is not carried or rewritten (an 80 MB/frame
-            concat-shift at 4096 streams whose value is only consumed by the
-            prime branch); each frame's 8 mel rows go into a small circular
-            tail (``mel_tail2``/``mel_phase``) from which the caller rebuilds
-            the ring once at scan exit — O(1) memory in scan length;
-          * ``feat_ring`` becomes a circular double buffer ``feat_ring2`` of
-            2F rows plus a ``phase`` cursor: pushing an embedding is two
-            1-row writes instead of an F-row shift, and each head reads its
-            window as one contiguous dynamic slice.
-        Scores are identical to the full step (tests/test_streaming_consistency).
+        The multi-frame scan (_build_scan) runs this same body per frame: a
+        restructured "steady" body with circular rings and no first-frame
+        cond was built and measured strictly slower (dynamic-offset carry
+        updates defeat XLA's in-place while-loop aliasing — PERF_NOTES.md
+        round-2 negative results), so the full body is the scan body.
         """
         exec_plan = list(self._exec_plan)
         label_slices = list(self._label_slices)
@@ -437,8 +423,6 @@ class MultiStreamEngine:
         threshold_vec = jnp.asarray(self._threshold_vec)
         debounce_frames = self._debounce_frames
         top_db = config.MEL_TOP_DB
-        if steady and (masked or not incremental):
-            raise ValueError("steady step requires incremental=True and masked=False")
 
         def step(params, state, chunk, valid=None):
             """(params, state, (S, 1280) float32 raw PCM[, (S,) bool]) ->
@@ -454,43 +438,12 @@ class MultiStreamEngine:
                                                      compute_dtype=mel_dtype,
                                                      precision=mel_prec)      # (S, 8, 32) dB
 
-            if steady:
-                # every stream is past its first frame: all 8 frames are
-                # real, so the data-dependent clamp covers them all
-                if top_db is not None:
-                    peak = jnp.max(mel_raw, axis=(-2, -1), keepdims=True)
-                    mel_raw = jnp.maximum(mel_raw, peak - top_db)
-                mel = mel_raw * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
-                ring_dtype = state["feat_ring2"].dtype
-                mel = mel.astype(ring_dtype)
-                conv_caches, emb = embedding_stream.step(
-                    params["embedding"], state["conv_caches"], mel,
-                    precision=mm_prec)
-                conv_caches = jax.tree.map(
-                    lambda a, ref: a.astype(ref.dtype), conv_caches, state["conv_caches"])
-                # circular push: the cursor p marks the oldest logical row;
-                # write the new embedding at p and p+F, after which the
-                # ordered last-F window is the contiguous rows [p+1, p+1+F)
-                p = state["phase"]
-                embr = emb[:, None, :].astype(ring_dtype)
-                ring2 = jax.lax.dynamic_update_slice_in_dim(
-                    state["feat_ring2"], embr, p, axis=1)
-                ring2 = jax.lax.dynamic_update_slice_in_dim(ring2, embr, p + F, axis=1)
-                # small circular tail of the last MEL_TAIL_SLOTS mel blocks
-                # (same double-buffer scheme, 8-row slots): mel_ring is
-                # rebuilt from it once at scan exit — O(1) in scan length
-                pm = state["mel_phase"]
-                tail2 = jax.lax.dynamic_update_slice_in_dim(
-                    state["mel_tail2"], mel, pm * 8, axis=1)
-                tail2 = jax.lax.dynamic_update_slice_in_dim(
-                    tail2, mel, pm * 8 + MEL_TAIL_ROWS, axis=1)
-            else:
-                # First call after init/reset has no PCM look-back: the reference
-                # computes only 5 frames there (utils.py:393-397, window shorter
-                # than n+480). Frames 0..2 of our fixed window are fabricated from
-                # the zero tail then, so exclude them from the ring AND from the
-                # data-dependent top_db peak (clamp scope = the frames the
-                # reference's per-call graph invocation actually saw).
+            # First call after init/reset has no PCM look-back: the reference
+            # computes only 5 frames there (utils.py:393-397, window shorter
+            # than n+480). Frames 0..2 of our fixed window are fabricated from
+            # the zero tail then, so exclude them from the ring AND from the
+            # data-dependent top_db peak (clamp scope = the frames the
+            # reference's per-call graph invocation actually saw).
                 is_first = (state["frames_seen"] == 0)
                 frame_valid = jnp.arange(8)[None, :] >= jnp.where(is_first, 3, 0)[:, None]  # (S, 8)
                 if top_db is not None:
@@ -534,10 +487,7 @@ class MultiStreamEngine:
             label_cols = [None] * n_labels
             for kind, key, meta, members in exec_plan:
                 fh = int(meta["input_frames"])
-                if steady:
-                    w = jax.lax.dynamic_slice_in_dim(ring2, p + 1 + F - fh, fh, axis=1)
-                else:
-                    w = feat_ring[:, F - fh:, :]
+                w = feat_ring[:, F - fh:, :]
                 if kind == "stacked":
                     out = heads_lib.forward_stacked(params["heads"][key], w, meta,
                                                     precision=head_prec)            # (S,H,C)
@@ -574,14 +524,8 @@ class MultiStreamEngine:
                 "frames_seen": state["frames_seen"] + 1,
                 "ticks": state["ticks"] + 1,
             }
-            if steady:
-                new_state["feat_ring2"] = ring2
-                new_state["phase"] = jax.lax.rem(p + 1, jnp.int32(F))
-                new_state["mel_tail2"] = tail2
-                new_state["mel_phase"] = jax.lax.rem(pm + 1, jnp.int32(MEL_TAIL_SLOTS))
-            else:
-                new_state["mel_ring"] = mel_ring
-                new_state["feat_ring"] = feat_ring
+            new_state["mel_ring"] = mel_ring
+            new_state["feat_ring"] = feat_ring
             if incremental:
                 new_state["conv_caches"] = conv_caches
             if masked:
@@ -637,52 +581,27 @@ class MultiStreamEngine:
                 return jax.lax.scan(body, state, frames, unroll=unroll)
             return scan_clips
 
-        steady = self._build_step(steady=True)
-        F = self.max_head_frames
         n_labels = len(self.labels)
 
         def scan_clips(params, state, frames):
             """frames: (T, S, 1280) -> (state', (T, S, L) scores).
 
-            The first frame runs the full step (it may prime the caches);
-            the remaining frames run the lean steady body (see _build_step's
-            ``steady`` docs), which skips the per-frame mel_ring rewrite and
-            pushes embeddings into a circular double buffer — both rings are
-            reconstructed canonically once at scan exit, so the returned
-            state is layout-identical to stepwise prediction.
+            A restructured steady-state body (peeled prime frame, circular
+            double-buffered rings, no first-frame cond) was built and A/B
+            measured strictly slower than scanning the full step -- the
+            dynamic-offset carry updates defeat XLA's in-place while-loop
+            aliasing, forcing per-frame ring copies that outweigh the
+            concat-shift traffic they replace (PERF_NOTES.md round-2
+            negative results, 91.2-92.9k vs 98.8k rt streams at 'high').
+            The full step is the scan body.
             """
             if frames.shape[0] == 0:
                 S = jax.tree.leaves(state)[0].shape[0]
                 return state, jnp.zeros((0, S, n_labels), jnp.float32)
-            state, s0 = step(params, state, frames[0])
-            mel_ring0 = state.pop("mel_ring")
-            feat_ring0 = state.pop("feat_ring")
-            state["feat_ring2"] = jnp.concatenate([feat_ring0, feat_ring0], axis=1)
-            state["phase"] = jnp.zeros((), jnp.int32)
-            # mel tail init: last MEL_TAIL_ROWS rows = (pad | mel_ring); the
-            # pad rows age out and the exit slice takes only the last 76
-            S = mel_ring0.shape[0]
-            pad = jnp.zeros((S, MEL_TAIL_ROWS - MEL_RING, config.N_MELS),
-                            mel_ring0.dtype)
-            tail = jnp.concatenate([pad, mel_ring0], axis=1)
-            state["mel_tail2"] = jnp.concatenate([tail, tail], axis=1)
-            state["mel_phase"] = jnp.zeros((), jnp.int32)
 
             def body(st, fr):
-                return steady(params, st, fr)
-
-            state, scores = jax.lax.scan(body, state, frames[1:], unroll=unroll)
-
-            q = state.pop("phase")
-            ring2 = state.pop("feat_ring2")
-            state["feat_ring"] = jax.lax.dynamic_slice_in_dim(ring2, q, F, axis=1)
-            qm = state.pop("mel_phase")
-            tail2 = state.pop("mel_tail2")
-            ordered = jax.lax.dynamic_slice_in_dim(tail2, qm * 8, MEL_TAIL_ROWS,
-                                                   axis=1)
-            state["mel_ring"] = ordered[:, -MEL_RING:]
-            return state, jnp.concatenate([s0[None], scores], axis=0)
-
+                return step(params, st, fr)
+            return jax.lax.scan(body, state, frames, unroll=unroll)
         return scan_clips
 
     # ------------------------------------------------------------------
