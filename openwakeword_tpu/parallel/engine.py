@@ -106,8 +106,8 @@ class MultiStreamEngine:
         self.incremental = bool(incremental)
         # use_pallas_melspec: fused VMEM-resident mel frontend kernel
         # (ops.melspec_pallas). Measured with pipelined dispatch it is a ~6%
-        # end-to-end engine win at 'high' (97,791 vs 91,627 rt streams,
-        # v5e 4096x50) and ~17% at 'bf16' (216,047 vs 183,999), at the same
+        # end-to-end engine win at 'high' and ~17% at 'bf16' (v5e 4096x50),
+        # at the same
         # score drift as the XLA path (3.5e-5 vs 3.1e-5 at 'high';
         # PERF_NOTES.md). Default (None): on for TPU backends, except in
         # 'highest' mel mode where the XLA path is kept for bit-level parity
@@ -126,7 +126,7 @@ class MultiStreamEngine:
         # precision modes (measured on v5e, 4096 streams, real audio,
         # pipelined dispatch; PERF_NOTES.md):
         #   'high' (default) -- f32 params, 3-pass-bf16 MXU matmuls:
-        #                97,791 rt streams at |dScore| <= 3.5e-5 vs 'highest'
+        #                99,073 rt streams at |dScore| <= 3.5e-5 vs 'highest'
         #                (~30x inside the 1e-3 parity budget).
         #   'highest' -- exact f32 (6-pass); for bit-level debugging against
         #                the host Model path.
@@ -136,7 +136,7 @@ class MultiStreamEngine:
         #                state stay f32. Measured |dScore| <= 7.9e-3 -- over
         #                the 1e-3 parity budget (PERF_NOTES.md ladder).
         #   'bf16'    -- serving mode: weights, mel DFT, AND activation state
-        #                rings in bf16: 216,047 streams at |dScore| <= ~4e-3.
+        #                rings in bf16: 212,432 streams at |dScore| <= ~4e-3.
         # A dict {'mel': mode, 'cnn': mode, 'heads': mode} (modes from
         # 'highest'/'high'/'fast') sets the MXU precision per stage, f32
         # storage throughout -- for trading per-stage speed against the
@@ -444,44 +444,44 @@ class MultiStreamEngine:
             # the zero tail then, so exclude them from the ring AND from the
             # data-dependent top_db peak (clamp scope = the frames the
             # reference's per-call graph invocation actually saw).
-                is_first = (state["frames_seen"] == 0)
-                frame_valid = jnp.arange(8)[None, :] >= jnp.where(is_first, 3, 0)[:, None]  # (S, 8)
-                if top_db is not None:
-                    peak = jnp.max(jnp.where(frame_valid[:, :, None], mel_raw, -jnp.inf),
-                                   axis=(-2, -1), keepdims=True)
-                    mel_raw = jnp.maximum(mel_raw, peak - top_db)
-                mel = mel_raw * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
+            is_first = (state["frames_seen"] == 0)
+            frame_valid = jnp.arange(8)[None, :] >= jnp.where(is_first, 3, 0)[:, None]  # (S, 8)
+            if top_db is not None:
+                peak = jnp.max(jnp.where(frame_valid[:, :, None], mel_raw, -jnp.inf),
+                               axis=(-2, -1), keepdims=True)
+                mel_raw = jnp.maximum(mel_raw, peak - top_db)
+            mel = mel_raw * config.MEL_TRANSFORM_SCALE + config.MEL_TRANSFORM_SHIFT
 
-                ring_dtype = state["mel_ring"].dtype
-                mel = mel.astype(ring_dtype)
-                ring8 = jnp.concatenate([state["mel_ring"][:, 8:], mel], axis=1)
-                ring5 = jnp.concatenate([state["mel_ring"][:, 5:], mel[:, 3:]], axis=1)
-                mel_ring = jnp.where(is_first[:, None, None], ring5, ring8)
+            ring_dtype = state["mel_ring"].dtype
+            mel = mel.astype(ring_dtype)
+            ring8 = jnp.concatenate([state["mel_ring"][:, 8:], mel], axis=1)
+            ring5 = jnp.concatenate([state["mel_ring"][:, 5:], mel[:, 3:]], axis=1)
+            mel_ring = jnp.where(is_first[:, None, None], ring5, ring8)
 
-                if incremental:
-                    # All streams advance in lockstep, so first-ness is uniform;
-                    # the prime branch re-derives the activation caches from the
-                    # full window, later steps stream only the 8 new rows.
-                    any_first = jnp.any(is_first)
+            if incremental:
+                # All streams advance in lockstep, so first-ness is uniform;
+                # the prime branch re-derives the activation caches from the
+                # full window, later steps stream only the 8 new rows.
+                any_first = jnp.any(is_first)
 
-                    def prime(_):
-                        return embedding_stream.init_caches(params["embedding"], mel_ring,
-                                                            precision=mm_prec)
+                def prime(_):
+                    return embedding_stream.init_caches(params["embedding"], mel_ring,
+                                                        precision=mm_prec)
 
-                    def stream(_):
-                        return embedding_stream.step(params["embedding"],
-                                                     state["conv_caches"], mel,
-                                                     precision=mm_prec)
+                def stream(_):
+                    return embedding_stream.step(params["embedding"],
+                                                 state["conv_caches"], mel,
+                                                 precision=mm_prec)
 
-                    conv_caches, emb = jax.lax.cond(any_first, prime, stream, None)
-                    conv_caches = jax.tree.map(
-                        lambda a, ref: a.astype(ref.dtype), conv_caches, state["conv_caches"])
-                else:
-                    emb = embedding_model.apply_folded(params["embedding"], mel_ring,
-                                                       precision=mm_prec)          # (S, 96)
-                feat_ring = jnp.concatenate(
-                    [state["feat_ring"][:, 1:],
-                     emb[:, None, :].astype(state["feat_ring"].dtype)], axis=1)
+                conv_caches, emb = jax.lax.cond(any_first, prime, stream, None)
+                conv_caches = jax.tree.map(
+                    lambda a, ref: a.astype(ref.dtype), conv_caches, state["conv_caches"])
+            else:
+                emb = embedding_model.apply_folded(params["embedding"], mel_ring,
+                                                   precision=mm_prec)          # (S, 96)
+            feat_ring = jnp.concatenate(
+                [state["feat_ring"][:, 1:],
+                 emb[:, None, :].astype(state["feat_ring"].dtype)], axis=1)
 
             # score all heads: fused-group heads run as stacked einsums
             label_cols = [None] * n_labels
