@@ -63,7 +63,7 @@ def _attr(node, name, default=None):
     a = node["attributes"].get(name)
     if a is None:
         return default
-    for k in ("i", "f", "ints", "floats", "t", "g", "graphs"):
+    for k in ("i", "f", "ints", "floats", "t", "g", "graphs", "strings"):
         if k in a:
             return a[k]
     if "s" in a:
@@ -221,6 +221,8 @@ def _op_lstm(node, vals):
 
 
 def _pool_common(node, x, reducer, init):
+    if _attr(node, "ceil_mode", 0):
+        raise NotImplementedError("Pool with ceil_mode=1 is not supported")
     rank = x.ndim - 2
     kernel = tuple(_attr(node, "kernel_shape"))
     strides = tuple(_attr(node, "strides", [1] * rank))
@@ -350,9 +352,14 @@ def _op_reduce(fn_name):
         keep = bool(_attr(node, "keepdims", 1))
         xp = _xp([x])
         fn = getattr(xp, fn_name)
-        if axes is None and _attr(node, "noop_with_empty_axes", 0) and len(vals) > 1:
-            return [x]
-        ax = tuple(a % x.ndim for a in axes) if axes is not None else None
+        # ONNX Reduce*: an absent OR zero-length axes spec means "all axes"
+        # unless noop_with_empty_axes=1, which makes the node an identity
+        if axes is None or len(axes) == 0:
+            if _attr(node, "noop_with_empty_axes", 0):
+                return [x]
+            ax = None
+        else:
+            ax = tuple(a % x.ndim for a in axes)
         return [fn(x, axis=ax, keepdims=keep)]
     return impl
 
@@ -376,7 +383,7 @@ def _op_constant(node, vals):
         return [np.asarray(a["value"]["t"]["array"])]
     for k, cast in (("value_float", np.float32), ("value_int", np.int64)):
         if k in a:
-            return [np.asarray(_attr(node, k.split("_")[1] if False else k), cast)]
+            return [np.asarray(_attr(node, k), cast)]
     if "value_floats" in a:
         return [np.asarray(a["value_floats"]["floats"], np.float32)]
     if "value_ints" in a:
@@ -486,7 +493,10 @@ _OPS = {
     "Concat": lambda node, vals: [_xp(vals).concatenate(
         [v if not _is_static(v) or _xp(vals) is np else jnp.asarray(v) for v in vals],
         axis=int(_attr(node, "axis", 0)))],
-    "Shape": lambda node, vals: [np.asarray(vals[0].shape, np.int64)],
+    "Shape": lambda node, vals: [np.asarray(
+        vals[0].shape[int(_attr(node, "start", 0)):
+                      (int(_attr(node, "end")) if _attr(node, "end") is not None
+                       else len(vals[0].shape))], np.int64)],
     "Size": lambda node, vals: [np.asarray(int(np.prod(vals[0].shape)), np.int64)],
     "Range": lambda node, vals: [np.arange(int(_concrete(vals[0], "Range start")),
                                            int(_concrete(vals[1], "Range limit")),
@@ -588,7 +598,6 @@ class OnnxProgram:
         static: Dict[str, np.ndarray] = dict(self._static_inputs)
         for name, arr in inits.items():
             static[name] = np.asarray(arr)
-        changed = True
         pending = list(nodes)
         while pending:
             n = pending.pop(0)
@@ -623,7 +632,12 @@ class OnnxProgram:
             spliced = []
             for sn in branch["nodes"]:
                 sn = dict(sn)
-                sn["input"] = [rename.get(i, i) for i in sn["input"]]
+                # inputs must follow both renames: initializer de-collision
+                # AND the branch-output -> If-output mapping (an intra-branch
+                # consumer of a tensor that is also a branch output must read
+                # the producer's new outer name)
+                sn["input"] = [out_map.get(rename.get(i, i), rename.get(i, i))
+                               for i in sn["input"]]
                 sn["output"] = [out_map.get(rename.get(o, o), rename.get(o, o)) for o in sn["output"]]
                 spliced.append(sn)
             # If a branch output is a direct passthrough of an outer tensor,

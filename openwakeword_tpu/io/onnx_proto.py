@@ -82,8 +82,10 @@ def _decode_signed(v: int) -> int:
 
 # TensorProto.DataType
 TP_FLOAT, TP_UINT8, TP_INT8, TP_INT32, TP_INT64, TP_DOUBLE = 1, 2, 3, 6, 7, 11
+TP_BOOL = 9
 _NP_DTYPES = {TP_FLOAT: np.float32, TP_UINT8: np.uint8, TP_INT8: np.int8,
-              TP_INT32: np.int32, TP_INT64: np.int64, TP_DOUBLE: np.float64}
+              TP_INT32: np.int32, TP_INT64: np.int64, TP_DOUBLE: np.float64,
+              TP_BOOL: np.bool_}
 
 
 def decode_tensor(data) -> Dict:
@@ -149,6 +151,8 @@ def decode_attribute(data) -> Dict:
             else:
                 vals.append(_decode_signed(item))
         out["ints"] = vals
+    if 9 in f:   # repeated bytes strings (e.g. LSTM 'activations')
+        out["strings"] = [bytes(x) for x in f[9]]
     return out
 
 
@@ -238,7 +242,8 @@ def encode_tensor(name: str, arr: np.ndarray) -> bytes:
     out = bytearray()
     arr = np.asarray(arr)
     code = {np.dtype(np.float32): TP_FLOAT, np.dtype(np.int64): TP_INT64,
-            np.dtype(np.int32): TP_INT32, np.dtype(np.float64): TP_DOUBLE}[arr.dtype]
+            np.dtype(np.int32): TP_INT32, np.dtype(np.float64): TP_DOUBLE,
+            np.dtype(np.bool_): TP_BOOL}[arr.dtype]
     for d in arr.shape:
         _put_varint(out, 1, d)
     _put_varint(out, 2, code)
@@ -273,6 +278,10 @@ def encode_attribute(name: str, value) -> bytes:
         for v in value:
             _put_varint(out, 8, v)
         _put_varint(out, 20, 7)   # type INTS
+    elif isinstance(value, (list, tuple)) and all(isinstance(v, (str, bytes)) for v in value):
+        for v in value:
+            _put_bytes(out, 9, v.encode() if isinstance(v, str) else v)
+        _put_varint(out, 20, 8)   # type STRINGS (e.g. LSTM activations)
     elif isinstance(value, np.ndarray):
         _put_bytes(out, 5, encode_tensor(name + "_value", value))
         _put_varint(out, 20, 4)   # type TENSOR

@@ -46,7 +46,7 @@ def seven_band_eq(key, x, min_gain_db=-6.0, max_gain_db=6.0, sr=16000):
     gains = jax.random.uniform(key, (x.shape[0], centers.shape[0]),
                                minval=min_gain_db, maxval=max_gain_db)
     b, a = filters.peaking_coeffs(centers[None, :], 1.0, gains, sr)   # (B,7,3)
-    return filters.apply_cascade(x, b, a, sr)
+    return filters.apply_cascade(x, b, a)
 
 
 def band_stop(key, x, min_center_hz=200.0, max_center_hz=4000.0,
@@ -63,7 +63,7 @@ def band_stop(key, x, min_center_hz=200.0, max_center_hz=4000.0,
     frac = jax.random.uniform(k2, (B,), minval=min_bandwidth_fraction,
                               maxval=max_bandwidth_fraction)
     b, a = filters.notch_coeffs(center, 1.0 / frac, sr)               # (B, 3)
-    return filters.apply_cascade(x, b[:, None, :], a[:, None, :], sr)
+    return filters.apply_cascade(x, b[:, None, :], a[:, None, :])
 
 
 def colored_noise(key, shape, f_decay, sr=16000):

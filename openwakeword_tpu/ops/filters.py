@@ -57,9 +57,11 @@ def notch_coeffs(f0, q, sr: int = 16000) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return b, a
 
 
-def cascade_response(b: jnp.ndarray, a: jnp.ndarray, n_fft: int,
-                     sr: int = 16000) -> jnp.ndarray:
+def cascade_response(b: jnp.ndarray, a: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     """Complex frequency response of a biquad cascade on the rfft grid.
+
+    The grid is in normalized frequency — the sample rate only matters when
+    *designing* the coefficients (*_coeffs functions), not when applying them.
 
     Args:
         b, a: (..., K, 3) cascade coefficients (K sections).
@@ -78,7 +80,7 @@ def cascade_response(b: jnp.ndarray, a: jnp.ndarray, n_fft: int,
 
 
 def apply_cascade(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray,
-                  sr: int = 16000, pad: int = 8192) -> jnp.ndarray:
+                  pad: int = 8192) -> jnp.ndarray:
     """Filter (B, N) audio through a per-example biquad cascade (B, K, 3).
 
     Zero-state IIR semantics: zero-padding by ``pad`` samples pushes the
@@ -88,7 +90,7 @@ def apply_cascade(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray,
     """
     n = x.shape[-1]
     m = n + pad
-    h = cascade_response(b, a, m, sr)                                 # (B, F)
+    h = cascade_response(b, a, m)                                     # (B, F)
     spec = jnp.fft.rfft(x, n=m)
     y = jnp.fft.irfft(spec * h, n=m)[..., :n]
     return y.astype(x.dtype)

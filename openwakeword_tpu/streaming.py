@@ -41,12 +41,25 @@ class ChunkAccumulator:
 
     def push(self, x) -> Optional[np.ndarray]:
         """Add a packet; return the ready whole-frame samples (a multiple of
-        ``frame_samples``) or None when no frame completed."""
-        x = np.asarray(x, dtype=self._dtype).reshape(-1)
+        ``frame_samples``) or None when no frame completed.
+
+        The packet is copied on entry: clients commonly reuse one receive
+        buffer across packets, so stored views would be silently overwritten
+        before the engine consumes them. Float input is rejected rather than
+        unsafe-cast — normalized [-1, 1] float PCM would truncate to all
+        zeros (the engine expects raw int16-range values, reference
+        utils.py:194-199).
+        """
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating) and self._dtype == np.int16:
+            raise ValueError(
+                f"Expected 16-bit PCM audio (int16), got dtype {x.dtype}; "
+                "scale float audio to int16 range and cast before pushing")
+        x = x.astype(self._dtype, copy=True).reshape(-1)
         buf = np.concatenate([self._pending, x]) if self._pending.size else x
         n_ready = (buf.shape[0] // self.frame_samples) * self.frame_samples
         if n_ready == 0:
             self._pending = buf
             return None
-        self._pending = buf[n_ready:]
+        self._pending = buf[n_ready:].copy()
         return buf[:n_ready]

@@ -95,7 +95,7 @@ def _probe_mp3(data: bytes, file_size: int) -> Optional[AudioInfo]:
         tag_size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
             | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
         pos = 10 + tag_size
-    end = min(len(data) - 4, pos + 4096)
+    end = len(data) - 4
     while pos < end:
         if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
             b1, b2 = data[pos + 1], data[pos + 2]
@@ -144,12 +144,26 @@ def _probe_mp3(data: bytes, file_size: int) -> Optional[AudioInfo]:
 
 def probe(path: str) -> AudioInfo:
     """Parse an audio file's header -> AudioInfo. Raises ValueError for
-    unsupported/corrupt files."""
+    unsupported/corrupt files (the only exception this function raises for
+    bad file contents — truncated/malformed headers are caught internally)."""
     file_size = os.path.getsize(path)
     with open(path, "rb") as f:
         head = f.read(8192)
+        if head[:3] == b"ID3" and len(head) >= 10:
+            # an ID3v2 tag (cover art etc.) can be far larger than the probe
+            # window; read through it so the MP3 sync scan sees real frames
+            tag_size = ((head[6] & 0x7F) << 21) | ((head[7] & 0x7F) << 14) \
+                | ((head[8] & 0x7F) << 7) | (head[9] & 0x7F)
+            need = 10 + tag_size + 8192
+            if need > len(head):
+                head += f.read(need - len(head))
     for parser in (_probe_wav, _probe_flac, _probe_mp3):
-        info = parser(head, file_size)
+        try:
+            info = parser(head, file_size)
+        except (struct.error, IndexError):
+            # truncated or malformed header: treat like an unrecognized
+            # format rather than leaking parser internals to callers
+            info = None
         if info is not None:
             return info
     raise ValueError(f"Unsupported or corrupt audio file: {path} "

@@ -193,3 +193,34 @@ class TestPhonemizerHook:
                                            include_input_words=0.2)
         assert 0 < len(out) <= 8
         assert all(t != "hey zorblax" for t in out)
+
+
+def test_mp3_large_id3_tag(tmp_path):
+    """An ID3v2 tag bigger than the base probe window (cover art) must not
+    hide the MP3 sync frame (round-2 review)."""
+    from openwakeword_tpu.utils.audio_meta import probe
+    tag_body = b"\x00" * 60000                      # 60 KB of tag payload
+    sz = len(tag_body)
+    id3 = b"ID3\x04\x00\x00" + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                                      (sz >> 7) & 0x7F, sz & 0x7F]) + tag_body
+    # minimal MPEG1 Layer III frame header: 0xFFFB = sync + v1 + L3,
+    # 0x90 = 128 kbps @ 44.1 kHz, stereo
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+    p = tmp_path / "tagged.mp3"
+    p.write_bytes(id3 + frame * 4)
+    info = probe(str(p))
+    assert info.format == "mp3" and info.sample_rate == 44100
+
+
+def test_truncated_wav_raises_valueerror(tmp_path):
+    """Truncated headers must surface as the documented ValueError, not
+    struct.error/IndexError (round-2 review)."""
+    from openwakeword_tpu.utils.audio_meta import probe
+    p = tmp_path / "trunc.wav"
+    p.write_bytes(b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00")
+    with pytest.raises(ValueError):
+        probe(str(p))
+    p2 = tmp_path / "tiny.mp3"
+    p2.write_bytes(b"ID3\x04\x00")                  # <10 bytes
+    with pytest.raises(ValueError):
+        probe(str(p2))

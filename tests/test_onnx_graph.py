@@ -275,3 +275,93 @@ class TestOnnxProgramGeneral:
         prog = load_program(path)
         with pytest.raises(NotImplementedError, match="TotallyMadeUpOp"):
             prog.apply(prog.params, {"x": np.zeros((1, 4), np.float32)})
+
+
+class TestCompilerEdgeSemantics:
+    """Regressions for ONNX edge semantics found in round-2 review."""
+
+    def _prog(self, tmp_path, nodes, inits, ins, outs, fname="g.onnx"):
+        path = str(tmp_path / fname)
+        with open(path, "wb") as f:
+            f.write(op.encode_model(nodes, inits, ins, outs))
+        return load_program(path)
+
+    def test_reduce_absent_axes_reduces_all(self, tmp_path):
+        nodes = [op.encode_node("ReduceSum", ["x"], ["y"], keepdims=0)]
+        prog = self._prog(tmp_path, nodes, [],
+                          [op.encode_value_info("x", [2, 3])],
+                          [op.encode_value_info("y", [])])
+        x = np.arange(6, dtype=np.float32).reshape(2, 3)
+        got = np.asarray(prog.apply(prog.params, {"x": x})["y"])
+        np.testing.assert_allclose(got, x.sum())
+
+    def test_reduce_noop_with_empty_axes_is_identity(self, tmp_path):
+        # axes input slot absent entirely + noop_with_empty_axes=1 -> identity
+        nodes = [op.encode_node("ReduceSum", ["x"], ["y"], keepdims=0,
+                                noop_with_empty_axes=1)]
+        prog = self._prog(tmp_path, nodes, [],
+                          [op.encode_value_info("x", [2, 3])],
+                          [op.encode_value_info("y", [2, 3])])
+        x = np.arange(6, dtype=np.float32).reshape(2, 3)
+        got = np.asarray(prog.apply(prog.params, {"x": x})["y"])
+        np.testing.assert_allclose(got, x)
+
+    def test_shape_start_end_attrs(self, tmp_path):
+        nodes = [op.encode_node("Shape", ["x"], ["y"], start=1),
+                 op.encode_node("Shape", ["x"], ["z"], start=0, end=2)]
+        prog = self._prog(tmp_path, nodes, [],
+                          [op.encode_value_info("x", [2, 3, 5])],
+                          [op.encode_value_info("y", [2]),
+                           op.encode_value_info("z", [2])])
+        out = prog.apply(prog.params, {"x": np.zeros((2, 3, 5), np.float32)})
+        np.testing.assert_array_equal(np.asarray(out["y"]), [3, 5])
+        np.testing.assert_array_equal(np.asarray(out["z"]), [2, 3])
+
+    def test_lstm_custom_activations_rejected(self, tmp_path):
+        """The 'activations' attribute is a repeated-string field; it must be
+        decoded (onnx_proto field 9) so non-default activations error instead
+        of silently evaluating with sigmoid/tanh."""
+        rng = np.random.default_rng(44)
+        H, I = 4, 3
+        inits = [op.encode_tensor("W", rng.normal(0, .1, (1, 4 * H, I)).astype(np.float32)),
+                 op.encode_tensor("R", rng.normal(0, .1, (1, 4 * H, H)).astype(np.float32))]
+        nodes = [op.encode_node("LSTM", ["x", "W", "R"], ["Y"], hidden_size=H,
+                                activations=["HardSigmoid", "Tanh", "Tanh"])]
+        prog = self._prog(tmp_path, nodes, inits,
+                          [op.encode_value_info("x", [5, 1, I])],
+                          [op.encode_value_info("Y", [5, 1, 1, H])])
+        with pytest.raises(NotImplementedError, match="activations"):
+            prog.apply(prog.params, {"x": np.zeros((5, 1, I), np.float32)})
+
+    def test_pool_ceil_mode_rejected(self, tmp_path):
+        nodes = [op.encode_node("MaxPool", ["x"], ["y"], kernel_shape=[2],
+                                strides=[2], ceil_mode=1)]
+        prog = self._prog(tmp_path, nodes, [],
+                          [op.encode_value_info("x", [1, 1, 5])],
+                          [op.encode_value_info("y", [1, 1, 3])])
+        with pytest.raises(NotImplementedError, match="ceil_mode"):
+            prog.apply(prog.params, {"x": np.zeros((1, 1, 5), np.float32)})
+
+    def test_if_branch_output_consumed_inside_branch(self, tmp_path):
+        """A branch tensor that is both a branch output AND an input of a
+        later in-branch node: splicing renames the producer to the outer
+        name, so the consumer must be renamed too."""
+        from openwakeword_tpu.io.onnx_proto import GraphAttr
+        # then-branch: t1 = x + 1 (branch output #1); t2 = t1 * 2 (output #2)
+        b_nodes = [op.encode_node("Add", ["x", "one"], ["t1"]),
+                   op.encode_node("Mul", ["t1", "two"], ["t2"])]
+        b_inits = [op.encode_tensor("one", np.float32(1.0).reshape(())),
+                   op.encode_tensor("two", np.float32(2.0).reshape(()))]
+        branch = GraphAttr(op.encode_graph(
+            b_nodes, b_inits, [],
+            [op.encode_value_info("t1", [2]), op.encode_value_info("t2", [2])]))
+        nodes = [op.encode_node("If", ["cond"], ["o1", "o2"],
+                                then_branch=branch, else_branch=branch)]
+        inits = [op.encode_tensor("cond", np.asarray(True))]
+        prog = self._prog(tmp_path, nodes, inits,
+                          [op.encode_value_info("x", [2])],
+                          [op.encode_value_info("o1", [2]),
+                           op.encode_value_info("o2", [2])])
+        out = prog.apply(prog.params, {"x": np.asarray([1.0, 2.0], np.float32)})
+        np.testing.assert_allclose(np.asarray(out["o1"]), [2.0, 3.0])
+        np.testing.assert_allclose(np.asarray(out["o2"]), [4.0, 6.0])

@@ -152,3 +152,28 @@ def test_starved_slot_state_frozen(rng):
     # audio-path state identical => the processed frames' embeddings agree;
     # scores differ only through warm-up tick counts, so compare after warm-up
     np.testing.assert_allclose(scores1[5], scores2[5], atol=2e-4)
+
+
+def test_accumulator_copies_client_buffer(rng):
+    """Clients commonly reuse one receive buffer; stored views would be
+    silently overwritten before the engine consumes them (round-2 review)."""
+    from openwakeword_tpu.streaming import ChunkAccumulator
+    acc = ChunkAccumulator(frame_samples=8)
+    buf = np.arange(6, dtype=np.int16)          # 6 < 8: all pending
+    assert acc.push(buf) is None
+    buf[:] = -1                                  # client refills its buffer
+    ready = acc.push(np.arange(6, 12, dtype=np.int16))
+    np.testing.assert_array_equal(ready[:6], np.arange(6, dtype=np.int16))
+    # the returned frame must also be immune to later pushes
+    snapshot = ready.copy()
+    acc.push(np.full(16, 7, np.int16))
+    np.testing.assert_array_equal(ready, snapshot)
+
+
+def test_accumulator_rejects_float_audio():
+    """Normalized float PCM would truncate to all zeros under an int16
+    cast — reject it loudly like AudioFeatures._check_pcm does."""
+    from openwakeword_tpu.streaming import ChunkAccumulator
+    acc = ChunkAccumulator(frame_samples=4)
+    with pytest.raises(ValueError, match="int16"):
+        acc.push(np.asarray([0.1, -0.5, 0.9, 0.2], np.float32))
