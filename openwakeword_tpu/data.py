@@ -232,8 +232,12 @@ def truncate_clip(x, max_size, method="truncate_start"):
         if method == "truncate_end":
             x = x[0:max_size]
         if method == "truncate_both":
-            n = int(np.ceil(x.shape[0] - max_size) / 2)
-            x = x[n:-n][0:max_size]
+            # deliberate fix of a reference quirk (data.py:520-522): the
+            # reference computes int(np.ceil(overage)/2) and slices x[n:-n],
+            # which for a 1-sample overage gives n=0 -> x[0:-0] -> an EMPTY
+            # clip (silent positive-label corruption). Same intent, safe form:
+            n = int(np.ceil((x.shape[0] - max_size) / 2))
+            x = x[n:n + max_size]
         if method == "random":
             rn = np.random.randint(0, x.shape[0] - max_size)
             x = x[rn:rn + max_size]
@@ -510,15 +514,21 @@ class mmap_batch_generator:
         self.shapes = {label: self.data[label].shape for label in self.data.keys()}
 
         if not self.n_per_class:
-            scale_factor = 1
+            # per-label transform scale factors. Deliberate fix of a
+            # reference quirk (data.py:800-816): there `scale_factor` is
+            # initialized once OUTSIDE the label loop, so a label without a
+            # transform inherits the previous label's factor, skewing its
+            # quota (and the epoch estimate uses only the last factor).
             total = sum(s[0] for s in self.shapes.values())
+            factors = {}
             for lbl, shape in self.shapes.items():
+                factors[lbl] = 1.0
                 dummy = np.random.random((10, shape[1], shape[2]))
                 if (transform_func := self.data_transform_funcs.get(lbl, None)):
-                    scale_factor = transform_func(dummy).shape[0] / 10
+                    factors[lbl] = transform_func(dummy).shape[0] / 10
                 ratio = shape[0] / total
-                self.n_per_class[lbl] = max(1, int(int(batch_size * ratio) / scale_factor))
-            eff_batch = sum(v * scale_factor for v in self.n_per_class.values())
+                self.n_per_class[lbl] = max(1, int(int(batch_size * ratio) / factors[lbl]))
+            eff_batch = sum(v * factors[lbl] for lbl, v in self.n_per_class.items())
             self.batch_per_epoch = int(total // max(eff_batch, 1))
             logging.info("Batches/steps per epoch: %s", self.batch_per_epoch)
 

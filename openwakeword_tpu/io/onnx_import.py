@@ -77,6 +77,8 @@ def _extract_linears_and_lns(graph: Dict) -> Tuple[List[Dict], List[Dict], Dict]
 
     linears: List[Dict] = []
     lns: List[Dict] = []
+    # Adds consumed as a MatMul bias or LN beta: skipped when scanning (an
+    # initializer-Add is otherwise indistinguishable from a residual add)
     consumed_adds = set()
     tail = {"activation": None, "relu_before_softmax": False}
 
@@ -90,7 +92,19 @@ def _extract_linears_and_lns(graph: Dict) -> Tuple[List[Dict], List[Dict], Dict]
 
     nodes = graph["nodes"]
     for idx, n in enumerate(nodes):
+        if id(n) in consumed_adds:
+            continue
         t = n["op_type"]
+        if t == "LayerNormalization":
+            # single-op form (torch opset >= 17 exports): scale/bias are
+            # inputs 1 and 2
+            if len(n["input"]) < 3 or n["input"][1] not in inits \
+                    or n["input"][2] not in inits:
+                raise ValueError("LayerNormalization without initializer "
+                                 "scale/bias is not a supported head form")
+            lns.append({"gamma": np.asarray(inits[n["input"][1]], np.float32),
+                        "beta": np.asarray(inits[n["input"][2]], np.float32)})
+            continue
         if t == "Gemm":
             w = np.asarray(inits[n["input"][1]], np.float32)
             b = np.asarray(inits[n["input"][2]], np.float32) if len(n["input"]) > 2 \

@@ -252,6 +252,8 @@ def import_head_tflite(path: str, model: Dict = None) -> Tuple[Dict, Dict]:
     if not linears:
         raise ValueError(f"No FULLY_CONNECTED layers found in {path}")
     n_in = linears[0]["w"].shape[0]
+    if n_in % 96 != 0:
+        raise ValueError(f"Head input dim {n_in} is not a multiple of the 96-d embedding")
     input_frames = n_in // 96
     n_classes = linears[-1]["w"].shape[-1]
     layer_dim = linears[0]["w"].shape[-1]

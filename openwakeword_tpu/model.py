@@ -239,6 +239,17 @@ class Model():
             n_in = self.model_inputs[mdl]
             width = 1 if self.model_outputs[mdl] == 1 else len(self.class_mapping[mdl])
             if n_sub >= 1:
+                # the oldest sub-frame window must still be inside the
+                # feature ring; past that the reference's negative-index
+                # clamping yields ragged windows and an opaque concatenate
+                # crash (utils.py:454-460) — fail with an actionable message
+                cap = len(self.preprocessor.feature_buffer)
+                if n_in + n_sub - 1 > cap:
+                    raise ValueError(
+                        f"predict() received {n_sub} frames (~{n_sub * 80} ms) in "
+                        f"one call, but the {cap}-frame feature ring only covers "
+                        f"{cap - n_in + 1} sub-frame windows for model '{mdl}'; "
+                        "split long audio into smaller calls (predict_clip does)")
                 windows = np.concatenate(
                     [self.preprocessor.get_features(n_in, start_ndx=-n_in - i)
                      for i in range(n_sub - 1, -1, -1)])

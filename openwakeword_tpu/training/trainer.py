@@ -49,13 +49,23 @@ def lr_warmup_cosine_decay(global_step, warmup_steps=0, hold=0, total_steps=0,
 # Jitted programs (built once per head architecture)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("meta_items", "accum_target"))
+@partial(jax.jit, static_argnames=("meta_items", "accum_target", "true_acc"))
 def _train_step(params, opt_state, acc, x, y, neg_weight, lr,
-                meta_items, accum_target=128):
+                meta_items, accum_target=128, true_acc=False):
     """One fused training step with masked hard-example selection and the
     reference's accumulate-until-128 update gate.
 
-    acc: dict(n_acc, acc_steps) int32 scalars carried across steps.
+    acc: dict(n_acc, acc_steps) int32 scalars carried across steps (plus a
+    grad_sum pytree when ``true_acc``).
+
+    ``true_acc=False`` reproduces the reference exactly: its accumulation
+    path only ever calls loss.backward() on the step that crosses the
+    128-survivor gate (train.py:483-500 — earlier batches contribute to the
+    metrics concat and the 1/accumulation_steps divisor, but their gradients
+    are never computed), so the update applies just the gating batch's
+    gradient scaled by 1/acc_steps. ``true_acc=True`` implements the
+    documented intent instead: gradients are summed across the window and
+    the update applies their mean.
     Returns (params', opt_state', acc', stats).
     """
     meta = dict(meta_items)
@@ -94,6 +104,10 @@ def _train_step(params, opt_state, acc, x, y, neg_weight, lr,
     # neither trigger an update nor inflate the accumulation divisor.
     nonzero = n_survivors > 0
     do_update = ((acc["n_acc"] + n_survivors) >= accum_target) & nonzero
+    if true_acc:
+        # zero-survivor batches produce all-zero grads (every weight is
+        # masked), so unconditional summing is safe
+        grads = jax.tree.map(lambda s, g: s + g, acc["grad_sum"], grads)
     scaled = jax.tree.map(lambda g: g / acc["acc_steps"].astype(jnp.float32), grads)
 
     def apply(_):
@@ -109,6 +123,9 @@ def _train_step(params, opt_state, acc, x, y, neg_weight, lr,
         "acc_steps": jnp.where(do_update, 1,
                                acc["acc_steps"] + nonzero.astype(jnp.int32)),
     }
+    if true_acc:
+        new_acc["grad_sum"] = jax.tree.map(
+            lambda g: jnp.where(do_update, jnp.zeros_like(g), g), grads)
     stats = {"loss": loss, "n_survivors": n_survivors, "updated": do_update}
     return new_params, new_opt_state, new_acc, stats
 
@@ -246,11 +263,26 @@ class HeadTrainer:
     def train_model(self, X: Iterable, max_steps: int, warmup_steps: int, hold_steps: int,
                     X_val=None, false_positive_val_data=None, positive_test_clips=None,
                     negative_weight_schedule=(1,), val_steps=(250,), lr: float = 1e-4,
-                    val_set_hrs: float = 1.0):
+                    val_set_hrs: float = 1.0, true_accumulation: bool = False):
         """Train over an iterable of (x, y) numpy batches (reference
-        train.py:434-570 semantics; see module docstring)."""
+        train.py:434-570 semantics; see module docstring).
+
+        ``true_accumulation=True`` sums gradients across each accumulation
+        window instead of reproducing the reference's quirk of only
+        backpropagating the gating batch (see _train_step)."""
         val_steps = set(int(v) for v in np.asarray(val_steps).tolist())
+        # validation inputs are iterated once per validation round; a plain
+        # generator would silently exhaust after the first round (the
+        # reference takes re-iterable torch DataLoaders), so materialize
+        # anything that isn't a re-iterable sequence
+        def _reiterable(d):
+            return d if d is None or isinstance(d, (list, tuple)) else list(d)
+        X_val = _reiterable(X_val)
+        false_positive_val_data = _reiterable(false_positive_val_data)
+        positive_test_clips = _reiterable(positive_test_clips)
         acc = {"n_acc": jnp.asarray(0, jnp.int32), "acc_steps": jnp.asarray(1, jnp.int32)}
+        if true_accumulation:
+            acc["grad_sum"] = jax.tree.map(jnp.zeros_like, self._leaf(self.params))
         params = self._leaf(self.params)
         opt_state = self.opt_state
 
@@ -267,7 +299,7 @@ class HeadTrainer:
             params, opt_state, acc, stats = _train_step(
                 params, opt_state, acc, x, y,
                 jnp.asarray(neg_w, jnp.float32), jnp.asarray(step_lr, jnp.float32),
-                self._meta_items)
+                self._meta_items, true_acc=true_accumulation)
 
             if bool(stats["updated"]):
                 self.history["loss"].append(float(stats["loss"]))

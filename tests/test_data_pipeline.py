@@ -220,3 +220,31 @@ class TestBulkGenericPath:
                            prediction_function="_get_positive_prediction_frames",
                            threshold=0.0)
         assert p in out and "alexa" in out[p]
+
+
+class TestReviewRegressions:
+    def test_truncate_both_one_sample_overage(self, rng):
+        """Reference quirk fixed: max_size+1 used to yield an EMPTY clip
+        (x[0:-0]); now truncates symmetrically to max_size."""
+        import openwakeword_tpu.data as D
+        x = np.arange(41, dtype=np.float32)
+        out = D.truncate_clip(x, 40, "truncate_both")
+        assert out.shape == (40,)
+        out2 = D.truncate_clip(np.arange(50, dtype=np.float32), 40, "truncate_both")
+        assert out2.shape == (40,) and out2[0] == 5.0
+
+    def test_mmap_scale_factor_per_label(self, tmp_path, rng):
+        """A label WITHOUT a transform must not inherit the previous
+        label's transform scale factor (reference data.py:800-816 quirk)."""
+        import openwakeword_tpu.data as D
+        p0 = str(tmp_path / "a.npy")
+        p1 = str(tmp_path / "b.npy")
+        np.save(p0, rng.normal(0, 1, (100, 16, 96)).astype(np.float32))
+        np.save(p1, rng.normal(0, 1, (100, 16, 96)).astype(np.float32))
+        tripler = lambda x: np.concatenate([x, x, x])
+        gen = D.mmap_batch_generator({"expand": p0, "plain": p1}, batch_size=60,
+                                     data_transform_funcs={"expand": tripler})
+        # equal array sizes: each label gets batch_size*0.5 rows pre-transform
+        # quota; 'expand' divides its quota by 3, 'plain' must NOT
+        assert gen.n_per_class["expand"] == 10
+        assert gen.n_per_class["plain"] == 30

@@ -352,3 +352,13 @@ class TestRealWeightAccuracy:
         m = oww.Model(wakeword_models=["alexa"])
         ref = [p["alexa"] for p in m.predict_clip(test_clips["alexa"])]
         np.testing.assert_allclose(scores[:, 0, 0], ref, atol=1e-3)
+
+
+def test_predict_rejects_oversized_single_call(rng):
+    """More sub-frames than the feature ring covers must raise an actionable
+    error, not an opaque ragged-concatenate crash (reference utils.py:454-460
+    clamps negative indices into empty windows there)."""
+    import openwakeword_tpu as oww
+    m = oww.Model(wakeword_models=["alexa"])
+    with pytest.raises(ValueError, match="feature ring"):
+        m.predict(np.zeros(1280 * 125, np.int16))

@@ -127,3 +127,32 @@ def test_mesh_rejects_indivisible_batch(rng):
         t.train_model(iter([(rng.normal(0, 1, (33, 16, 96)).astype(np.float32),
                              rng.integers(0, 2, 33))]),
                       max_steps=1, warmup_steps=0, hold_steps=0, lr=1e-3)
+
+
+def test_true_accumulation_differs_from_reference_parity(rng):
+    """true_accumulation sums gradients across the accumulation window; the
+    default reproduces the reference's final-batch-only backward. With
+    batches small enough to force accumulation the two must diverge."""
+    from openwakeword_tpu.training.trainer import HeadTrainer
+
+    def batches():
+        while True:
+            x = rng.normal(0, 1, (48, 16, 96)).astype(np.float32)
+            y = (rng.uniform(size=48) > 0.5).astype(np.float32)
+            yield x, y
+
+    outs = []
+    for flag in (False, True):
+        rng_local = np.random.default_rng(0)
+        def batches_seeded():
+            while True:
+                x = rng_local.normal(0, 1, (48, 16, 96)).astype(np.float32)
+                y = (rng_local.uniform(size=48) > 0.5).astype(np.float32)
+                yield x, y
+        t = HeadTrainer(n_classes=1, input_shape=(16, 96), model_type="dnn",
+                        layer_dim=32, seed=0)
+        t.train_model(batches_seeded(), max_steps=12, warmup_steps=2,
+                      hold_steps=2, lr=1e-3, true_accumulation=flag)
+        outs.append(np.asarray(t.params["layer1"]["w"]))
+        assert np.isfinite(outs[-1]).all()
+    assert not np.allclose(outs[0], outs[1])

@@ -376,3 +376,49 @@ class TestTfliteBuiltinOptions:
             assert opt_type == expected[code], f"op {code}: options type {opt_type}"
             n_checked += 1
         assert n_checked >= 10
+
+
+def test_onnx_single_op_layernormalization(tmp_path, rng):
+    """torch opset >= 17 exports LayerNorm as one LayerNormalization node;
+    the head importer must pick up its scale/bias instead of silently
+    importing an LN-free 'mlp' (round-2 review)."""
+    import jax.numpy as jnp
+    from openwakeword_tpu.io import onnx_proto as op
+    from openwakeword_tpu.io.onnx_import import import_head_onnx
+    from openwakeword_tpu.models import heads
+    W1 = rng.normal(0, 0.1, (1536, 64)).astype(np.float32)
+    b1 = rng.normal(0, 0.1, 64).astype(np.float32)
+    g1 = rng.normal(1, 0.1, 64).astype(np.float32)
+    be1 = rng.normal(0, 0.1, 64).astype(np.float32)
+    W2 = rng.normal(0, 0.1, (64, 1)).astype(np.float32)
+    b2 = np.zeros(1, np.float32)
+    inits = [op.encode_tensor(n, a) for n, a in [
+        ("W1", W1), ("b1", b1), ("g1", g1), ("be1", be1), ("W2", W2), ("b2", b2),
+        ("shape", np.asarray([0, 1536], np.int64))]]
+    nodes = [
+        op.encode_node("Reshape", ["input", "shape"], ["flat"]),
+        op.encode_node("Gemm", ["flat", "W1", "b1"], ["fc1"]),
+        op.encode_node("LayerNormalization", ["fc1", "g1", "be1"], ["ln1"],
+                       axis=-1, epsilon=1e-5),
+        op.encode_node("Relu", ["ln1"], ["r1"]),
+        op.encode_node("Gemm", ["r1", "W2", "b2"], ["logits"]),
+        op.encode_node("Sigmoid", ["logits"], ["score"]),
+    ]
+    path = str(tmp_path / "ln17_head.onnx")
+    with open(path, "wb") as f:
+        f.write(op.encode_model(nodes, inits,
+                                [op.encode_value_info("input", ["b", 16, 96])],
+                                [op.encode_value_info("score", ["b", 1])]))
+    params, _ = import_head_onnx(path)
+    meta = params["__meta__"]
+    assert meta["model_type"] == "dnn" and meta["n_blocks"] == 0
+    np.testing.assert_array_equal(params["ln1"]["gamma"], g1)
+    # imported params must reproduce the graph numerics
+    x = rng.normal(0, 1, (4, 16, 96)).astype(np.float32)
+    got = np.asarray(heads.apply(params, jnp.asarray(x)))[:, 0]
+    flat = x.reshape(4, -1)
+    h = flat @ W1 + b1
+    mu, var = h.mean(-1, keepdims=True), h.var(-1, keepdims=True)
+    h = (h - mu) / np.sqrt(var + 1e-5) * g1 + be1
+    want = 1 / (1 + np.exp(-(np.maximum(h, 0) @ W2 + b2)))
+    np.testing.assert_allclose(got, want[:, 0], atol=1e-5)
