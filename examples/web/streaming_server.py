@@ -38,8 +38,6 @@ def resample_to_16k(x: np.ndarray, sr: int) -> np.ndarray:
 def main():
     from aiohttp import web, WSMsgType
 
-    model = oww.Model(wakeword_models=[args.model_path] if args.model_path else [])
-
     async def index(request):
         return web.FileResponse(os.path.join(os.path.dirname(__file__),
                                              "streaming_client.html"))
@@ -49,7 +47,11 @@ def main():
         await ws.prepare(request)
         sample_rate = 16000
         buffer = np.zeros(0, dtype=np.int16)
-        model.reset()
+        # per-connection Model: streaming state (feature ring, prediction
+        # buffer) is stateful, so concurrent clients must not share one
+        # instance (the jitted device programs are shared process-wide
+        # regardless, so this costs no extra compiles)
+        model = oww.Model(wakeword_models=[args.model_path] if args.model_path else [])
 
         async for msg in ws:
             if msg.type == WSMsgType.TEXT:

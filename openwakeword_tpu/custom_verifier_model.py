@@ -104,9 +104,16 @@ def train_custom_verifier(
                          " the positive reference clips contain the appropriate audio"
                          " for the desired model.")
 
+    if not negative_reference_clips:
+        raise ValueError("At least one negative reference clip is required to "
+                         "train a verifier (the classifier needs both classes)")
     negative_features = np.vstack(
         [get_reference_clip_features(i, oww, model_name, threshold=0.0, N=1)
          for i in negative_reference_clips])
+    if negative_features.shape[0] == 0:
+        raise ValueError("The negative features were not created! Negative "
+                         "reference clips must be at least two 1280-sample "
+                         "frames (160 ms) of 16 kHz audio.")
 
     lr_model = train_verifier_model(
         np.vstack((positive_features, negative_features)),

@@ -39,19 +39,30 @@ def warmup_zero(xp, scores, history_len):
     return xp.where(warm, scores, 0.0)
 
 
-def patience_filter(xp, scores, history, patience_vec, threshold_vec):
-    """Keep a nonzero score only when the trailing ``patience`` history
-    entries all reached the threshold.
+def patience_filter(xp, scores, raw_history, patience_vec, threshold_vec):
+    """Keep a score only when the wake word has been above threshold for
+    ``patience`` consecutive frames: the current raw score and the previous
+    ``patience - 1`` raw-history entries must all reach the threshold.
 
-    scores: (..., L); history: (..., L, H) oldest-first;
-    patience_vec / threshold_vec: (L,), patience 0 = filter disabled.
+    The history here is the *raw* (pre-filter) score history, NOT the
+    reported prediction buffer. The reference checks its prediction buffer
+    (model.py:346-352) — but it also stores *filtered* scores there
+    (model.py:361-363), so its patience condition can never become true and
+    the feature deadlocks (every activation suppressed forever). Checking
+    raw scores implements the documented behavior ("the number of
+    consecutive frames above the threshold before an activation",
+    reference README); COMPATIBILITY.md #22.
+
+    scores: (..., L) raw post-warm-up scores; raw_history: (..., L, H)
+    oldest-first raw scores from previous calls; patience_vec /
+    threshold_vec: (L,), patience 0 = filter disabled.
     """
-    h = history.shape[-1]
+    h = raw_history.shape[-1]
     idx = xp.arange(h)
-    in_window = idx >= (h - patience_vec[..., :, None])
-    hits = xp.sum((history >= threshold_vec[..., :, None]) & in_window, axis=-1)
-    satisfied = hits >= patience_vec
-    keep = (scores == 0.0) | (patience_vec <= 0) | satisfied
+    in_window = idx >= (h - (patience_vec[..., :, None] - 1))
+    misses = xp.sum((raw_history < threshold_vec[..., :, None]) & in_window, axis=-1)
+    satisfied = (misses == 0) & (scores >= threshold_vec)
+    keep = (patience_vec <= 0) | satisfied
     return xp.where(keep, scores, 0.0)
 
 

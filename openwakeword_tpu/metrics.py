@@ -33,6 +33,8 @@ def generate_roc_curve_fprs(scores: list, n_points: int = 25,
     """False-positive events per hour across n_points thresholds in
     [0.01, 0.99], assuming every prediction should be negative."""
     scores = np.asarray(scores)
+    if len(scores) == 0:
+        return [0.0] * n_points
     total_hours = time_per_prediction * len(scores) / 3600
     return [get_false_positives(scores, threshold=t, **kwargs) / total_hours
             for t in np.linspace(0.01, 0.99, num=n_points)]

@@ -129,8 +129,11 @@ class Model():
                     self._labels.append(cls)
                     self._label_parent[cls] = mdl_name
 
-        # Per-label score history for warm-up / patience / debounce
+        # Per-label score history for warm-up / debounce (reported scores)
+        # and the raw pre-filter history the patience filter reads
         self.prediction_buffer: DefaultDict[str, deque] = defaultdict(
+            partial(deque, maxlen=config.PREDICTION_BUFFER_MAX))
+        self.raw_score_buffer: DefaultDict[str, deque] = defaultdict(
             partial(deque, maxlen=config.PREDICTION_BUFFER_MAX))
 
         # Noise suppression (native C++ spectral-subtraction module; the
@@ -184,6 +187,8 @@ class Model():
     def reset(self):
         """Reset the prediction and audio feature buffers."""
         self.prediction_buffer = defaultdict(partial(deque, maxlen=config.PREDICTION_BUFFER_MAX))
+        # raw (pre-filter) scores: what the patience filter reads
+        self.raw_score_buffer = defaultdict(partial(deque, maxlen=config.PREDICTION_BUFFER_MAX))
         self.preprocessor.reset()
 
     # ------------------------------------------------------------------
@@ -295,32 +300,50 @@ class Model():
         hist_len = np.array([len(self.prediction_buffer[lbl]) for lbl in self._labels])
         scores = gating.warmup_zero(np, scores, hist_len)
 
+        raw_scores = scores
+
         use_patience, use_debounce = gating.validate_gating_args(
             patience, threshold, debounce_time)
         if use_patience or use_debounce:
             h = config.PREDICTION_BUFFER_MAX
-            history = np.zeros((L, h), dtype=np.float32)
-            for i, lbl in enumerate(self._labels):
-                past = np.fromiter(self.prediction_buffer[lbl], dtype=np.float32)
-                if past.size:
-                    history[i, -past.size:] = past
+
+            def _history(buffers):
+                hist = np.zeros((L, h), dtype=np.float32)
+                for i, lbl in enumerate(self._labels):
+                    past = np.fromiter(buffers[lbl], dtype=np.float32)
+                    if past.size:
+                        hist[i, -past.size:] = past
+                return hist
+
             parents = [self.get_parent_model_from_label(lbl) for lbl in self._labels]
             threshold_vec = np.array([threshold.get(p, np.inf) for p in parents],
                                      dtype=np.float32)
             if use_patience:
+                # patience reads the RAW score history (gating.patience_filter
+                # docs; the reported buffer would deadlock the filter)
                 patience_vec = np.array([patience.get(p, 0) for p in parents])
-                scores = gating.patience_filter(np, scores, history,
+                scores = gating.patience_filter(np, scores, self._raw_history(h),
                                                 patience_vec, threshold_vec)
             else:
+                history = _history(self.prediction_buffer)
                 frame_seconds = max(n_prepared, 1) / self.preprocessor.sr
                 n_frames = int(np.ceil(debounce_time / frame_seconds))
                 active = np.array([p in threshold for p in parents])
                 scores = gating.debounce_filter(np, scores, history, threshold_vec,
                                                 min(n_frames, h), active)
 
-        for lbl, s in zip(self._labels, scores):
+        for lbl, raw, s in zip(self._labels, raw_scores, scores):
+            self.raw_score_buffer[lbl].append(float(raw))
             self.prediction_buffer[lbl].append(float(s))
         return scores
+
+    def _raw_history(self, h: int) -> np.ndarray:
+        hist = np.zeros((len(self._labels), h), dtype=np.float32)
+        for i, lbl in enumerate(self._labels):
+            past = np.fromiter(self.raw_score_buffer[lbl], dtype=np.float32)
+            if past.size:
+                hist[i, -past.size:] = past
+        return hist
 
     # ------------------------------------------------------------------
 

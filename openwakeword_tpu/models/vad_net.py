@@ -4,10 +4,13 @@ The reference gates predictions with Silero's frozen ``silero_vad.onnx``
 (reference openwakeword/vad.py:54-130): stateful inference over audio frames
 with explicit LSTM state h, c of shape (2, B, 64) carried across calls, and
 *variable* frame sizes (the reference's predict defaults to 480 samples while
-its __call__ path feeds 640). This network therefore operates per STFT frame:
-any input length >= 256 samples maps to (len-256)//112+1 internal LSTM steps
--- 480-sample frames take 3 steps, 640-sample frames 4 -- so no audio is
-discarded regardless of chunking.
+its __call__ path feeds 640). This network operates per STFT frame: any
+input length >= 256 samples maps to (len-256)//112+1 internal LSTM steps.
+The 480-sample default tiles exactly (3 steps cover all 480 samples); other
+frame sizes drop the sub-hop tail that doesn't fill a frame (640-sample
+calls: 4 steps cover samples 0..591, the final 48 are unseen). The framing
+is identical at training (training/vad.py) and inference, so the bundled
+checkpoint's calibration assumes it.
 
 Weights: train with openwakeword_tpu.training.vad (or import a compatible
 checkpoint); a deterministic random init keeps the pipeline runnable without

@@ -303,6 +303,10 @@ class MultiStreamEngine:
             "frames_seen": jnp.zeros((S,), jnp.int32),   # processed frames (drives cache priming)
             "ticks": jnp.zeros((S,), jnp.int32),         # predict calls (drives warm-up)
         }
+        if self._use_patience:
+            # raw (pre-filter) score ring: what the patience filter reads
+            state["raw_hist"] = jnp.zeros(
+                (S, len(self.labels), config.PREDICTION_BUFFER_MAX), jnp.float32)
         if self.incremental:
             # shape-correct caches; values are overwritten by the first
             # step's prime branch (which re-derives them from mel_ring)
@@ -509,9 +513,11 @@ class MultiStreamEngine:
             # Shared warm-up / patience / debounce post-processing (gating.py;
             # the host Model runs the same functions with numpy)
             scores = gating.warmup_zero(jnp, scores, state["ticks"])
+            raw_scores = scores
             hist = state["score_hist"]                                         # (S, L, HIST)
             if use_patience:
-                scores = gating.patience_filter(jnp, scores, hist,
+                # patience reads the RAW score history (see patience_filter)
+                scores = gating.patience_filter(jnp, scores, state["raw_hist"],
                                                 patience_vec, threshold_vec)
             elif use_debounce:
                 scores = gating.debounce_filter(jnp, scores, hist,
@@ -524,6 +530,9 @@ class MultiStreamEngine:
                 "frames_seen": state["frames_seen"] + 1,
                 "ticks": state["ticks"] + 1,
             }
+            if use_patience:
+                new_state["raw_hist"] = gating.push_history(
+                    jnp, state["raw_hist"], raw_scores)
             new_state["mel_ring"] = mel_ring
             new_state["feat_ring"] = feat_ring
             if incremental:

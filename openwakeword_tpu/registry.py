@@ -106,6 +106,12 @@ def resolve_wakeword_models(wakeword_models):
                         if i.replace(" ", "_") in j.split(os.path.sep)[-1]]
             if not matching:
                 raise ValueError(f"Could not find pretrained model for model name '{i}'")
+            if len(matching) > 1:
+                # the reference silently loads matching[0] under the requested
+                # label (model.py:96-100); an ambiguous substring like 'hey'
+                # matches three pretrained models — raise instead
+                opts = ", ".join(os.path.basename(m) for m in sorted(matching))
+                raise ValueError(f"Model name '{i}' is ambiguous: matches {opts}")
             paths.append(matching[0])
             names.append(i)
     return paths, names

@@ -135,22 +135,33 @@ def main(argv=None):
 
     # ------------------------------------------------------------------
     if args.augment_clips:
-        out_file = os.path.join(feature_save_dir, "positive_features_train.npy")
-        if not os.path.exists(out_file) or args.overwrite:
+        split_outputs = ((positive_train, "positive_features_train.npy"),
+                         (negative_train, "negative_features_train.npy"),
+                         (positive_test, "positive_features_test.npy"),
+                         (negative_test, "negative_features_test.npy"))
+        # resume-safe: features are computed into a .tmp name and renamed on
+        # completion, and the skip check requires EVERY split to exist — a
+        # crash mid-stage can therefore never leave a partial (zero-filled
+        # memmap) file that later runs mistake for finished features
+        all_done = all(os.path.exists(os.path.join(feature_save_dir, name))
+                       for _, name in split_outputs)
+        if not all_done or args.overwrite:
             logging.info("Augmenting clips and computing features...")
-            for split_dir, out_name in ((positive_train, "positive_features_train.npy"),
-                                        (negative_train, "negative_features_train.npy"),
-                                        (positive_test, "positive_features_test.npy"),
-                                        (negative_test, "negative_features_test.npy")):
+            for split_dir, out_name in split_outputs:
+                final_path = os.path.join(feature_save_dir, out_name)
+                if os.path.exists(final_path) and not args.overwrite:
+                    continue
                 clips = [str(i) for i in Path(split_dir).glob("*.wav")] \
                     * config.get("augmentation_rounds", 1)
                 gen = augment_clips(clips, total_length=config["total_length"],
                                     batch_size=config.get("augmentation_batch_size", 128),
                                     background_clip_paths=background_paths,
                                     RIR_paths=rir_paths)
+                tmp_path = final_path + ".tmp.npy"
                 compute_features_from_generator(
                     gen, n_total=len(clips), clip_duration=config["total_length"],
-                    output_file=os.path.join(feature_save_dir, out_name))
+                    output_file=tmp_path)
+                os.replace(tmp_path, final_path)
         else:
             logging.warning("Features already exist; skipping augmentation "
                             "(use --overwrite to recompute)")
@@ -193,8 +204,11 @@ def main(argv=None):
         fp_path = config.get("false_positive_validation_data_path")
         if fp_path and os.path.exists(fp_path):
             fp_feats = np.load(fp_path)
-            windows = np.array([fp_feats[i:i + input_shape[0]]
-                                for i in range(0, fp_feats.shape[0] - input_shape[0], 1)])
+            # zero-copy stride-1 windows: the dense list-comprehension form
+            # allocates ~16x the source array (~3 GB for the recommended
+            # 11 h validation set)
+            windows = np.lib.stride_tricks.sliding_window_view(
+                fp_feats, input_shape[0], axis=0)[:-1].transpose(0, 2, 1)
             X_val_fp = [(windows, np.zeros(windows.shape[0], np.float32))]
 
         X_val_pos = np.load(os.path.join(feature_save_dir, "positive_features_test.npy"))

@@ -19,10 +19,16 @@ _DEFAULT_TARGET = os.path.join(pathlib.Path(__file__).parent.parent.resolve(),
 
 
 def download_file(url: str, target_directory: str, file_size=None):
-    """Stream one file from a URL (requests, with tqdm when available)."""
+    """Stream one file from a URL (requests, with tqdm when available).
+
+    Streams to a ``.part`` name and renames on success, so an interrupted
+    download never leaves a truncated file that later runs mistake for a
+    complete artifact."""
     import requests
     local_filename = url.split("/")[-1]
     os.makedirs(target_directory, exist_ok=True)
+    final_path = os.path.join(target_directory, local_filename)
+    part_path = final_path + ".part"
     with requests.get(url, stream=True, timeout=60) as r:
         r.raise_for_status()
         try:
@@ -31,14 +37,20 @@ def download_file(url: str, target_directory: str, file_size=None):
             bar = tqdm(total=total, unit="iB", unit_scale=True, desc=local_filename)
         except ImportError:
             bar = None
-        with open(os.path.join(target_directory, local_filename), "wb") as f:
-            for chunk in r.iter_content(chunk_size=8192):
-                f.write(chunk)
-                if bar:
-                    bar.update(len(chunk))
+        try:
+            with open(part_path, "wb") as f:
+                for chunk in r.iter_content(chunk_size=8192):
+                    f.write(chunk)
+                    if bar:
+                        bar.update(len(chunk))
+        except BaseException:
+            if os.path.exists(part_path):
+                os.remove(part_path)
+            raise
         if bar:
             bar.close()
-    return os.path.join(target_directory, local_filename)
+    os.replace(part_path, final_path)
+    return final_path
 
 
 def convert_to_native(artifact_path: str, output_path: str = "") -> str:
@@ -92,6 +104,13 @@ def download_models(model_names: List[str] = [],
     if model_names:
         wanted = {k: v for k, v in registry.MODELS.items()
                   if any(m in v["download_url"].split("/")[-1] or m == k for m in model_names)}
+        unmatched = [m for m in model_names
+                     if not any(m in v["download_url"].split("/")[-1] or m == k
+                                for k, v in registry.MODELS.items())]
+        if unmatched:
+            raise ValueError(
+                f"Unknown model name(s) {unmatched}; known models: "
+                f"{sorted(registry.MODELS.keys())}")
     urls += [v["download_url"] for v in wanted.values()]
 
     for url in urls:

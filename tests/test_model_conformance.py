@@ -123,6 +123,31 @@ class TestModels:
                             patience={"alexa": 30}, threshold={"alexa": 1.1})
             assert out["alexa"] == 0.0
 
+    def test_patience_eventually_fires(self, rng):
+        """Patience must report an activation once the wake word has been
+        above threshold for N consecutive frames. The reference's version
+        can never fire (it checks a buffer that stores its own filtered
+        zeros, model.py:346-363); ours checks the raw score history
+        (COMPATIBILITY.md #22)."""
+        m = oww.Model(wakeword_models=["alexa"])
+        calls = {"n": 0}
+
+        def fake_pred(x):
+            calls["n"] += 1
+            score = 0.9 if calls["n"] >= 10 else 0.01
+            return np.array([[score]], dtype=np.float32)
+        m.model_prediction_function["alexa"] = fake_pred
+
+        outs = []
+        for _ in range(20):
+            out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16),
+                            patience={"alexa": 3}, threshold={"alexa": 0.5})
+            outs.append(out["alexa"])
+        # frames 10-11 are above threshold but not yet 3-consecutive;
+        # from frame 12 the activation must be reported
+        assert outs[8] == 0.0 and outs[9] == 0.0 and outs[10] == 0.0
+        assert all(o >= 0.5 for o in outs[11:])
+
     def test_debounce_single_activation(self, test_clips, monkeypatch):
         """A wake phrase must activate exactly once with debounce enabled
         (reference test_models.py:217-231). Random heads have no trained

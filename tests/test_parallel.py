@@ -94,6 +94,18 @@ class TestEngineGating:
             s = engine.predict(audio[:, t * 1280:(t + 1) * 1280])
             assert (s == 0).all()
 
+    def test_patience_matches_model(self, audio):
+        """Engine and Model run the same raw-history patience filter."""
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                                   patience={"alexa": 2}, threshold={"alexa": 0.3})
+        m = oww.Model(wakeword_models=["alexa"])
+        for t in range(15):
+            chunk = audio[0, t * 1280:(t + 1) * 1280]
+            s_e = engine.predict(chunk[None, :])[0, 0]
+            s_m = m.predict(chunk, patience={"alexa": 2},
+                            threshold={"alexa": 0.3})["alexa"]
+            np.testing.assert_allclose(s_e, s_m, atol=1e-5, err_msg=f"frame {t}")
+
     def test_vad_gate(self, audio):
         engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, vad_threshold=1.1)
         for t in range(15):
