@@ -172,6 +172,9 @@ class AudioFeatures():
     def _get_embeddings_from_melspec(self, melspec: np.ndarray) -> np.ndarray:
         """(76, 32[, 1]) or (B, 76, 32[, 1]) mel window(s) -> (B, 96) embeddings."""
         m = np.asarray(melspec, dtype=np.float32)
+        if m.ndim == 3 and m.shape[-1] == 1:
+            # a single (76, 32, 1) window, not a batch of (32, 1) images
+            m = m[None]
         if m.ndim == 2:
             m = m[None]
         if m.ndim == 4:
@@ -192,10 +195,17 @@ class AudioFeatures():
         return out.reshape(len(starts), config.EMB_DIM)
 
     def get_embedding_shape(self, audio_length: float, sr: int = None):
-        """Output embedding array shape for a clip of ``audio_length`` seconds."""
+        """Output embedding array shape for a clip of ``audio_length`` seconds.
+
+        Closed form — running the device pipeline on dummy audio (as the
+        reference does, utils.py:238-241) would compile a fresh program per
+        clip length just to read a shape."""
         sr = sr or self.sr
-        x = (np.random.uniform(-1, 1, int(audio_length * sr)) * 32767).astype(np.int16)
-        return self._get_embeddings(x).shape
+        n_samples = int(audio_length * sr)
+        frames = melspec_ops.num_frames(n_samples)
+        n_windows = max(0, (frames - config.EMB_WINDOW_FRAMES)
+                        // config.EMB_STEP_FRAMES + 1)
+        return (n_windows, config.EMB_DIM)
 
     # ------------------------------------------------------------------
     # Batch path (training feature pre-compute)

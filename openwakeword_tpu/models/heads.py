@@ -132,9 +132,12 @@ def _lstm_scan(p, xs, reverse=False):
 def apply(params: Dict, x: jnp.ndarray, inference: bool = True) -> jnp.ndarray:
     """Score a (B, F, 96) embedding window -> (B, n_classes).
 
-    With ``inference=True`` multiclass heads return softmax probabilities
-    (matching the reference's export-time softmax wrapper, train.py:152-165);
-    training code uses ``inference=False`` to get logits for the CE loss.
+    Binary heads (n_classes == 1) return sigmoid probabilities regardless of
+    ``inference`` (the architecture ends in Sigmoid, reference train.py:75-83;
+    the trainer's BCE consumes probabilities). For multiclass heads,
+    ``inference=True`` returns softmax probabilities (matching the
+    reference's export-time softmax wrapper, train.py:152-165) and
+    ``inference=False`` returns the (optionally ReLU'd) logits for CE loss.
     """
     return forward(params, x, params["__meta__"], inference)
 

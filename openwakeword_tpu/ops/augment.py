@@ -80,20 +80,6 @@ def colored_noise(key, shape, f_decay, sr=16000):
     return (noise / jnp.maximum(peak, 1e-9)).astype(jnp.float32)
 
 
-def mix_at_snr(fg, bg, snr_db, start=0):
-    """Insert fg into bg at `start`, scaling fg so the fg:bg energy ratio is
-    snr_db, then halve (reference data.py mix_clip:491-497 semantics)."""
-    fg_rms = jnp.linalg.norm(fg, axis=-1, keepdims=True)
-    bg_rms = jnp.linalg.norm(bg, axis=-1, keepdims=True)
-    scale = 10.0 ** (jnp.asarray(snr_db)[..., None] / 20.0) * bg_rms / jnp.maximum(fg_rms, 1e-9)
-    if fg.shape[-1] == bg.shape[-1] and (np.ndim(start) == 0 and start == 0):
-        return (bg + scale * fg) / 2.0
-    pad = bg.shape[-1] - fg.shape[-1]
-    fg_full = jnp.pad(fg, [(0, 0)] * (fg.ndim - 1) + [(0, pad)])
-    rolled = jax.vmap(jnp.roll)(fg_full, jnp.broadcast_to(jnp.asarray(start), (fg.shape[0],)))
-    return (bg + scale * rolled) / 2.0
-
-
 def add_noise_at_snr(key, x, noise, min_snr_db, max_snr_db):
     """Add noise to x at a random per-example SNR (x is the signal):
     noise scaled so snr = rms(x)/rms(noise) in dB."""
@@ -107,15 +93,21 @@ def add_noise_at_snr(key, x, noise, min_snr_db, max_snr_db):
 def reverberate(x, rir, rescale_amp="avg"):
     """FFT convolution with an RIR, shifted to the RIR's direct path and
     rescaled to the input's average amplitude (speechbrain semantics used at
-    reference data.py:692-694)."""
+    reference data.py:692-694). ``rir`` may be one (L,) response shared by
+    the batch or per-example (B, L) responses (per-example peak
+    normalization and direct-path alignment)."""
     n = x.shape[-1]
-    rir = rir / jnp.maximum(jnp.max(jnp.abs(rir)), 1e-9)
-    direct = jnp.argmax(jnp.abs(rir))
+    rir = rir / jnp.maximum(jnp.max(jnp.abs(rir), axis=-1, keepdims=True), 1e-9)
+    direct = jnp.argmax(jnp.abs(rir), axis=-1)       # () shared or (B,)
     m = n + rir.shape[-1] - 1
     X = jnp.fft.rfft(x, n=m)
     H = jnp.fft.rfft(rir, n=m)
     y = jnp.fft.irfft(X * H, n=m)
-    y = jax.lax.dynamic_slice_in_dim(y, direct, n, axis=-1)
+    if direct.ndim == 0:
+        y = jax.lax.dynamic_slice_in_dim(y, direct, n, axis=-1)
+    else:
+        y = jax.vmap(lambda row, d: jax.lax.dynamic_slice_in_dim(row, d, n))(
+            y, jnp.broadcast_to(direct, y.shape[:-1]))
     if rescale_amp == "avg":
         amp_in = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)
         amp_out = jnp.mean(jnp.abs(y), axis=-1, keepdims=True)
@@ -168,6 +160,11 @@ def pitch_shift(key, x, min_semitones=-3.0, max_semitones=3.0,
     n = x.shape[-1]
     window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
     t_in = (n - n_fft) // hop + 1
+    if t_in < 2:
+        # the vocoder interpolates between analysis frames; 0 frames would
+        # silently return zeros and 1 frame indexes an empty phase-delta axis
+        raise ValueError(f"pitch_shift needs at least {n_fft + hop} samples "
+                         f"(2 analysis frames); got {n}")
     idx = np.arange(t_in)[:, None] * hop + np.arange(n_fft)[None, :]
     spec = jnp.fft.rfft(x[..., idx] * window, axis=-1)          # (B, T, F)
     mag, phase = jnp.abs(spec), jnp.angle(spec)

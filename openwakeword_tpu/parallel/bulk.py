@@ -16,8 +16,14 @@ from openwakeword_tpu import config
 
 
 def _read_wav(path: str) -> np.ndarray:
+    """16-bit WAV -> mono int16 (channel 0), like data.read_audio."""
     with wave.open(path, mode="rb") as f:
-        return np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+        if f.getsampwidth() != 2:
+            raise ValueError(f"{path}: only 16-bit PCM WAV is supported "
+                             f"(got {8 * f.getsampwidth()}-bit)")
+        pcm = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+        ch = f.getnchannels()
+        return pcm.reshape(-1, ch)[:, 0] if ch > 1 else pcm
 
 
 def bulk_predict(file_paths: List[str],

@@ -64,6 +64,12 @@ class VAD():
         self.reset_states()
 
     def reset_states(self, batch_size: int = 1):
+        # the predict path always scores one stream (chunk[None]); the
+        # reference accepts the same argument and has the same constraint
+        # (vad.py:92-96) — reject other values instead of corrupting state
+        if batch_size != 1:
+            raise ValueError("VAD.predict scores one stream; batch_size must "
+                             "be 1 (use MultiStreamEngine for batched VAD)")
         self._h = np.zeros((config.VAD_STATE_LAYERS, batch_size, config.VAD_STATE_DIM), dtype=np.float32)
         self._c = np.zeros((config.VAD_STATE_LAYERS, batch_size, config.VAD_STATE_DIM), dtype=np.float32)
 
@@ -73,6 +79,9 @@ class VAD():
         frame size >= 256 samples is scored in full (the network steps once
         per internal STFT frame), matching the reference's variable-frame
         behavior (vad.py:98-127)."""
+        if x.shape[0] == 0:
+            # np.mean([]) would poison the gate buffer with NaN
+            return 0.0
         scores = []
         h, c = jnp.asarray(self._h), jnp.asarray(self._c)
         for i in range(0, x.shape[0], frame_size):

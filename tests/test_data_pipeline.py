@@ -248,3 +248,39 @@ class TestReviewRegressions:
         # quota; 'expand' divides its quota by 3, 'plain' must NOT
         assert gen.n_per_class["expand"] == 10
         assert gen.n_per_class["plain"] == 30
+
+    def test_reverberate_batched_rirs(self, rng):
+        """Per-example (B, L) RIRs align each row to its own direct path
+        (round-3 review: the flattened argmax applied one wrong shift)."""
+        import jax.numpy as jnp
+        from openwakeword_tpu.ops import augment
+        B, n, L = 3, 2000, 400
+        x = jnp.asarray(rng.normal(0, 0.3, (B, n)).astype(np.float32))
+        rirs = np.zeros((B, L), np.float32)
+        delays = [10, 150, 300]
+        for i, d in enumerate(delays):
+            rirs[i, d] = 1.0          # pure delay: reverberate(x) == x
+        out = np.asarray(augment.reverberate(x, jnp.asarray(rirs)))
+        np.testing.assert_allclose(out, np.asarray(x), atol=1e-3)
+        # shared 1-D RIR path unchanged
+        rir1 = np.zeros(L, np.float32); rir1[42] = 1.0
+        out1 = np.asarray(augment.reverberate(x, jnp.asarray(rir1)))
+        np.testing.assert_allclose(out1, np.asarray(x), atol=1e-3)
+
+    def test_pitch_shift_rejects_short_input(self, rng):
+        import jax
+        from openwakeword_tpu.ops import augment
+        with pytest.raises(ValueError, match="analysis frames"):
+            augment.pitch_shift(jax.random.PRNGKey(0),
+                                np.zeros((2, 800), np.float32))
+
+    def test_bulk_read_wav_stereo(self, tmp_path, rng):
+        import wave
+        from openwakeword_tpu.parallel.bulk import _read_wav
+        stereo = rng.integers(-5000, 5000, (1000, 2)).astype(np.int16)
+        p = str(tmp_path / "st.wav")
+        with wave.open(p, "wb") as f:
+            f.setnchannels(2); f.setsampwidth(2); f.setframerate(16000)
+            f.writeframes(stereo.tobytes())
+        mono = _read_wav(p)
+        np.testing.assert_array_equal(mono, stereo[:, 0])
