@@ -25,26 +25,9 @@ import jax.numpy as jnp
 from openwakeword_tpu.models import embedding as E
 
 
-def _conv(x, w, padding, precision=None):
-    if precision is None:
-        precision = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
-    return jax.lax.conv_general_dilated(
-        x.astype(w.dtype), w, window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=precision)
-
-
-def _pool(x, window, strides, padding):
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, window[0], window[1], 1),
-        window_strides=(1, strides[0], strides[1], 1),
-        padding=padding)
-
-
-def _clipped_leaky(x):
-    return jnp.maximum(jnp.maximum(0.2 * x, x), -0.4)
+# shared with the full-window evaluator: one definition keeps the
+# streaming path bit-identical to embedding.apply_folded by construction
+from openwakeword_tpu.models.embedding import _clipped_leaky, _conv, _pool  # noqa: E402
 
 
 def cache_spec() -> List[Tuple[str, int]]:

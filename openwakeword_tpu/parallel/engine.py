@@ -280,8 +280,13 @@ class MultiStreamEngine:
         # identically initialized (the reference seeds per-instance noise,
         # utils.py:169; at 50k streams per-stream seeding would cost ~2M
         # embedding windows for no behavioral benefit).
-        noise = rng.integers(-1000, 1000, 16000 * config.FEATURE_SEED_SECONDS).astype(np.float32)
         F = self.max_head_frames
+        # 4 s of noise yields 41 embedding windows; a head with
+        # input_frames > 41 needs a longer seed to fill its ring
+        n_samples = 16000 * config.FEATURE_SEED_SECONDS
+        need_mel_rows = 76 + 8 * (F - 1)
+        n_samples = max(n_samples, (need_mel_rows + 4) * 160)
+        noise = rng.integers(-1000, 1000, n_samples).astype(np.float32)
 
         @jax.jit
         def _seed(emb_params, noise):
@@ -463,10 +468,16 @@ class MultiStreamEngine:
             mel_ring = jnp.where(is_first[:, None, None], ring5, ring8)
 
             if incremental:
-                # All streams advance in lockstep, so first-ness is uniform;
-                # the prime branch re-derives the activation caches from the
-                # full window, later steps stream only the 8 new rows.
-                any_first = jnp.any(is_first)
+                # The prime branch re-derives every stream's activation
+                # caches from its 76-row mel_ring (the CNN's receptive field
+                # is exactly 76 frames, so the caches are a pure function of
+                # the ring — correct for steady streams too); the stream
+                # branch advances only the 8 new rows. In the masked step a
+                # frozen slot keeps frames_seen==0 indefinitely (unleased
+                # server slots), so only VALID first-frames may trigger the
+                # prime — otherwise one empty slot would force the ~8x prime
+                # path for the whole pool on every serving tick.
+                any_first = jnp.any(is_first & valid) if masked else jnp.any(is_first)
 
                 def prime(_):
                     return embedding_stream.init_caches(params["embedding"], mel_ring,
@@ -679,6 +690,10 @@ class MultiStreamEngine:
         n = clips.shape[1]
         # reference predict_clip frame count: len(range(0, n-1280, 1280))
         T = -(-(n - config.CHUNK_SAMPLES) // config.CHUNK_SAMPLES)
+        if T <= 0:
+            # clips of <= one frame with padding=0: the reference's chunk
+            # range is empty and it returns no predictions
+            return np.zeros((0, S, len(self.labels)), dtype=np.float32)
         frames = np.stack([clips[:, i * 1280:(i + 1) * 1280] for i in range(T)])
         self.reset()
         return self.predict_frames(frames)

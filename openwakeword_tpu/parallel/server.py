@@ -46,10 +46,9 @@ class StreamServer:
         self._free = deque(range(self.capacity))
         self._active: Dict[int, dict] = {}
         self._frame_counter = 0
-        # template rows for slot resets (fresh state at index 0), kept on
-        # device; resets are jitted per-row scatters (O(1 row), no host trip)
-        self._fresh_row = jax.tree.map(lambda a: jnp.asarray(a[0:1]),
-                                       self.engine.init_state(1))
+        # template rows for slot resets, kept on device; resets are jitted
+        # per-row scatters (O(1 row), no host trip)
+        self._fresh_row = self.engine.init_state(1)
         self._reset_fn = jax.jit(
             lambda state, fresh, sid: jax.tree.map(
                 lambda full, row: full.at[sid].set(row[0]), state, fresh),

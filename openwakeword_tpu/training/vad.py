@@ -23,13 +23,20 @@ from openwakeword_tpu.models import vad_net
 FRAME = vad_net.FRAME_SAMPLES  # 480
 
 
-def _frame_labels_from_energy(clip: np.ndarray, rel_db: float = -30.0) -> np.ndarray:
-    """Per-480-sample-frame voice labels from a relative energy gate."""
+def _frame_labels_from_energy(clip: np.ndarray, rel_db: float = -30.0,
+                              abs_floor: float = 1e-4) -> np.ndarray:
+    """Per-480-sample-frame voice labels from a relative energy gate.
+
+    ``abs_floor`` (on [-1, 1]-normalized audio, ~ -80 dBFS) keeps a crop
+    that is entirely silence from labeling itself as speech: with only the
+    relative gate, uniform near-zero rms gives rms/peak ~= 1 > -30 dB for
+    every frame."""
     n = len(clip) // FRAME
     frames = clip[:n * FRAME].reshape(n, FRAME)
     rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=-1) + 1e-12)
     peak = rms.max() + 1e-12
-    return (20 * np.log10(rms / peak) > rel_db).astype(np.float32)
+    rel_ok = 20 * np.log10(rms / peak) > rel_db
+    return (rel_ok & (rms > abs_floor)).astype(np.float32)
 
 
 def build_training_sequences(speech_clips: Sequence[np.ndarray],

@@ -34,9 +34,13 @@ def time_fn(fn, *args, repeats: int = 5, **kwargs) -> Dict[str, float]:
     reduced to a scalar and fetched to host, which is the only reliable
     completion barrier on the axon backend."""
     def sync(out):
-        leaves = jax.tree.leaves(out)
-        if leaves:
-            _ = float(jax.numpy.asarray(leaves[0]).ravel()[0])
+        # fetch one element of EVERY leaf: a callable that dispatches
+        # multiple device programs is only complete when each program's
+        # output is ready, not just the first
+        for leaf in jax.tree.leaves(out):
+            arr = jax.numpy.asarray(leaf).ravel()
+            if arr.size:
+                _ = float(arr[0])
 
     out = fn(*args, **kwargs)   # compile + warm
     sync(out)

@@ -266,3 +266,39 @@ class TestPrecisionModes:
         with pytest.raises(ValueError):
             MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
                               precision={"vad": "high"})
+
+
+class TestReviewRegressions:
+    def test_engine_head_with_long_context(self, tmp_path):
+        """A head with input_frames > 41 needs a longer noise seed than the
+        reference's 4 s (41 windows); init must extend it, not crash."""
+        import jax
+        from openwakeword_tpu.io.checkpoints import save_checkpoint
+        from openwakeword_tpu.models import heads
+        p = heads.init_params(jax.random.PRNGKey(0), "dnn", 50, 1, layer_dim=32)
+        path = str(tmp_path / "long_head.npz")
+        save_checkpoint(path, "head", p)
+        e = MultiStreamEngine(wakeword_models=[path], n_streams=2)
+        assert e.state["feat_ring"].shape == (2, 50, 96)
+        s = e.predict(np.zeros((2, 1280), np.int16))
+        assert s.shape == (2, 1)
+
+    def test_predict_clips_subframe_clip_padding_zero(self):
+        """<= 1280-sample clips with padding=0: the reference's chunk range
+        is empty and it returns no predictions (was np.stack([]) crash)."""
+        e = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2)
+        out = e.predict_clips(np.zeros((2, 1000), np.int16), padding=0)
+        assert out.shape == (0, 2, 1)
+
+    def test_masked_step_partial_occupancy_scores(self, audio):
+        """With one never-started slot permanently invalid, the active slot's
+        masked-step scores must still match a plain engine (the prime/stream
+        branch choice may differ but both are bit-identical by design)."""
+        e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0)
+        e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1, rng_seed=0)
+        for t in range(6):
+            chunk = audio[0, t * 1280:(t + 1) * 1280]
+            s1 = e1.predict_masked(np.stack([chunk, np.zeros(1280, np.int16)]),
+                                   np.array([True, False]))
+            s2 = e2.predict(chunk[None])
+            np.testing.assert_allclose(s1[0], s2[0], atol=1e-6, err_msg=f"frame {t}")
