@@ -4,7 +4,12 @@ stream-minor (lanes) dot_general layout, isolated from the rest of the step.
 Run on real TPU (no platform override):  python benchmark/bench_cnn.py
 """
 
+import os
+import sys
 import time
+
+# runnable from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -12,8 +17,8 @@ import jax.numpy as jnp
 
 from openwakeword_tpu.models import embedding as E, embedding_stream as ES
 
-S = int(__import__("os").environ.get("BENCH_STREAMS", 4096))
-T = int(__import__("os").environ.get("BENCH_FRAMES", 50))
+S = int(os.environ.get("BENCH_STREAMS", 4096))
+T = int(os.environ.get("BENCH_FRAMES", 50))
 PREC = jax.lax.Precision.HIGH
 
 
@@ -57,8 +62,8 @@ def bench_pallas():
     rng = np.random.default_rng(0)
     mel0 = jnp.asarray(rng.normal(0, 1, (76, 32, S)).astype(np.float32))
     frames = jnp.asarray(rng.normal(0, 1, (T, 8, 32, S)).astype(np.float32))
-    k = CnnStepKernel(folded, sb=int(__import__("os").environ.get("BENCH_SB", 128)),
-                      precision=__import__("os").environ.get("BENCH_KPREC", "high"))
+    k = CnnStepKernel(folded, sb=int(os.environ.get("BENCH_SB", 128)),
+                      precision=os.environ.get("BENCH_KPREC", "high"))
     caches, _ = k.prime(mel0)
 
     @jax.jit

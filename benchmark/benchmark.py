@@ -7,6 +7,11 @@ Usage:
 """
 
 import argparse
+import os
+import sys
+
+# runnable from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
