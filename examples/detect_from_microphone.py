@@ -9,6 +9,7 @@ Usage:
 """
 
 import argparse
+import sys
 
 import numpy as np
 
@@ -23,7 +24,20 @@ parser.add_argument("--vad_threshold", type=float, default=0.0,
                     help="Silero-style VAD gating threshold (0 disables)")
 parser.add_argument("--noise_suppression", action="store_true",
                     help="Enable the native noise-suppression preprocessor")
+parser.add_argument("--threshold", type=float, default=0.5,
+                    help="Score at or above which a detection is shown")
 args = parser.parse_args()
+
+
+def render_table(scores: dict, threshold: float) -> str:
+    """One fixed-width table frame: a header plus one row per label."""
+    name_w = max(12, max((len(k) for k in scores), default=0))
+    lines = [f"{'label':<{name_w}}  score   status",
+             "-" * (name_w + 26)]
+    for label, score in scores.items():
+        status = "DETECTED" if score >= threshold else ""
+        lines.append(f"{label:<{name_w}}  {max(score, 0.0):.3f}   {status:<10}")
+    return "\n".join(lines)
 
 
 def main():
@@ -38,30 +52,27 @@ def main():
         vad_threshold=args.vad_threshold,
         enable_speex_noise_suppression=args.noise_suppression,
     )
-    n_models = len(model.models)
 
-    print("\n\n")
-    print("#" * 100)
-    print("Listening for wakewords...")
-    print("#" * 100)
-    print("\n" * (n_models * 3))
-
-    while True:
-        frame = np.frombuffer(mic_stream.read(args.chunk_size), dtype=np.int16)
-        prediction = model.predict(frame)
-
-        n_spaces = 16
-        output_string_header = """
-            Model Name         | Score | Wakeword Status
-            --------------------------------------
-            """
-        for mdl in model.prediction_buffer.keys():
-            scores = list(model.prediction_buffer[mdl])
-            curr_score = format(scores[-1], '.20f').replace("-", "")
-            output_string_header += f"""{mdl}{" " * (n_spaces - len(mdl))}   | {curr_score[0:5]} | {"--" + " " * 20 if scores[-1] <= 0.5 else "Wakeword Detected!"}
-            """
-        print("\033[F" * (4 * n_models + 1))
-        print(output_string_header, "                             ", end='\r')
+    print("Listening for wakewords... (ctrl-c to stop)\n")
+    table_height = 0
+    try:
+        while True:
+            frame = np.frombuffer(mic_stream.read(args.chunk_size), dtype=np.int16)
+            scores = model.predict(frame)
+            table = render_table(scores, args.threshold)
+            if table_height:
+                # move the cursor back to the top of the previous frame and
+                # clear downwards, so the table redraws in place
+                sys.stdout.write(f"\x1b[{table_height}A\x1b[0J")
+            sys.stdout.write(table + "\n")
+            sys.stdout.flush()
+            table_height = table.count("\n") + 1
+    except KeyboardInterrupt:
+        print("\nstopped")
+    finally:
+        mic_stream.stop_stream()
+        mic_stream.close()
+        audio.terminate()
 
 
 if __name__ == "__main__":

@@ -79,38 +79,37 @@ def write_audio(path: str, data: np.ndarray, sr: int = 16000):
 
 def stack_clips(audio_data: List[np.ndarray], clip_size: int = 16000 * 2) -> np.ndarray:
     """Concatenate 1-D clips and re-chunk into uniform (N, clip_size) rows,
-    zero-padding the tail (reference data.py:40-64)."""
-    combined_data = np.hstack(audio_data)
-    new_examples = []
-    for i in range(0, combined_data.shape[0], clip_size):
-        chunk = combined_data[i:i + clip_size]
-        if chunk.shape[0] != clip_size:
-            chunk = np.hstack((chunk, np.zeros(clip_size - chunk.shape[0])))
-        new_examples.append(chunk)
-    return np.array(new_examples)
+    zero-padding the tail (behavioral contract of reference data.py:40-64).
+
+    Re-flowing a concatenation into fixed rows is a single pad + reshape —
+    no per-chunk Python loop."""
+    flat = np.concatenate(audio_data).astype(np.float64)
+    tail_pad = (-flat.size) % clip_size
+    if tail_pad:
+        flat = np.concatenate([flat, np.zeros(tail_pad, dtype=flat.dtype)])
+    return flat.reshape(-1, clip_size)
 
 
 def load_audio_clips(files: List[str], clip_size: int = 32000) -> np.ndarray:
-    """Load and re-flow audio files into (N, clip_size) int16 rows, carrying
-    remainders across files (reference data.py:67-111)."""
-    audio_data = []
-    for i in files:
+    """Decode audio files and re-flow the concatenated stream into
+    (N, clip_size) int16 rows, dropping the sub-row tail (behavioral
+    contract of reference data.py:67-111).
+
+    Because rows are filled strictly in stream order, carrying partial-row
+    remainders across file boundaries is equivalent to reshaping the full
+    concatenation — undecodable files are simply skipped from the stream."""
+    decoded = []
+    for path in files:
         try:
-            audio_data.append(read_audio(i))
+            decoded.append(read_audio(path))
         except (ValueError, wave.Error, EOFError):
             continue
-    N = sum(i.shape[0] for i in audio_data) // clip_size
-    X = np.empty((N, clip_size))
-    previous_row_remainder = None
-    cnt = 0
-    for row in audio_data:
-        row = np.hstack([r for r in (previous_row_remainder, row) if r is not None])
-        while row.shape[0] >= clip_size and cnt < N:
-            X[cnt, :] = row[0:clip_size]
-            row = row[clip_size:]
-            cnt += 1
-        previous_row_remainder = row if row.size > 0 else None
-    return (X * 32767).astype(np.int16)
+    if not decoded:
+        return np.zeros((0, clip_size), dtype=np.int16)
+    flat = np.concatenate(decoded).astype(np.float64)
+    n_rows = flat.size // clip_size
+    rows = flat[:n_rows * clip_size].reshape(n_rows, clip_size)
+    return (rows * 32767).astype(np.int16)
 
 
 def _convert_clip(input_file, output_file, backend="ffmpeg"):

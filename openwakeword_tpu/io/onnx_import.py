@@ -102,6 +102,23 @@ def _extract_linears_and_lns(graph: Dict) -> Tuple[List[Dict], List[Dict], Dict]
                     or n["input"][2] not in inits:
                 raise ValueError("LayerNormalization without initializer "
                                  "scale/bias is not a supported head form")
+            # the runtime LN (models/heads.py:_layer_norm) hardcodes
+            # eps=1e-5 / axis=-1; a head exported with different values
+            # would score with silent systematic drift — reject instead
+            attrs = n.get("attributes", {})
+            eps = attrs.get("epsilon", {}).get("f", 1e-5)
+            axis = attrs.get("axis", {}).get("i", -1)
+            if abs(eps - 1e-5) > 1e-12:
+                raise ValueError(
+                    f"LayerNormalization epsilon={eps!r} differs from the "
+                    "runtime's 1e-5; re-export the head with the default "
+                    "epsilon or extend heads._layer_norm to thread it")
+            if axis not in (-1, 1):
+                # head activations are (B, D): axis -1 and 1 are the same
+                # (torch exports either form); anything else is not last-axis
+                raise ValueError(
+                    f"LayerNormalization axis={axis} is unsupported; the "
+                    "runtime normalizes the last axis only")
             lns.append({"gamma": np.asarray(inits[n["input"][1]], np.float32),
                         "beta": np.asarray(inits[n["input"][2]], np.float32)})
             continue

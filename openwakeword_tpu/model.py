@@ -301,6 +301,18 @@ class Model():
         scores = gating.warmup_zero(np, scores, hist_len)
 
         raw_scores = scores
+        if n_prepared < config.CHUNK_SAMPLES:
+            # recycle tick (no head actually ran): repeat each binary label's
+            # last raw score (multiclass: zero) instead of feeding the
+            # recycled *filtered* score back into the raw history — a
+            # recycled activation must not falsely extend a patience streak
+            # (MultiStreamEngine applies the same rule to starved slots)
+            raw_scores = np.array(
+                [self.raw_score_buffer[lbl][-1]
+                 if (self.raw_score_buffer[lbl]
+                     and self.model_outputs[self.get_parent_model_from_label(lbl)] == 1)
+                 else 0.0
+                 for lbl in self._labels], dtype=np.float32)
 
         use_patience, use_debounce = gating.validate_gating_args(
             patience, threshold, debounce_time)

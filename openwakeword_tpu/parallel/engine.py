@@ -542,8 +542,17 @@ class MultiStreamEngine:
                 "ticks": state["ticks"] + 1,
             }
             if use_patience:
+                raw_push = raw_scores
+                if masked:
+                    # a starved stream must not feed its recycled *filtered*
+                    # score back into the raw history (a starvation gap could
+                    # break — or a recycled activation falsely extend — an
+                    # in-progress patience streak); repeat its last raw score
+                    # instead, under the same binary-label recycle rule
+                    prev_raw = state["raw_hist"][:, :, -1] * recycle_mask
+                    raw_push = jnp.where(valid[:, None], raw_scores, prev_raw)
                 new_state["raw_hist"] = gating.push_history(
-                    jnp, state["raw_hist"], raw_scores)
+                    jnp, state["raw_hist"], raw_push)
             new_state["mel_ring"] = mel_ring
             new_state["feat_ring"] = feat_ring
             if incremental:
@@ -566,7 +575,9 @@ class MultiStreamEngine:
             if vad_on:
                 # reference VAD call path: two 640-sample chunks per 80 ms
                 # frame, scores averaged (vad.py:129 uses frame_size=640);
-                # the network scores every sample (one LSTM step per STFT frame)
+                # each 640-sample chunk maps to 4 LSTM steps covering samples
+                # 0..591 — the 48-sample sub-hop tail of a non-480-multiple
+                # chunk is unseen (vad_net.py framing contract)
                 h = jnp.swapaxes(state["vad_h"], 0, 1)                         # (2, S, 64)
                 c = jnp.swapaxes(state["vad_c"], 0, 1)
                 s1, h, c = vad_apply(params["vad"], chunk[:, 0:640] / 32767.0, h, c)

@@ -204,12 +204,22 @@ def main(argv=None):
         fp_path = config.get("false_positive_validation_data_path")
         if fp_path and os.path.exists(fp_path):
             fp_feats = np.load(fp_path)
-            # zero-copy stride-1 windows: the dense list-comprehension form
-            # allocates ~16x the source array (~3 GB for the recommended
-            # 11 h validation set)
-            windows = np.lib.stride_tricks.sliding_window_view(
-                fp_feats, input_shape[0], axis=0)[:-1].transpose(0, 2, 1)
-            X_val_fp = [(windows, np.zeros(windows.shape[0], np.float32))]
+            if fp_feats.ndim != 2:
+                raise ValueError(
+                    f"false_positive_validation_data_path must hold a 2-D "
+                    f"(frames, 96) feature array, got shape {fp_feats.shape}")
+            if fp_feats.shape[0] > input_shape[0]:
+                # zero-copy stride-1 windows: the dense list-comprehension form
+                # allocates ~16x the source array (~3 GB for the recommended
+                # 11 h validation set)
+                windows = np.lib.stride_tricks.sliding_window_view(
+                    fp_feats, input_shape[0], axis=0)[:-1].transpose(0, 2, 1)
+                X_val_fp = [(windows, np.zeros(windows.shape[0], np.float32))]
+            else:
+                logging.warning(
+                    "false-positive validation features are shorter than one "
+                    "model window (%d <= %d rows); skipping FP validation",
+                    fp_feats.shape[0], input_shape[0])
 
         X_val_pos = np.load(os.path.join(feature_save_dir, "positive_features_test.npy"))
         X_val_neg = np.load(os.path.join(feature_save_dir, "negative_features_test.npy"))
