@@ -1,0 +1,103 @@
+"""StreamServer host-path benchmark: serving ticks/sec at large slot counts.
+
+Measures the *host* cost of one serving tick (queue gather, cursor updates,
+activation extraction) separately from the device step, at 4k/16k/50k slots
+with random packet arrival, answering: is the server wrapper able to keep a
+50k-stream engine fed inside the 80 ms real-time budget?
+
+The device step is measured by timing full ticks and empty-host ticks; the
+host overhead is the difference between a full tick and the engine's own
+masked-step wall time. Run on real TPU:  python benchmark/bench_server.py
+(or JAX_PLATFORMS=cpu for a host-only smoke run with --slots 1024).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+# runnable from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--slots", type=int, nargs="*", default=[4096, 16384, 50176])
+parser.add_argument("--ticks", type=int, default=20)
+parser.add_argument("--occupancy", type=float, default=0.95,
+                    help="fraction of slots that receive a packet each tick")
+args = parser.parse_args()
+
+
+def bench_capacity(capacity: int, n_ticks: int, occupancy: float):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/owwt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from openwakeword_tpu.parallel.server import StreamServer
+
+    srv = StreamServer(wakeword_models=[], capacity=capacity, threshold=0.5)
+    sids = np.array([srv.add_stream() for _ in range(capacity)])
+    rng = np.random.default_rng(0)
+
+    # steady serving shape: one 80 ms packet per active client per tick,
+    # random subset starved
+    packet = rng.integers(-2000, 2000, (capacity, 1280)).astype(np.int16)
+
+    def one_tick(sync=False):
+        arrive = rng.random(capacity) < occupancy
+        t0 = time.perf_counter()
+        srv.push_block(sids[arrive], packet[arrive])
+        t_push = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        scores = srv.step()
+        if sync:
+            float(scores[0, 0] if scores.size else 0.0)
+        t_step = time.perf_counter() - t0
+        return t_push, t_step
+
+    # warm-up: compile the masked step + transfer programs
+    one_tick(sync=True)
+    one_tick(sync=True)
+
+    # (a) full ticks, synchronized: total serving cost
+    push_s, step_s = [], []
+    for _ in range(n_ticks):
+        p, s = one_tick(sync=True)
+        push_s.append(p)
+        step_s.append(s)
+
+    # (b) device-only masked step (same chunk shape, no host bookkeeping):
+    # chained dispatches amortize the tunnel sync (see PERF_NOTES.md)
+    chunk = packet
+    valid = np.ones(capacity, bool)
+    srv.engine.predict_masked(chunk, valid)   # warm
+    t0 = time.perf_counter()
+    for _ in range(n_ticks):
+        out = srv.engine.predict_masked(chunk, valid)
+    np.asarray(out)
+    dev_tick = (time.perf_counter() - t0) / n_ticks
+
+    med_push = float(np.median(push_s))
+    med_step = float(np.median(step_s))
+    host = max(med_step - dev_tick, 0.0) + med_push
+    return {
+        "capacity": capacity,
+        "tick_ms": round((med_push + med_step) * 1e3, 2),
+        "push_ms": round(med_push * 1e3, 2),
+        "step_ms": round(med_step * 1e3, 2),
+        "device_step_ms": round(dev_tick * 1e3, 2),
+        "host_overhead_ms": round(host * 1e3, 2),
+        "ticks_per_sec": round(1.0 / (med_push + med_step), 1),
+        "realtime_ok": (med_push + med_step) < 0.080,
+        "host_below_device": host < dev_tick,
+    }
+
+
+def main():
+    for cap in args.slots:
+        r = bench_capacity(cap, args.ticks, args.occupancy)
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,14 +6,23 @@ collected per stream. ``StreamServer`` manages a fixed-capacity engine as a
 slot pool:
 
   * ``add_stream()`` leases a slot (resetting its on-device state row);
-  * ``push(sid, pcm)`` coalesces arbitrary-size PCM packets per slot
-    (streaming.ChunkAccumulator, the same component behind the host
-    AudioFeatures frontend);
+  * ``push(sid, pcm)`` coalesces arbitrary-size PCM packets per slot;
+    ``push_block(sids, packets)`` ingests one same-sized packet for many
+    slots in one vectorized call (the steady serving shape);
   * ``step()`` advances the slots that have a complete 80 ms frame through
     the engine's masked step; starved slots keep their audio state frozen
     and recycle their previous score (the reference's sub-frame contract,
     model.py:303-311) instead of being fed silence;
   * ``poll(sid)`` drains that stream's activations (label, frame, score).
+
+Host-path design: all per-slot bookkeeping lives in preallocated numpy slot
+arrays — frame queues are one (capacity, queue_frames, 1280) int16 ring
+matrix with per-slot head/length cursors, partial-packet tails are one
+(capacity, 1280) matrix, and ``step()`` touches Python per *activation*
+(``np.argwhere`` on the thresholded score matrix), never per slot. This
+keeps the host tick cost below the device step time at 50k slots (the
+engine is 50k-stream-class; the server must not be the bottleneck —
+replaces the reference's process-pool serving, utils.py:467-539).
 
 Per-slot reset works through the engine's first-step prime branch: resetting
 ``frames_seen`` to 0 on one row makes the next step re-derive all activation
@@ -30,22 +39,38 @@ import jax.numpy as jnp
 
 from openwakeword_tpu import config
 from openwakeword_tpu.parallel.engine import MultiStreamEngine
-from openwakeword_tpu.streaming import ChunkAccumulator
 
 
 class StreamServer:
     def __init__(self, wakeword_models=(), capacity: int = 256,
                  threshold: float = 0.5, engine: Optional[MultiStreamEngine] = None,
-                 **engine_kwargs):
+                 queue_frames: int = 64, **engine_kwargs):
         self.engine = engine or MultiStreamEngine(
             wakeword_models=wakeword_models, n_streams=capacity, **engine_kwargs)
         self.capacity = self.engine.n_streams
         self.threshold = threshold
         self.labels = self.engine.labels
 
-        self._free = deque(range(self.capacity))
-        self._active: Dict[int, dict] = {}
+        C, F = self.capacity, config.CHUNK_SAMPLES
+        self.queue_frames = int(queue_frames)
+        # per-slot frame ring: complete 80 ms frames awaiting a serving tick
+        self._queue = np.zeros((C, self.queue_frames, F), np.int16)
+        self._q_head = np.zeros(C, np.int64)
+        self._q_len = np.zeros(C, np.int64)
+        # per-slot partial-frame tail (the ChunkAccumulator contract, as one
+        # matrix instead of one object per slot)
+        self._tail = np.zeros((C, F), np.int16)
+        self._tail_len = np.zeros(C, np.int64)
+        self._active_mask = np.zeros(C, bool)
+        self._slot_ids = np.arange(C)
+
+        self._free = deque(range(C))
+        self._activations: Dict[int, deque] = {}
         self._frame_counter = 0
+        #: frames dropped because a slot's queue overflowed (clients pushing
+        #: faster than the server ticks); oldest frames are dropped first
+        self.overflow_drops = 0
+
         # template rows for slot resets, kept on device; resets are jitted
         # per-row scatters (O(1 row), no host trip)
         self._fresh_row = self.engine.init_state(1)
@@ -62,64 +87,143 @@ class StreamServer:
             raise RuntimeError(f"StreamServer at capacity ({self.capacity} streams)")
         sid = self._free.popleft()
         self._reset_slot(sid)
-        self._active[sid] = {"acc": ChunkAccumulator(),
-                             "frames": deque(),
-                             "activations": deque(maxlen=1000)}
+        self._q_head[sid] = self._q_len[sid] = self._tail_len[sid] = 0
+        self._active_mask[sid] = True
+        self._activations[sid] = deque(maxlen=1000)
         return sid
 
     def remove_stream(self, sid: int):
-        self._active.pop(sid)
+        self._check_active(sid)
+        self._active_mask[sid] = False
+        self._activations.pop(sid)
         self._free.append(sid)
 
     def push(self, sid: int, pcm: np.ndarray):
         """Add an arbitrary-length 16-bit PCM packet to a stream."""
-        st = self._active[sid]
-        ready = st["acc"].push(pcm)
-        if ready is not None:
-            for i in range(0, ready.shape[0], config.CHUNK_SAMPLES):
-                st["frames"].append(ready[i:i + config.CHUNK_SAMPLES])
+        self._check_active(sid)
+        pcm = self._check_pcm(pcm)
+        F = config.CHUNK_SAMPLES
+        t = int(self._tail_len[sid])
+        total = t + pcm.shape[0]
+        n_new = total // F
+        if n_new == 0:
+            self._tail[sid, t:total] = pcm
+            self._tail_len[sid] = total
+            return
+        buf = np.concatenate([self._tail[sid, :t], pcm])
+        self._enqueue_frames(sid, buf[:n_new * F].reshape(n_new, F))
+        rem = total - n_new * F
+        self._tail[sid, :rem] = buf[n_new * F:]
+        self._tail_len[sid] = rem
+
+    def push_block(self, sids: np.ndarray, packets: np.ndarray):
+        """Ingest one same-length packet per slot in a single vectorized call.
+
+        The steady serving shape — every listed client delivered one packet
+        this tick. Fully vectorized (no per-slot Python) when the packet
+        length is a multiple of 1280 and the listed slots have empty tails;
+        other shapes fall back to per-slot ``push``.
+
+        Args:
+            sids: (N,) int slot ids (must all be active).
+            packets: (N, P) int16 PCM, one row per slot.
+        """
+        sids = np.asarray(sids)
+        packets = np.atleast_2d(self._check_pcm(packets))
+        if packets.shape[0] != sids.shape[0]:
+            raise ValueError(f"{sids.shape[0]} slot ids but "
+                             f"{packets.shape[0]} packet rows")
+        if not self._active_mask[sids].all():
+            bad = sids[~self._active_mask[sids]]
+            raise KeyError(f"inactive stream id(s) {bad.tolist()}")
+        F = config.CHUNK_SAMPLES
+        k, rem = divmod(packets.shape[1], F)
+        if rem or k == 0 or self._tail_len[sids].any():
+            for i, sid in enumerate(sids):
+                self.push(int(sid), packets[i])
+            return
+        lens = self._q_len[sids]
+        overflow = lens + k - self.queue_frames
+        if (overflow > 0).any():
+            # drop each overflowing slot's oldest frames (advance its head)
+            drop = np.maximum(overflow, 0)
+            self.overflow_drops += int(drop.sum())
+            self._q_head[sids] = (self._q_head[sids] + drop) % self.queue_frames
+            self._q_len[sids] = lens = lens - drop
+        # scatter k frames per slot at each slot's write cursor
+        pos = (self._q_head[sids, None] + lens[:, None]
+               + np.arange(k)[None, :]) % self.queue_frames        # (N, k)
+        self._queue[sids[:, None], pos] = packets.reshape(-1, k, F)
+        self._q_len[sids] += k
 
     def pending_frames(self, sid: int) -> int:
-        return len(self._active[sid]["frames"])
+        self._check_active(sid)
+        return int(self._q_len[sid])
 
     def step(self) -> np.ndarray:
         """One serving tick: advance every slot holding a complete frame
         (masked engine step); starved and inactive slots are untouched.
         Returns the full (capacity, L) score matrix."""
-        chunk = np.zeros((self.capacity, config.CHUNK_SAMPLES), np.int16)
-        valid = np.zeros(self.capacity, dtype=bool)
-        for sid, st in self._active.items():
-            if st["frames"]:
-                chunk[sid] = st["frames"].popleft()
-                valid[sid] = True
-        scores = self.engine.predict_masked(chunk, valid)
+        valid = self._active_mask & (self._q_len > 0)
+        chunk = self._queue[self._slot_ids, self._q_head]           # (C, 1280)
+        self._q_head[valid] = (self._q_head[valid] + 1) % self.queue_frames
+        self._q_len[valid] -= 1
+        scores = np.asarray(self.engine.predict_masked(chunk, valid))
         self._frame_counter += 1
-        for sid, st in self._active.items():
-            if not valid[sid]:
-                continue
-            for k, label in enumerate(self.labels):
-                if scores[sid, k] >= self.threshold:
-                    st["activations"].append((label, self._frame_counter,
-                                              float(scores[sid, k])))
+        # Python work is per *activation* (sparse), never per slot
+        hits = np.argwhere((scores >= self.threshold) & valid[:, None])
+        for sid, k in hits:
+            self._activations[int(sid)].append(
+                (self.labels[k], self._frame_counter, float(scores[sid, k])))
         return scores
 
     def run_pending(self) -> int:
         """Step until no active stream has a full frame buffered. Returns the
         number of steps taken."""
         steps = 0
-        while any(self.pending_frames(sid) > 0 for sid in self._active):
+        while (self._active_mask & (self._q_len > 0)).any():
             self.step()
             steps += 1
         return steps
 
     def poll(self, sid: int) -> List[Tuple[str, int, float]]:
         """Drain (label, frame_index, score) activations for a stream."""
-        st = self._active[sid]
-        out = list(st["activations"])
-        st["activations"].clear()
+        self._check_active(sid)
+        out = list(self._activations[sid])
+        self._activations[sid].clear()
         return out
 
     # ------------------------------------------------------------------
+
+    def _enqueue_frames(self, sid: int, frames: np.ndarray):
+        n = frames.shape[0]
+        if n > self.queue_frames:
+            # a single burst larger than the whole ring: keep the newest
+            self.overflow_drops += n - self.queue_frames
+            frames = frames[-self.queue_frames:]
+            n = frames.shape[0]
+        overflow = int(self._q_len[sid]) + n - self.queue_frames
+        if overflow > 0:
+            self.overflow_drops += overflow
+            self._q_head[sid] = (self._q_head[sid] + overflow) % self.queue_frames
+            self._q_len[sid] -= overflow
+        pos = (self._q_head[sid] + self._q_len[sid]
+               + np.arange(n)) % self.queue_frames
+        self._queue[sid, pos] = frames
+        self._q_len[sid] += n
+
+    def _check_active(self, sid: int):
+        if not (0 <= sid < self.capacity) or not self._active_mask[sid]:
+            raise KeyError(f"inactive stream id {sid}")
+
+    @staticmethod
+    def _check_pcm(pcm: np.ndarray) -> np.ndarray:
+        pcm = np.asarray(pcm)
+        if np.issubdtype(pcm.dtype, np.floating):
+            raise ValueError(
+                f"Expected 16-bit PCM audio (int16), got dtype {pcm.dtype}; "
+                "scale float audio to int16 range and cast before pushing")
+        return pcm.astype(np.int16, copy=False)
 
     def _reset_slot(self, sid: int):
         """Re-initialize one slot's on-device state row (jitted scatter)."""

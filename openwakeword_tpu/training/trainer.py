@@ -286,6 +286,17 @@ class HeadTrainer:
         params = self._leaf(self.params)
         opt_state = self.opt_state
 
+        pending_stats: list = []
+
+        def flush_stats():
+            if not pending_stats:
+                return
+            updated = np.asarray(jnp.stack([s["updated"] for s in pending_stats]))
+            losses = np.asarray(jnp.stack([s["loss"] for s in pending_stats]))
+            self.history["loss"].extend(
+                float(l) for u, l in zip(updated, losses) if u)
+            pending_stats.clear()
+
         for step_ndx, data in enumerate(X):
             x, y = self._device_batch(data[0], data[1])
             step_lr = lr_warmup_cosine_decay(step_ndx, warmup_steps=warmup_steps,
@@ -301,10 +312,15 @@ class HeadTrainer:
                 jnp.asarray(neg_w, jnp.float32), jnp.asarray(step_lr, jnp.float32),
                 self._meta_items, true_acc=true_accumulation)
 
-            if bool(stats["updated"]):
-                self.history["loss"].append(float(stats["loss"]))
+            # Reading stats here would synchronize on every step (~30 ms per
+            # round-trip over a TPU tunnel, and it stalls dispatch
+            # pipelining everywhere). Buffer the device scalars and flush in
+            # one stacked fetch at validation points / loop end.
+            pending_stats.append(stats)
 
             run_val = step_ndx in val_steps and step_ndx > 1
+            if run_val or len(pending_stats) >= 256:
+                flush_stats()
             if run_val and false_positive_val_data is not None:
                 val_fp = 0
                 for data_val in false_positive_val_data:
@@ -355,6 +371,7 @@ class HeadTrainer:
             if step_ndx == max_steps - 1:
                 break
 
+        flush_stats()
         self.params = {"__meta__": dict(self.meta), **jax.tree.map(np.asarray, params)}
         self.opt_state = opt_state
         return self.params

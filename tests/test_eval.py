@@ -1,0 +1,103 @@
+"""Evaluation methodology tests (reference performance_metrics.ipynb
+cells 0-12 contract): event-grouped FAR/hr, per-clip-max FRR, threshold
+sweep, and the end-to-end engine-driven path."""
+
+import numpy as np
+import pytest
+
+from openwakeword_tpu import eval as E
+
+
+class TestFalseAcceptsPerHour:
+    def test_event_grouping(self):
+        # two activation bursts 100 frames apart -> 2 events
+        scores = np.zeros(1000)
+        scores[100:110] = 0.9      # one event (grouped)
+        scores[400:402] = 0.9      # second event
+        fa = E.false_accepts_per_hour(scores, threshold=0.5)
+        hours = 1000 * 0.08 / 3600
+        assert fa == pytest.approx(2 / hours)
+
+    def test_burst_within_window_is_one_event(self):
+        scores = np.zeros(200)
+        scores[10] = 0.9
+        scores[30] = 0.9           # within the 50-frame suppression window
+        hours = 200 * 0.08 / 3600
+        assert E.false_accepts_per_hour(scores, 0.5) == pytest.approx(1 / hours)
+
+    def test_empty_stream(self):
+        assert E.false_accepts_per_hour(np.zeros(0), 0.5) == 0.0
+
+    def test_hours_derived_from_frame_count(self):
+        scores = np.zeros(45000)   # exactly 1 h at 80 ms/frame
+        scores[0] = 1.0
+        assert E.false_accepts_per_hour(scores, 0.5) == pytest.approx(1.0)
+
+
+class TestFalseRejectRate:
+    def test_per_clip_max_rule(self):
+        clips = [np.array([0.1, 0.9, 0.2]),    # accepted (max >= 0.5)
+                 np.array([0.3, 0.4]),          # rejected
+                 np.array([0.51])]              # accepted
+        assert E.false_reject_rate(clips, 0.5) == pytest.approx(1 / 3)
+
+    def test_empty_clip_counts_as_reject(self):
+        assert E.false_reject_rate([np.zeros(0)], 0.5) == 1.0
+
+    def test_no_clips(self):
+        assert E.false_reject_rate([], 0.5) == 0.0
+
+
+class TestCurve:
+    def test_far_tar_curve_monotonicity(self, rng):
+        neg = rng.random(5000) * 0.8                       # noise scores
+        pos = [np.clip(rng.random(20) + 0.3, 0, 1) for _ in range(30)]
+        curve = E.far_tar_curve(neg, pos)
+        # FAR/hr must be non-increasing and TAR non-increasing in threshold
+        assert np.all(np.diff(curve["far_per_hour"]) <= 1e-9)
+        assert np.all(np.diff(curve["tar"]) <= 1e-9)
+        assert np.allclose(curve["tar"], 1.0 - curve["frr"])
+        assert curve["thresholds"].shape == curve["far_per_hour"].shape
+
+    def test_custom_thresholds(self):
+        curve = E.far_tar_curve(np.zeros(100), [np.ones(5)],
+                                thresholds=[0.25, 0.75])
+        assert list(curve["thresholds"]) == [0.25, 0.75]
+        assert np.all(curve["tar"] == 1.0)
+        assert np.all(curve["far_per_hour"] == 0.0)
+
+
+class TestEndToEnd:
+    def test_evaluate_model_on_wavs(self, tmp_path, rng):
+        """Full engine-driven path on synthetic WAVs: shapes, hour
+        accounting, and the rejected-clips listing."""
+        from openwakeword_tpu.data import write_audio
+
+        neg_files, pos_files = [], []
+        for i in range(3):
+            p = str(tmp_path / f"neg_{i}.wav")
+            write_audio(p, rng.integers(-500, 500, 16000 * 2).astype(np.int16))
+            neg_files.append(p)
+        for i in range(2):
+            p = str(tmp_path / f"pos_{i}.wav")
+            write_audio(p, rng.integers(-3000, 3000, 16000).astype(np.int16))
+            pos_files.append(p)
+
+        report = E.evaluate_model("alexa", neg_files, pos_files,
+                                  threshold=0.5, padding=1)
+        assert report["n_positive_clips"] == 2
+        assert report["negative_hours"] > 0
+        assert 0.0 <= report["frr"] <= 1.0
+        assert report["far_per_hour"] >= 0.0
+        assert set(report["rejected_clips"]) <= set(pos_files)
+        curve = report["curve"]
+        assert curve["far_per_hour"].shape == curve["tar"].shape
+
+    def test_score_files_label_selection(self, tmp_path, rng):
+        from openwakeword_tpu.data import write_audio
+        p = str(tmp_path / "clip.wav")
+        write_audio(p, rng.integers(-2000, 2000, 16000).astype(np.int16))
+        scored = E.score_files([p], ["alexa"], label="alexa")
+        assert p in scored and scored[p].ndim == 1
+        with pytest.raises(KeyError):
+            E.score_files([p], ["alexa"], label="not_a_label")

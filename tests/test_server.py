@@ -154,6 +154,106 @@ def test_starved_slot_state_frozen(rng):
     np.testing.assert_allclose(scores1[5], scores2[5], atol=2e-4)
 
 
+def test_random_arrival_parity_with_model(rng, test_clips):
+    """Vectorized host path vs ground truth: four slots receiving random-size
+    packets on random ticks must score, slot for slot, exactly like four
+    independent single-stream Models fed the same packet sequences."""
+    import wave
+    from openwakeword_tpu.model import Model
+
+    with wave.open(test_clips["alexa"], "rb") as f:
+        data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+
+    n_slots, n_ticks = 4, 24
+    # per-slot random packet schedule: None = starved tick
+    schedules = []
+    for s in range(n_slots):
+        cursor, sched = 1280 * s, []
+        for _ in range(n_ticks):
+            if rng.random() < 0.3:
+                sched.append(None)
+            else:
+                size = int(rng.integers(320, 2100))
+                sched.append(data[cursor:cursor + size])
+                cursor += size
+        schedules.append(sched)
+
+    srv = StreamServer(wakeword_models=["alexa"], capacity=n_slots,
+                       threshold=2.0, rng_seed=0)
+    sids = [srv.add_stream() for _ in range(n_slots)]
+    server_scores = [[] for _ in range(n_slots)]
+    for t in range(n_ticks):
+        for s in range(n_slots):
+            if schedules[s][t] is not None:
+                srv.push(sids[s], schedules[s][t])
+        tick = srv.step()
+        for s in range(n_slots):
+            server_scores[s].append(float(tick[sids[s], 0]))
+
+    for s in range(n_slots):
+        model = Model(wakeword_models=["alexa"])
+        # the server consumes at most one queued frame per tick; replay the
+        # same queue semantics against the single-stream Model
+        q, tail = [], np.empty(0, np.int16)
+        expect = []
+        for t in range(n_ticks):
+            pkt = schedules[s][t]
+            if pkt is not None:
+                buf = np.concatenate([tail, pkt])
+                n = buf.shape[0] // 1280
+                q.extend(buf[:n * 1280].reshape(n, 1280))
+                tail = buf[n * 1280:]
+            if q:
+                expect.append(model.predict(q.pop(0))["alexa"])
+            else:
+                expect.append(model.predict(np.empty(0, np.int16))["alexa"])
+        np.testing.assert_allclose(server_scores[s], expect, atol=2e-4,
+                                   err_msg=f"slot {s}")
+
+
+def test_push_block_matches_per_slot_push(rng):
+    """The vectorized block ingest must land the same frames as per-slot
+    pushes, including ring wrap-around and overflow drops."""
+    srv1 = StreamServer(wakeword_models=["alexa"], capacity=4, threshold=2.0,
+                        queue_frames=8, rng_seed=0)
+    srv2 = StreamServer(wakeword_models=["alexa"], capacity=4, threshold=2.0,
+                        queue_frames=8, rng_seed=0)
+    for srv in (srv1, srv2):
+        for _ in range(3):
+            srv.add_stream()
+    pkts = rng.integers(-2000, 2000, (3, 1280 * 3)).astype(np.int16)
+    sids = np.array([0, 1, 2])
+    srv1.push_block(sids, pkts)
+    for i in range(3):
+        srv2.push(i, pkts[i])
+    np.testing.assert_array_equal(srv1._queue, srv2._queue)
+    np.testing.assert_array_equal(srv1._q_len, srv2._q_len)
+    # drive both to overflow: 8-frame ring, 3 queued + 6 more
+    more = rng.integers(-2000, 2000, (3, 1280 * 6)).astype(np.int16)
+    srv1.push_block(sids, more)
+    for i in range(3):
+        srv2.push(i, more[i])
+    assert srv1.overflow_drops == srv2.overflow_drops == 3
+    s1, s2 = srv1.step(), srv2.step()
+    np.testing.assert_allclose(s1, s2, atol=0)
+    # non-frame-multiple packets take the fallback path and must still agree
+    odd = rng.integers(-2000, 2000, (3, 700)).astype(np.int16)
+    srv1.push_block(sids, odd)
+    for i in range(3):
+        srv2.push(i, odd[i])
+    np.testing.assert_array_equal(srv1._tail_len, srv2._tail_len)
+    np.testing.assert_array_equal(srv1._tail[:, :700], srv2._tail[:, :700])
+
+
+def test_push_block_rejects_inactive_and_float(rng):
+    srv = StreamServer(wakeword_models=["alexa"], capacity=2, threshold=2.0)
+    srv.add_stream()
+    with pytest.raises(KeyError):
+        srv.push_block(np.array([0, 1]), np.zeros((2, 1280), np.int16))
+    with pytest.raises(ValueError, match="int16"):
+        srv.push_block(np.array([0]), np.zeros((1, 1280), np.float32))
+
+
 def test_accumulator_copies_client_buffer(rng):
     """Clients commonly reuse one receive buffer; stored views would be
     silently overwritten before the engine consumes them (round-2 review)."""
