@@ -112,6 +112,18 @@ def load_audio_clips(files: List[str], clip_size: int = 32000) -> np.ndarray:
     return (rows * 32767).astype(np.int16)
 
 
+def _read_audio_many(paths: List[str]) -> List[np.ndarray]:
+    """Decode many audio files concurrently: each read is an ffmpeg
+    subprocess, so a thread pool overlaps the process I/O (the per-clip
+    serial read loop was the host bottleneck of batch mixing)."""
+    paths = list(paths)
+    if len(paths) <= 1:
+        return [read_audio(p) for p in paths]
+    from multiprocessing.pool import ThreadPool
+    with ThreadPool(min(8, len(paths))) as pool:
+        return pool.map(read_audio, paths)
+
+
 def _convert_clip(input_file, output_file, backend="ffmpeg"):
     if backend == "sox":
         cmd = ["sox", input_file, "-G", "-r", "16000", "-c", "1", "-b", "16", output_file]
@@ -310,7 +322,7 @@ def mix_clips_batch(
     sr = 16000
     for i in range(0, len(foreground_clips), batch_size):
         start_index_batch = start_index[i:i + batch_size]
-        fg_batch = [read_audio(j) for j in foreground_clips[i:i + batch_size]]
+        fg_batch = _read_audio_many(foreground_clips[i:i + batch_size])
         if foreground_durations:
             fg_batch = [truncate_clip(j, int(k * sr), foreground_truncate_strategy)
                         for j, k in zip(fg_batch, foreground_durations[i:i + batch_size])]
@@ -320,8 +332,7 @@ def mix_clips_batch(
         bg_batch, bg_delayed = [], []
         delay = np.random.randint(return_background_clips_delay[0],
                                   return_background_clips_delay[1] + 1)
-        for bg_path in random.choices(background_clips, k=n):
-            bg = read_audio(bg_path)
+        for bg in _read_audio_many(random.choices(background_clips, k=n)):
             if bg.shape[0] < combined_size + delay:
                 reps = int(np.ceil((combined_size + delay) / bg.shape[0]))
                 bg = np.tile(bg, reps)
@@ -333,21 +344,41 @@ def mix_clips_batch(
                 bg_delayed.append(bg[r + delay:r + combined_size + delay].copy())
 
         snrs_db = np.random.uniform(snr_low, snr_high, n)
-        mixed, seq_labels = [], []
-        for fg, bg, snr, start in zip(fg_batch, bg_batch, snrs_db, start_index_batch):
-            clip = mix_clip(fg, bg, snr, start)
-            seq_labels.append(get_frame_labels(combined_size, start, start + fg.shape[0]))
-            if np.random.random() < generated_noise_augmentation:
-                decay = {"white": 0.0, "pink": 1.0, "brown": 2.0,
-                         "blue": -1.0, "violet": -2.0}[np.random.choice(
-                             ["white", "pink", "blue", "brown", "violet"])]
-                key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31))
-                noise = np.asarray(A.colored_noise(key, (1, combined_size), decay))[0]
-                clip = mix_clip(clip, noise.astype(np.float32), np.random.choice(snrs_db), 0)
-            mixed.append(clip)
+        # zero-place each foreground at its start offset; SNR mixing then
+        # runs as ONE batched device program (ops.augment.mix_at_snr)
+        # instead of a per-clip Python loop — the throughput path for
+        # reference-scale corpora (31,000 h of negatives, docs/models/
+        # alexa.md:61-66)
+        fg_mat = np.zeros((n, combined_size), np.float32)
+        for j, (fg, start) in enumerate(zip(fg_batch, start_index_batch)):
+            seg = fg[:combined_size - start]
+            fg_mat[j, start:start + seg.shape[0]] = seg
+        bg_mat = np.stack(bg_batch).astype(np.float32)
+        mixed_batch = np.array(A.mix_at_snr(bg_mat, fg_mat, snrs_db),
+                               np.float32)  # writable host copy
+        seq_batch = np.vstack(
+            [get_frame_labels(combined_size, start, start + fg.shape[0])
+             for fg, start in zip(fg_batch, start_index_batch)])
 
-        mixed_batch = np.vstack(mixed).astype(np.float32)
-        seq_batch = np.vstack(seq_labels)
+        if generated_noise_augmentation > 0:
+            # colored-noise second mix, batched per color family (same
+            # per-clip probability/choice distribution as the reference)
+            sel = np.random.random(n) < generated_noise_augmentation
+            colors = np.random.choice(
+                ["white", "pink", "blue", "brown", "violet"], n)
+            decays = {"white": 0.0, "pink": 1.0, "brown": 2.0,
+                      "blue": -1.0, "violet": -2.0}
+            for color, decay in decays.items():
+                rows = np.where(sel & (colors == color))[0]
+                if not rows.size:
+                    continue
+                key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31))
+                noise = np.asarray(A.colored_noise(
+                    key, (rows.size, combined_size), decay), np.float32)
+                sub_snrs = np.random.choice(snrs_db, rows.size)
+                mixed_batch[rows] = np.asarray(
+                    A.mix_at_snr(mixed_batch[rows], noise, sub_snrs),
+                    np.float32)
 
         if rirs and np.random.random() <= rir_probability:
             rir = read_audio(random.choice(rirs))

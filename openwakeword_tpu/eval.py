@@ -24,7 +24,7 @@ XLA program), so a 12 GB corpus evaluates at engine throughput rather than
 ``ncpu`` host processes.
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

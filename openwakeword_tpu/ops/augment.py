@@ -90,6 +90,27 @@ def add_noise_at_snr(key, x, noise, min_snr_db, max_snr_db):
     return x + scale * noise
 
 
+def mix_at_snr(bg, fg, snr_db):
+    """Batched foreground/background mix at target SNR (the reference's
+    per-clip mix_clip, data.py:491-497, as one device program): fg is scaled
+    by 10^(snr/20) * ||bg|| / ||fg||, added, and the sum halved.
+
+    Args:
+        bg: (B, N) float32 background rows.
+        fg: (B, N) float32 foreground rows, already zero-placed at their
+            start offsets (zero padding leaves the norms unchanged).
+        snr_db: (B,) per-row target SNR in dB.
+    Returns:
+        (B, N) float32 mixed audio.
+    """
+    bg = jnp.asarray(bg, jnp.float32)
+    fg = jnp.asarray(fg, jnp.float32)
+    bg_rms = jnp.linalg.norm(bg, axis=-1)
+    fg_rms = jnp.maximum(jnp.linalg.norm(fg, axis=-1), 1e-9)
+    scale = 10.0 ** (jnp.asarray(snr_db, jnp.float32) / 20.0) * bg_rms / fg_rms
+    return (bg + scale[:, None] * fg) / 2.0
+
+
 def reverberate(x, rir, rescale_amp="avg"):
     """FFT convolution with an RIR, shifted to the RIR's direct path and
     rescaled to the input's average amplitude (speechbrain semantics used at

@@ -20,6 +20,7 @@ latent bug making the doubling unconditional); here the documented intent is
 implemented: the best observed val FP/hr is tracked and compared to target.
 """
 
+import itertools
 import logging
 from collections import defaultdict
 from functools import partial
@@ -49,9 +50,8 @@ def lr_warmup_cosine_decay(global_step, warmup_steps=0, hold=0, total_steps=0,
 # Jitted programs (built once per head architecture)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("meta_items", "accum_target", "true_acc"))
-def _train_step(params, opt_state, acc, x, y, neg_weight, lr,
-                meta_items, accum_target=128, true_acc=False):
+def _step_impl(params, opt_state, acc, x, y, neg_weight, lr,
+               meta_items, accum_target=128, true_acc=False):
     """One fused training step with masked hard-example selection and the
     reference's accumulate-until-128 update gate.
 
@@ -70,6 +70,9 @@ def _train_step(params, opt_state, acc, x, y, neg_weight, lr,
     """
     meta = dict(meta_items)
     n_classes = meta["n_classes"]
+    # accept compressed-feed batches (feed_dtype): all training math stays f32
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
 
     def loss_fn(p):
         out = heads_lib.forward(p, x, meta, inference=False)
@@ -128,6 +131,31 @@ def _train_step(params, opt_state, acc, x, y, neg_weight, lr,
             lambda g: jnp.where(do_update, jnp.zeros_like(g), g), grads)
     stats = {"loss": loss, "n_survivors": n_survivors, "updated": do_update}
     return new_params, new_opt_state, new_acc, stats
+
+
+_train_step = partial(jax.jit, static_argnames=("meta_items", "accum_target",
+                                                "true_acc"))(_step_impl)
+
+
+@partial(jax.jit, static_argnames=("meta_items", "accum_target", "true_acc"),
+         donate_argnums=(0, 1, 2))
+def _train_scan(params, opt_state, acc, xs, ys, neg_ws, lrs,
+                meta_items, accum_target=128, true_acc=False):
+    """K fused steps in ONE device dispatch over stacked (K, batch, ...)
+    inputs — the multi-step feed path. One host->device transfer and one
+    dispatch amortize per-step transfer/dispatch latency over K steps
+    (decisive over a high-latency TPU tunnel: ~250x measured, PERF_NOTES
+    round 3; also removes K-1 dispatches on a local host). Semantics are
+    step-for-step identical to K sequential ``_train_step`` calls."""
+    def body(carry, inp):
+        p, o, a = carry
+        x, y, nw, lr = inp
+        p, o, a, stats = _step_impl(p, o, a, x, y, nw, lr,
+                                    meta_items, accum_target, true_acc)
+        return (p, o, a), stats
+    (params, opt_state, acc), stats = jax.lax.scan(
+        body, (params, opt_state, acc), (xs, ys, neg_ws, lrs))
+    return params, opt_state, acc, stats
 
 
 # Scale-free Adam: LR is applied manually per step (the reference mutates the
@@ -208,6 +236,25 @@ class HeadTrainer:
         self.opt_state = jax.tree.map(
             lambda v: jax.device_put(jnp.asarray(v), replicated), self.opt_state)
 
+    def _device_chunk(self, group, dtype=None):
+        """Stack K same-shape (x, y) batches into (K, batch, ...) arrays in
+        one host->device transfer, sharded over the batch axis on a mesh.
+        ``dtype`` narrows the transfer dtype (cast back to f32 on device)."""
+        xd = np.dtype(dtype) if dtype is not None else np.float32
+        xs = jnp.asarray(np.stack([np.asarray(d[0]) for d in group]).astype(xd))
+        ys = jnp.asarray(np.stack([np.asarray(d[1], np.float32) for d in group]))
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = self.mesh.devices.size
+            if xs.shape[1] % n_dev:
+                raise ValueError(
+                    f"batch size {xs.shape[1]} must be divisible by the "
+                    f"{n_dev}-device mesh for data-parallel training")
+            sharding = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+            xs = jax.device_put(xs, sharding)
+            ys = jax.device_put(ys, sharding)
+        return xs, ys
+
     def _device_batch(self, x, y):
         x = jnp.asarray(np.asarray(x, np.float32))
         y = jnp.asarray(np.asarray(y, np.float32))
@@ -263,13 +310,26 @@ class HeadTrainer:
     def train_model(self, X: Iterable, max_steps: int, warmup_steps: int, hold_steps: int,
                     X_val=None, false_positive_val_data=None, positive_test_clips=None,
                     negative_weight_schedule=(1,), val_steps=(250,), lr: float = 1e-4,
-                    val_set_hrs: float = 1.0, true_accumulation: bool = False):
+                    val_set_hrs: float = 1.0, true_accumulation: bool = False,
+                    feed_chunk: int = 32, feed_dtype=None):
         """Train over an iterable of (x, y) numpy batches (reference
         train.py:434-570 semantics; see module docstring).
 
         ``true_accumulation=True`` sums gradients across each accumulation
         window instead of reproducing the reference's quirk of only
-        backpropagating the gating batch (see _train_step)."""
+        backpropagating the gating batch (see _train_step).
+
+        ``feed_chunk``: number of consecutive same-shape batches stacked
+        into one host->device transfer and run as one scanned dispatch
+        (``_train_scan``). Step-for-step identical numerics to the per-step
+        path; chunks are cut at validation boundaries so validation happens
+        at the same step indices. Set 1 to force per-step dispatch.
+
+        ``feed_dtype``: optional narrow dtype (e.g. ``jnp.bfloat16``) used
+        only for the host->device batch transfer; the device casts back to
+        f32 before any math. Halves feed bandwidth on links where the feed
+        is the bottleneck (PERF_NOTES round 3: ~29 MB/s TPU tunnel) at the
+        cost of quantizing the input features (~0.4% relative)."""
         val_steps = set(int(v) for v in np.asarray(val_steps).tolist())
         # validation inputs are iterated once per validation round; a plain
         # generator would silently exhaust after the first round (the
@@ -289,34 +349,72 @@ class HeadTrainer:
         pending_stats: list = []
 
         def flush_stats():
+            # entries are per-step scalars or (K,)-stacked scan stats
             if not pending_stats:
                 return
-            updated = np.asarray(jnp.stack([s["updated"] for s in pending_stats]))
-            losses = np.asarray(jnp.stack([s["loss"] for s in pending_stats]))
+            updated = np.concatenate(
+                [np.atleast_1d(np.asarray(s["updated"])) for s in pending_stats])
+            losses = np.concatenate(
+                [np.atleast_1d(np.asarray(s["loss"])) for s in pending_stats])
             self.history["loss"].extend(
                 float(l) for u, l in zip(updated, losses) if u)
             pending_stats.clear()
 
-        for step_ndx, data in enumerate(X):
-            x, y = self._device_batch(data[0], data[1])
-            step_lr = lr_warmup_cosine_decay(step_ndx, warmup_steps=warmup_steps,
+        def schedule(s):
+            step_lr = lr_warmup_cosine_decay(s, warmup_steps=warmup_steps,
                                              hold=hold_steps, total_steps=max_steps,
                                              target_lr=lr)
             if len(negative_weight_schedule) == 1:
                 neg_w = float(negative_weight_schedule[0])
             else:
-                neg_w = float(negative_weight_schedule[min(step_ndx, len(negative_weight_schedule) - 1)])
+                neg_w = float(negative_weight_schedule[
+                    min(s, len(negative_weight_schedule) - 1)])
+            return step_lr, neg_w
 
-            params, opt_state, acc, stats = _train_step(
-                params, opt_state, acc, x, y,
-                jnp.asarray(neg_w, jnp.float32), jnp.asarray(step_lr, jnp.float32),
-                self._meta_items, true_acc=true_accumulation)
+        source = iter(X)
+        step_ndx = -1
+        exhausted = False
+        while not exhausted and step_ndx < max_steps - 1:
+            s0 = step_ndx + 1
+            # a chunk must end exactly at the next validation boundary so
+            # chunked runs validate at the same step indices as per-step runs
+            upcoming = [v for v in val_steps if v >= s0]
+            stop = min(min(upcoming) + 1 if upcoming else max_steps, max_steps)
+            k_target = max(1, min(feed_chunk, stop - s0))
+            group = list(itertools.islice(source, k_target))
+            if not group:
+                break
+            exhausted = len(group) < k_target
+            sched = [schedule(s) for s in range(s0, s0 + len(group))]
 
-            # Reading stats here would synchronize on every step (~30 ms per
-            # round-trip over a TPU tunnel, and it stalls dispatch
-            # pipelining everywhere). Buffer the device scalars and flush in
-            # one stacked fetch at validation points / loop end.
-            pending_stats.append(stats)
+            uniform = len(group) > 1 and all(
+                np.shape(d[0]) == np.shape(group[0][0])
+                and np.shape(d[1]) == np.shape(group[0][1]) for d in group[1:])
+            if uniform:
+                # multi-step feed: one transfer + one scanned dispatch for
+                # the whole group (PERF_NOTES round 3: per-step transfers
+                # over a high-latency link starve the device)
+                xs, ys = self._device_chunk(group, dtype=feed_dtype)
+                params, opt_state, acc, stats = _train_scan(
+                    params, opt_state, acc, xs, ys,
+                    jnp.asarray([s[1] for s in sched], jnp.float32),
+                    jnp.asarray([s[0] for s in sched], jnp.float32),
+                    self._meta_items, true_acc=true_accumulation)
+                pending_stats.append(stats)         # (K,)-stacked
+            else:
+                for (data, (step_lr, neg_w)) in zip(group, sched):
+                    x, y = self._device_batch(data[0], data[1])
+                    params, opt_state, acc, stats = _train_step(
+                        params, opt_state, acc, x, y,
+                        jnp.asarray(neg_w, jnp.float32),
+                        jnp.asarray(step_lr, jnp.float32),
+                        self._meta_items, true_acc=true_accumulation)
+                    # Reading stats here would synchronize on every step
+                    # (~30 ms per round-trip over a TPU tunnel, stalling
+                    # dispatch pipelining). Buffer the device scalars and
+                    # flush in one stacked fetch at validation points.
+                    pending_stats.append(stats)
+            step_ndx = s0 + len(group) - 1
 
             run_val = step_ndx in val_steps and step_ndx > 1
             if run_val or len(pending_stats) >= 256:
@@ -421,6 +519,10 @@ class HeadTrainer:
                 if self.best_val_fp > target_fp_per_hour:
                     max_negative_weight *= 2
                     logging.info("Increasing weight on negative examples to reduce false positives...")
+            # observability: the effective cap per sequence (tested — the
+            # reference's doubling path is dead code due to its unused
+            # best_val_fp, COMPATIBILITY.md #19-adjacent fix)
+            self.history["max_negative_weight"].append(max_negative_weight)
             weights = np.linspace(1, max_negative_weight, seq_steps).tolist()
             if sequence == 0:
                 val_steps = np.linspace(seq_steps - int(seq_steps * 0.25), seq_steps, 20).astype(np.int64)

@@ -42,6 +42,14 @@ def load_vad_apply(model_path: str = "", params=None):
             from openwakeword_tpu.models import silero
             prog = silero.from_meta(meta, params)
             return prog.apply, prog.params, prog.min_samples
+        logging.warning(
+            "VAD checkpoint at '%s' is a native vad_net network (the bundled "
+            "one is a home-trained substitute), NOT the released Silero VAD: "
+            "vad_threshold gating behaves materially differently from the "
+            "reference. Import the real graph (python verify_artifacts.py "
+            "--download --install, or utils.download.convert_local_models on "
+            "silero_vad.onnx) for reference-equivalent gating. See "
+            "COMPATIBILITY.md #8.", path)
         return vad_net.apply, params, vad_net.MIN_SAMPLES
     logging.warning(
         "No VAD checkpoint found at '%s'; using a deterministic random "

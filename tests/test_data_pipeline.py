@@ -284,3 +284,34 @@ class TestReviewRegressions:
             f.writeframes(stereo.tobytes())
         mono = _read_wav(p)
         np.testing.assert_array_equal(mono, stereo[:, 0])
+
+
+class TestBatchedMixOps:
+    def test_mix_at_snr_matches_per_clip_mix(self, rng):
+        """The batched device mix must equal the scalar mix_clip loop."""
+        from openwakeword_tpu.ops import augment as A
+        n, size = 5, 12000
+        bgs = rng.normal(0, 0.1, (n, size)).astype(np.float32)
+        fgs = [rng.normal(0, 0.2, int(l)).astype(np.float32)
+               for l in rng.integers(2000, 8000, n)]
+        starts = [int(s) for s in rng.integers(0, 3000, n)]
+        snrs = rng.uniform(-5, 15, n)
+
+        expected = np.stack([D.mix_clip(fg, bg, snr, s)
+                             for fg, bg, snr, s in zip(fgs, bgs, snrs, starts)])
+        fg_mat = np.zeros((n, size), np.float32)
+        for j, (fg, s) in enumerate(zip(fgs, starts)):
+            fg_mat[j, s:s + fg.shape[0]] = fg
+        got = np.asarray(A.mix_at_snr(bgs, fg_mat, snrs))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_generated_noise_augmentation_batched(self, wav_dir, tmp_path, rng):
+        bg = str(tmp_path / "bg.wav")
+        D.write_audio(bg, rng.uniform(-0.2, 0.2, 40000).astype(np.float32))
+        gen = D.mix_clips_batch(wav_dir * 4, [bg], combined_size=32000,
+                                labels=[1] * 12, batch_size=6, snr_low=5,
+                                snr_high=10, generated_noise_augmentation=1.0,
+                                seed=11)
+        batch, labels, _ = next(gen)
+        assert batch.shape[1] == 32000 and batch.dtype == np.int16
+        assert np.abs(batch).max() > 0

@@ -70,6 +70,21 @@ class TestModels:
         base = scores[1280]
         for chunk, s in scores.items():
             np.testing.assert_approx_equal(s, base, significant=5)
+            assert abs(s - base) < 1e-5
+
+    def test_multiclass_chunk_size_invariance_default(self, test_clips):
+        """Un-patched multiclass mirror of reference tests/test_models.py:
+        88-100: max class score invariant across all four chunk sizes under
+        the default config (no monkeypatching)."""
+        scores = {}
+        for chunk in (1280, 2560, 1024, 2048):
+            m = oww.Model(wakeword_models=["timer"])
+            preds = m.predict_clip(test_clips["alexa"], chunk_size=chunk)
+            scores[chunk] = max(p["1_minute_timer"] for p in preds)
+        base = scores[1280]
+        for chunk, s in scores.items():
+            np.testing.assert_approx_equal(s, base, significant=5)
+            assert abs(s - base) < 1e-5
 
     def test_multiclass_chunk_size_invariance(self, test_clips, monkeypatch):
         monkeypatch.setattr(config, "MEL_TOP_DB", None)

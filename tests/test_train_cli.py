@@ -47,7 +47,9 @@ def training_setup(tmp_path, rng):
         "layer_size": 16,
         "steps": 30,
         "max_negative_weight": 5,
-        "target_false_positives_per_hour": 0.2,
+        # unreachable target: the between-sequence negative-weight doubling
+        # must fire deterministically in this miniature run
+        "target_false_positives_per_hour": -1.0,
     }
     cfg_path = str(tmp_path / "cfg.yml")
     with open(cfg_path, "w") as f:
@@ -55,11 +57,19 @@ def training_setup(tmp_path, rng):
     return cfg_path, cfg
 
 
-def test_augment_train_export(training_setup, tmp_path):
+def test_augment_train_export(training_setup, tmp_path, caplog):
+    import logging
     from openwakeword_tpu.train_cli import main
     cfg_path, cfg = training_setup
-    main(["--training_config", cfg_path, "--augment_clips", "--train_model",
-          "--export_onnx"])
+    with caplog.at_level(logging.INFO):
+        main(["--training_config", cfg_path, "--augment_clips", "--train_model",
+              "--export_onnx"])
+
+    # the miniature run drives all 3 auto-train sequences; with random-init
+    # heads the FP/hr target is missed, so the negative-weight doubling
+    # between sequences must actually fire (VERDICT r2 item 4)
+    assert any("Increasing weight on negative examples" in r.message
+               for r in caplog.records)
 
     out = cfg["output_dir"]
     feats = np.load(os.path.join(out, "tiny_model", "positive_features_train.npy"))

@@ -156,3 +156,76 @@ def test_true_accumulation_differs_from_reference_parity(rng):
         outs.append(np.asarray(t.params["layer1"]["w"]))
         assert np.isfinite(outs[-1]).all()
     assert not np.allclose(outs[0], outs[1])
+
+
+def test_feed_chunk_matches_per_step(rng):
+    """The scanned multi-step feed (_train_scan) must be step-for-step
+    identical to per-step dispatch: same final params, same loss history,
+    same validation step indices."""
+    x = rng.normal(0, 1, (30, 64, 16, 96)).astype(np.float32)
+    y = rng.integers(0, 2, (30, 64))
+    data = list(zip(x, y))
+    xv, yv = data[0]
+
+    t1 = HeadTrainer(layer_dim=32, seed=0)
+    t1.train_model(iter(data), max_steps=30, warmup_steps=5, hold_steps=5,
+                   lr=1e-3, X_val=[(xv, yv)], val_steps=(10, 20),
+                   feed_chunk=1)
+    t2 = HeadTrainer(layer_dim=32, seed=0)
+    t2.train_model(iter(data), max_steps=30, warmup_steps=5, hold_steps=5,
+                   lr=1e-3, X_val=[(xv, yv)], val_steps=(10, 20),
+                   feed_chunk=8)
+
+    for k in t1.params:
+        if k == "__meta__":
+            continue
+        for leaf in t1.params[k]:
+            np.testing.assert_allclose(
+                np.asarray(t1.params[k][leaf]), np.asarray(t2.params[k][leaf]),
+                atol=1e-6, err_msg=f"{k}/{leaf}")
+    np.testing.assert_allclose(t1.history["loss"], t2.history["loss"], atol=1e-5)
+    assert len(t1.history["val_accuracy"]) == len(t2.history["val_accuracy"]) == 2
+
+
+def test_feed_chunk_nonuniform_batches_fall_back(rng):
+    """Mixed batch sizes cannot stack: the group runs per-step and training
+    still completes over every batch."""
+    data = [(rng.normal(0, 1, (n, 16, 96)).astype(np.float32),
+             rng.integers(0, 2, n)) for n in (32, 32, 16, 32)]
+    t = HeadTrainer(layer_dim=32, seed=0)
+    t.train_model(iter(data), max_steps=4, warmup_steps=1, hold_steps=1,
+                  lr=1e-3, feed_chunk=4)
+    # all four batches consumed (loss history flushes at loop end)
+    assert len(t.history["loss"]) <= 4
+
+
+def test_auto_train_neg_weight_doubling(rng):
+    """The 3-sequence auto-train must actually double max_negative_weight
+    between sequences while FP/hr misses the target (the reference's
+    doubling never fires — its best_val_fp is never updated; ours must)."""
+    t = HeadTrainer(layer_dim=16, seed=0)
+    xv, yv = next(make_gen(rng, 1, 64))
+    # impossible target: every sequence doubles
+    t.auto_train(X_train=make_gen(rng, 10000), X_val=[(xv, yv)],
+                 false_positive_val_data=[(xv, yv)], steps=30,
+                 max_negative_weight=5, target_fp_per_hour=-1.0, lr=1e-3,
+                 val_set_hrs=0.01)
+    assert t.history["max_negative_weight"] == [5, 10, 20]
+
+
+def test_feed_dtype_bf16_transfer(rng):
+    """Compressed bf16 feed: math stays f32 on device; results track the
+    f32-feed run within input-quantization tolerance."""
+    import jax.numpy as jnp
+    x = rng.normal(0, 1, (10, 64, 16, 96)).astype(np.float32)
+    y = rng.integers(0, 2, (10, 64))
+    data = list(zip(x, y))
+    t1 = HeadTrainer(layer_dim=32, seed=0)
+    t1.train_model(iter(data), max_steps=10, warmup_steps=2, hold_steps=2, lr=1e-3)
+    t2 = HeadTrainer(layer_dim=32, seed=0)
+    t2.train_model(iter(data), max_steps=10, warmup_steps=2, hold_steps=2, lr=1e-3,
+                   feed_dtype=jnp.bfloat16)
+    w1 = np.asarray(t1.params["layer1"]["w"])
+    w2 = np.asarray(t2.params["layer1"]["w"])
+    assert np.isfinite(w2).all()
+    np.testing.assert_allclose(w1, w2, atol=1e-2)  # masking flips near thresholds

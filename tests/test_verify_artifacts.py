@@ -82,6 +82,22 @@ def test_cli_json_report(mock_artifacts, tmp_path):
     assert any(r["ok"] for r in rows)
 
 
+def test_offline_selftest_cli(tmp_path):
+    """The --offline-selftest mode fabricates reference-shaped artifacts and
+    the full 3-layer pipeline passes on them (VERDICT r2 item 10: the
+    artifact path is CI-covered before real egress exists)."""
+    out = str(tmp_path / "selftest.json")
+    rc = va.main(["--offline-selftest", "--json", out])
+    assert rc == 0
+    import json
+    rows = json.load(open(out))
+    passed = [r for r in rows if r["ok"] is True]
+    arts = {r["artifact"] for r in passed}
+    assert {"melspectrogram.onnx", "embedding_model.onnx", "alexa_v0.1.onnx",
+            "timer_v0.1.onnx", "silero_vad.onnx"} <= arts
+    assert not [r for r in rows if r["ok"] is False]
+
+
 def test_missing_dir_is_graceful(tmp_path):
     rep = va.run(str(tmp_path / "nope"))
     assert not rep.failed

@@ -330,6 +330,34 @@ def run(artifacts_dir: str, clips_dir: str = CLIP_DIR_DEFAULT,
     return rep
 
 
+def build_selftest_artifacts(artifacts_dir: str):
+    """Fabricate a reference-shaped replica of every released artifact
+    family (same graph structure, ops, and tensor layouts; synthetic
+    weights) so the full 3-layer verification pipeline can run with zero
+    egress. The builders live with the test fixtures (tests/
+    fixture_builders.py) and construct real ONNX protobufs through
+    io.onnx_proto — the same bytes-level path real artifacts take."""
+    import jax
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fixture_builders import (build_embedding_onnx, build_head_onnx,
+                                  build_melspec_onnx, build_silero_onnx)
+    from openwakeword_tpu.models import embedding
+
+    os.makedirs(artifacts_dir, exist_ok=True)
+    rng = np.random.default_rng(40)
+    build_melspec_onnx(os.path.join(artifacts_dir, "melspectrogram.onnx"))
+    build_embedding_onnx(os.path.join(artifacts_dir, "embedding_model.onnx"),
+                         embedding.init_params(jax.random.PRNGKey(8)))
+    build_head_onnx(os.path.join(artifacts_dir, "alexa_v0.1.onnx"), rng,
+                    model_type="dnn", input_frames=16, n_classes=1,
+                    layer_dim=64, n_blocks=1, output_name="alexa")
+    build_head_onnx(os.path.join(artifacts_dir, "timer_v0.1.onnx"), rng,
+                    model_type="mlp", input_frames=34, n_classes=7,
+                    layer_dim=128, output_name="timer")
+    build_silero_onnx(os.path.join(artifacts_dir, "silero_vad.onnx"), rng)
+    print(f"Fabricated self-test artifacts in {artifacts_dir}")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--artifacts-dir", default=os.path.join(REPO, "artifacts"))
@@ -341,9 +369,19 @@ def main(argv=None) -> int:
     ap.add_argument("--strict-scores", action="store_true",
                     help="enforce the filename score contract end-to-end "
                          "(use with the real released weights)")
+    ap.add_argument("--offline-selftest", action="store_true",
+                    help="fabricate reference-shaped artifacts and run the "
+                         "full verification pipeline on them (CI coverage of "
+                         "the artifact path before real egress exists)")
     ap.add_argument("--json", dest="json_out", default="",
                     help="write the report as JSON to this path")
     args = ap.parse_args(argv)
+
+    if args.offline_selftest:
+        import tempfile
+        selftest_dir = tempfile.mkdtemp(prefix="owwt_selftest_artifacts_")
+        build_selftest_artifacts(selftest_dir)
+        args.artifacts_dir = selftest_dir
 
     rep = run(args.artifacts_dir, args.clips_dir,
               download=args.download, install=args.install,
