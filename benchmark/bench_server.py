@@ -26,27 +26,68 @@ parser.add_argument("--slots", type=int, nargs="*", default=[4096, 16384, 50176]
 parser.add_argument("--ticks", type=int, default=20)
 parser.add_argument("--occupancy", type=float, default=0.95,
                     help="fraction of slots that receive a packet each tick")
+parser.add_argument("--host-only", action="store_true",
+                    help="replace the device step with a host stub to "
+                         "isolate the server's own per-tick cost (queue "
+                         "gather, cursor updates, activation extraction) at "
+                         "slot counts whose engine cannot compile here")
 args = parser.parse_args()
 
 
-def bench_capacity(capacity: int, n_ticks: int, occupancy: float):
+class _StubEngine:
+    """Engine stand-in for --host-only: same predict_masked surface, no
+    device. Scores are a deterministic random matrix so the activation-
+    extraction path does real work."""
+
+    def __init__(self, capacity, n_labels=6):
+        self.n_streams = capacity
+        self.labels = [f"label_{i}" for i in range(n_labels)]
+        self.state = {"ticks": np.zeros(capacity)}
+        self._rng = np.random.default_rng(0)
+        # sparse activations (the wake-word reality): ~0.1% of scores cross
+        # a 0.5 threshold; a dense score matrix would measure the Python
+        # activation loop instead of the data path
+        self._scores = self._rng.random((capacity, n_labels), np.float32) * 0.45
+        flip = self._rng.random((capacity, n_labels)) < 1e-3
+        self._scores[flip] = 0.9
+
+    def init_state(self, n):
+        return {"ticks": np.zeros(n)}
+
+    def predict_masked(self, chunks, valid):
+        # touch the chunk matrix like a transfer would, without a device
+        _ = chunks[0, 0]
+        return self._scores
+
+    def predict_packets(self, stage, slot_ids):
+        _ = stage[0, 0], slot_ids[0]
+        return self._scores
+
+
+def bench_capacity(capacity: int, n_ticks: int, occupancy: float,
+                   host_only: bool = False):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/owwt_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from openwakeword_tpu.parallel.server import StreamServer
 
-    srv = StreamServer(wakeword_models=[], capacity=capacity, threshold=0.5)
+    if host_only:
+        srv = StreamServer(engine=_StubEngine(capacity), threshold=0.5)
+    else:
+        srv = StreamServer(wakeword_models=[], capacity=capacity, threshold=0.5)
     sids = np.array([srv.add_stream() for _ in range(capacity)])
     rng = np.random.default_rng(0)
 
-    # steady serving shape: one 80 ms packet per active client per tick,
-    # random subset starved
+    # steady serving shape: one 80 ms packet per active client per tick, a
+    # fixed fraction starved. The receive loop hands the server a contiguous
+    # packet buffer + slot ids (what a network stack produces), so the
+    # harness does not charge the server for a scatter it never performs.
     packet = rng.integers(-2000, 2000, (capacity, 1280)).astype(np.int16)
+    n_arrive = int(capacity * occupancy)
 
     def one_tick(sync=False):
-        arrive = rng.random(capacity) < occupancy
         t0 = time.perf_counter()
-        srv.push_block(sids[arrive], packet[arrive])
+        srv.push_block(sids[:n_arrive], packet[:n_arrive])
         t_push = time.perf_counter() - t0
         t0 = time.perf_counter()
         scores = srv.step()
@@ -66,21 +107,28 @@ def bench_capacity(capacity: int, n_ticks: int, occupancy: float):
         push_s.append(p)
         step_s.append(s)
 
-    # (b) device-only masked step (same chunk shape, no host bookkeeping):
-    # chained dispatches amortize the tunnel sync (see PERF_NOTES.md)
-    chunk = packet
-    valid = np.ones(capacity, bool)
-    srv.engine.predict_masked(chunk, valid)   # warm
-    t0 = time.perf_counter()
-    for _ in range(n_ticks):
-        out = srv.engine.predict_masked(chunk, valid)
-    np.asarray(out)
-    dev_tick = (time.perf_counter() - t0) / n_ticks
+    if host_only:
+        # the engine's canonical per-stream-frame device cost ('high',
+        # PERF_NOTES canonical numbers: 0.1654 s / 50 frames / 4096 streams)
+        dev_tick = capacity * (0.1654 / 50 / 4096)
+    else:
+        # (b) device-only masked step (same chunk shape, no host
+        # bookkeeping): chained dispatches amortize the tunnel sync
+        chunk = packet
+        valid = np.ones(capacity, bool)
+        srv.engine.predict_masked(chunk, valid)   # warm
+        t0 = time.perf_counter()
+        for _ in range(n_ticks):
+            out = srv.engine.predict_masked(chunk, valid)
+        np.asarray(out)
+        dev_tick = (time.perf_counter() - t0) / n_ticks
 
     med_push = float(np.median(push_s))
     med_step = float(np.median(step_s))
-    host = max(med_step - dev_tick, 0.0) + med_push
+    host = (med_push + med_step) if host_only \
+        else max(med_step - dev_tick, 0.0) + med_push
     return {
+        "mode": "host_only" if host_only else "full",
         "capacity": capacity,
         "tick_ms": round((med_push + med_step) * 1e3, 2),
         "push_ms": round(med_push * 1e3, 2),
@@ -95,7 +143,8 @@ def bench_capacity(capacity: int, n_ticks: int, occupancy: float):
 
 def main():
     for cap in args.slots:
-        r = bench_capacity(cap, args.ticks, args.occupancy)
+        r = bench_capacity(cap, args.ticks, args.occupancy,
+                           host_only=args.host_only)
         print(r)
 
 

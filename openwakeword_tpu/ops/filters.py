@@ -19,6 +19,7 @@ frequencies/gains.
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 TWO_PI = 2.0 * np.pi
@@ -70,7 +71,9 @@ def cascade_response(b: jnp.ndarray, a: jnp.ndarray, n_fft: int) -> jnp.ndarray:
         (..., n_fft//2 + 1) complex64 response (product over sections).
     """
     w = jnp.asarray(TWO_PI * np.fft.rfftfreq(n_fft), jnp.float32)     # (F,)
-    z1 = jnp.exp(-1j * w)                                             # z^-1
+    # z^-1 = e^{-jw} built from real cos/sin: the TPU backend implements
+    # complex mul/div but NOT complex exp (UNIMPLEMENTED at lowering)
+    z1 = jax.lax.complex(jnp.cos(w), -jnp.sin(w))                     # z^-1
     z2 = z1 * z1
     bb = b[..., None, :]                                              # (...,K,1,3)
     aa = a[..., None, :]

@@ -675,6 +675,45 @@ class MultiStreamEngine:
         self.state, scores = self._step_masked_fn(self.params, self.state, x, v)
         return np.asarray(scores)
 
+    def predict_packets(self, stage: np.ndarray, slot_ids: np.ndarray) -> np.ndarray:
+        """Masked step fed by a *compact staging buffer* instead of a
+        slot-ordered chunk matrix: row j of ``stage`` is the frame for slot
+        ``slot_ids[j]``; rows with ``slot_ids[j] < 0`` are padding. The
+        slot-reorder scatter and the valid mask are built ON DEVICE
+        (HBM-bandwidth scatter), so the serving host never pays an
+        O(capacity)-row scatter per tick — it appends packets contiguously
+        and hands the buffer over (StreamServer's steady fast path).
+
+        Args:
+            stage: (n_streams, 1280) PCM; only the rows named by slot_ids
+                are read.
+            slot_ids: (n_streams,) int64, -1 = unused row.
+        Returns:
+            (n_streams, n_labels) float32 scores (invalid slots recycle,
+            exactly like predict_masked).
+        """
+        if not hasattr(self, "_step_packets_fn"):
+            masked_step = self._build_step(masked=True)
+
+            def packet_step(params, state, stage, ids):
+                okay = ids >= 0
+                chunk = jnp.zeros(stage.shape, stage.dtype)
+                # mode='drop' discards the -1 padding rows
+                chunk = chunk.at[ids].set(stage, mode="drop")
+                valid = jnp.zeros(stage.shape[0], bool).at[ids].set(
+                    okay, mode="drop")
+                return masked_step(params, state, chunk, valid)
+
+            self._step_packets_fn = jax.jit(packet_step, donate_argnums=(1,))
+        x = _as_device_pcm(stage)
+        ids = jnp.asarray(np.asarray(slot_ids, np.int64))
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P("streams"))
+            x = jax.device_put(x, sharding)
+            ids = jax.device_put(ids, sharding)
+        self.state, scores = self._step_packets_fn(self.params, self.state, x, ids)
+        return np.asarray(scores)
+
     def predict_frames(self, frames: np.ndarray) -> np.ndarray:
         """Advance every stream by T frames in one device program.
 

@@ -44,7 +44,7 @@ from openwakeword_tpu.parallel.engine import MultiStreamEngine
 class StreamServer:
     def __init__(self, wakeword_models=(), capacity: int = 256,
                  threshold: float = 0.5, engine: Optional[MultiStreamEngine] = None,
-                 queue_frames: int = 64, **engine_kwargs):
+                 queue_frames: int = 16, **engine_kwargs):
         self.engine = engine or MultiStreamEngine(
             wakeword_models=wakeword_models, n_streams=capacity, **engine_kwargs)
         self.capacity = self.engine.n_streams
@@ -53,8 +53,13 @@ class StreamServer:
 
         C, F = self.capacity, config.CHUNK_SAMPLES
         self.queue_frames = int(queue_frames)
-        # per-slot frame ring: complete 80 ms frames awaiting a serving tick
-        self._queue = np.zeros((C, self.queue_frames, F), np.int16)
+        # per-slot frame ring in (depth, capacity, frame) layout: when every
+        # slot's read cursor sits at the same depth (the steady serving
+        # case — one packet in, one frame out per tick), the whole tick's
+        # chunk matrix is ONE contiguous slab self._queue[h], no gather.
+        # Starved/empty slots are re-aligned to the common cursor for free
+        # each step, so the fast path survives slot churn.
+        self._queue = np.zeros((self.queue_frames, C, F), np.int16)
         self._q_head = np.zeros(C, np.int64)
         self._q_len = np.zeros(C, np.int64)
         # per-slot partial-frame tail (the ChunkAccumulator contract, as one
@@ -67,6 +72,17 @@ class StreamServer:
         self._free = deque(range(C))
         self._activations: Dict[int, deque] = {}
         self._frame_counter = 0
+        self._align_head = 0      # common read cursor for the fast path
+
+        # zero-scatter staging: in the steady case (one packet per slot per
+        # tick, no queue depth) packets append *contiguously* here and the
+        # engine scatters them to slot order on device
+        # (engine.predict_packets); the host never pays a capacity-row
+        # scatter per tick
+        self._stage = np.zeros((C, F), np.int16)
+        self._stage_ids = np.full(C, -1, np.int64)
+        self._staged_mask = np.zeros(C, bool)
+        self._n_staged = 0
         #: frames dropped because a slot's queue overflowed (clients pushing
         #: faster than the server ticks); oldest frames are dropped first
         self.overflow_drops = 0
@@ -87,7 +103,8 @@ class StreamServer:
             raise RuntimeError(f"StreamServer at capacity ({self.capacity} streams)")
         sid = self._free.popleft()
         self._reset_slot(sid)
-        self._q_head[sid] = self._q_len[sid] = self._tail_len[sid] = 0
+        self._q_head[sid] = self._align_head   # join the common cursor
+        self._q_len[sid] = self._tail_len[sid] = 0
         self._active_mask[sid] = True
         self._activations[sid] = deque(maxlen=1000)
         return sid
@@ -95,6 +112,13 @@ class StreamServer:
     def remove_stream(self, sid: int):
         self._check_active(sid)
         self._active_mask[sid] = False
+        # drop buffered audio now: a lingering q_len would hold this slot's
+        # stale cursor out of alignment (and run_pending would ignore it)
+        self._q_len[sid] = self._tail_len[sid] = 0
+        if self._staged_mask[sid]:
+            self._staged_mask[sid] = False
+            self._stage_ids[np.where(
+                self._stage_ids[:self._n_staged] == sid)[0]] = -1
         self._activations.pop(sid)
         self._free.append(sid)
 
@@ -142,6 +166,28 @@ class StreamServer:
             for i, sid in enumerate(sids):
                 self.push(int(sid), packets[i])
             return
+        if k == 1:
+            # steady fast path: stage rows contiguously (memcpy), let the
+            # device do the slot-order scatter at the next step()
+            ok = (self._q_len[sids] == 0) & ~self._staged_mask[sids]
+            n0 = self._n_staged
+            if ok.all():
+                n1 = n0 + sids.size
+                self._stage[n0:n1] = packets
+                self._stage_ids[n0:n1] = sids
+                self._staged_mask[sids] = True
+                self._n_staged = n1
+                return
+            good = np.where(ok)[0]
+            if good.size:
+                n1 = n0 + good.size
+                self._stage[n0:n1] = packets[good]
+                self._stage_ids[n0:n1] = sids[good]
+                self._staged_mask[sids[good]] = True
+                self._n_staged = n1
+            for i in np.where(~ok)[0]:
+                self.push(int(sids[i]), packets[i])
+            return
         lens = self._q_len[sids]
         overflow = lens + k - self.queue_frames
         if (overflow > 0).any():
@@ -153,22 +199,52 @@ class StreamServer:
         # scatter k frames per slot at each slot's write cursor
         pos = (self._q_head[sids, None] + lens[:, None]
                + np.arange(k)[None, :]) % self.queue_frames        # (N, k)
-        self._queue[sids[:, None], pos] = packets.reshape(-1, k, F)
+        self._queue[pos, sids[:, None]] = packets.reshape(-1, k, F)
         self._q_len[sids] += k
 
     def pending_frames(self, sid: int) -> int:
         self._check_active(sid)
-        return int(self._q_len[sid])
+        return int(self._q_len[sid]) + int(self._staged_mask[sid])
 
     def step(self) -> np.ndarray:
         """One serving tick: advance every slot holding a complete frame
-        (masked engine step); starved and inactive slots are untouched.
-        Returns the full (capacity, L) score matrix."""
-        valid = self._active_mask & (self._q_len > 0)
-        chunk = self._queue[self._slot_ids, self._q_head]           # (C, 1280)
-        self._q_head[valid] = (self._q_head[valid] + 1) % self.queue_frames
-        self._q_len[valid] -= 1
-        scores = np.asarray(self.engine.predict_masked(chunk, valid))
+        (staged packets and/or queued frames); starved and inactive slots
+        are untouched. Returns the full (capacity, L) score matrix."""
+        heads = self._q_head
+        queued = self._active_mask & (self._q_len > 0) & ~self._staged_mask
+        if self._n_staged:
+            # staged path: append the (few) queued slots' frames to the
+            # stage and let the device scatter everything to slot order
+            qidx = np.where(queued)[0]
+            if qidx.size:
+                n0, n1 = self._n_staged, self._n_staged + qidx.size
+                self._stage[n0:n1] = self._queue[heads[qidx], qidx]
+                self._stage_ids[n0:n1] = qidx
+                self._n_staged = n1
+                self._q_head[qidx] = (heads[qidx] + 1) % self.queue_frames
+                self._q_len[qidx] -= 1
+            valid = self._staged_mask | queued
+            scores = np.asarray(self.engine.predict_packets(
+                self._stage, self._stage_ids))
+            ids = self._stage_ids[:self._n_staged]
+            self._staged_mask[ids] = False
+            self._stage_ids[:self._n_staged] = -1
+            self._n_staged = 0
+        else:
+            valid = queued
+            h0 = int(heads[valid][0]) if valid.any() else 0
+            if (heads[valid] == h0).all():
+                # aligned cursors: the tick's chunks are one contiguous slab
+                chunk = self._queue[h0]                             # (C, 1280) view
+                # re-align empty slots to where the consumers will be next
+                # tick, keeping the fast path alive across starvation/churn
+                self._q_head[self._q_len == 0] = (h0 + 1) % self.queue_frames
+                self._align_head = (h0 + 1) % self.queue_frames
+            else:
+                chunk = self._queue[heads, self._slot_ids]          # (C, 1280) gather
+            self._q_head[valid] = (heads[valid] + 1) % self.queue_frames
+            self._q_len[valid] -= 1
+            scores = np.asarray(self.engine.predict_masked(chunk, valid))
         self._frame_counter += 1
         # Python work is per *activation* (sparse), never per slot
         hits = np.argwhere((scores >= self.threshold) & valid[:, None])
@@ -181,7 +257,7 @@ class StreamServer:
         """Step until no active stream has a full frame buffered. Returns the
         number of steps taken."""
         steps = 0
-        while (self._active_mask & (self._q_len > 0)).any():
+        while (self._active_mask & ((self._q_len > 0) | self._staged_mask)).any():
             self.step()
             steps += 1
         return steps
@@ -209,7 +285,7 @@ class StreamServer:
             self._q_len[sid] -= overflow
         pos = (self._q_head[sid] + self._q_len[sid]
                + np.arange(n)) % self.queue_frames
-        self._queue[sid, pos] = frames
+        self._queue[pos, sid] = frames
         self._q_len[sid] += n
 
     def _check_active(self, sid: int):

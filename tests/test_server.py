@@ -277,3 +277,49 @@ def test_accumulator_rejects_float_audio():
     acc = ChunkAccumulator(frame_samples=4)
     with pytest.raises(ValueError, match="int16"):
         acc.push(np.asarray([0.1, -0.5, 0.9, 0.2], np.float32))
+
+
+def test_staged_packet_path_matches_queue_path(rng):
+    """The zero-scatter staged path (push_block k=1 -> device scatter via
+    engine.predict_packets) must score identically to the per-slot queue
+    path, including mixed staged+queued ticks and slot churn."""
+    pkts = rng.integers(-2000, 2000, (6, 3, 1280)).astype(np.int16)
+
+    srv1 = StreamServer(wakeword_models=["alexa"], capacity=3, threshold=2.0,
+                        rng_seed=0)
+    srv2 = StreamServer(wakeword_models=["alexa"], capacity=3, threshold=2.0,
+                        rng_seed=0)
+    s1 = [srv1.add_stream() for _ in range(3)]
+    s2 = [srv2.add_stream() for _ in range(3)]
+    for t in range(6):
+        # srv1: block push (staged fast path); srv2: per-slot push (ring)
+        srv1.push_block(np.array(s1), pkts[t])
+        for i, sid in enumerate(s2):
+            srv2.push(sid, pkts[t, i])
+        np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-6,
+                                   err_msg=f"tick {t}")
+
+    # mixed tick: one slot gets an extra queued frame before the block push
+    extra = rng.integers(-2000, 2000, 1280).astype(np.int16)
+    srv1.push(s1[0], extra)
+    srv2.push(s2[0], extra)
+    srv1.push_block(np.array(s1), pkts[0])
+    for i, sid in enumerate(s2):
+        srv2.push(sid, pkts[0, i])
+    for _ in range(2):   # drain both the queued and staged/queued frames
+        np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-6)
+    assert srv1.pending_frames(s1[0]) == srv2.pending_frames(s2[0]) == 0
+
+
+def test_staged_slot_removed_before_step(rng):
+    """Removing a slot whose packet is staged must drop the packet."""
+    srv = StreamServer(wakeword_models=["alexa"], capacity=2, threshold=2.0)
+    a = srv.add_stream()
+    b = srv.add_stream()
+    srv.push_block(np.array([a, b]),
+                   rng.integers(-1000, 1000, (2, 1280)).astype(np.int16))
+    srv.remove_stream(a)
+    scores = srv.step()
+    assert scores.shape[0] == 2
+    # slot b advanced; slot a is inactive and must not have been scored as valid
+    assert srv.pending_frames(b) == 0
