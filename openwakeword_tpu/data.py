@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from openwakeword_tpu.ops import augment as A
+from openwakeword_tpu.ops import fftc
 
 
 # ---------------------------------------------------------------------------
@@ -372,7 +373,7 @@ def mix_clips_batch(
                 rows = np.where(sel & (colors == color))[0]
                 if not rows.size:
                     continue
-                key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31))
+                key = fftc.host_key(np.random.randint(0, 2 ** 31))
                 noise = np.asarray(A.colored_noise(
                     key, (rows.size, combined_size), decay), np.float32)
                 sub_snrs = np.random.choice(snrs_db, rows.size)
@@ -460,7 +461,7 @@ def augment_clips(clip_paths: List[str],
     if augmentation_probabilities:
         probs.update(augmentation_probabilities)
     rng = np.random.default_rng(seed if seed else None)
-    key = jax.random.PRNGKey(rng.integers(0, 2 ** 31))
+    key = fftc.host_key(rng.integers(0, 2 ** 31))
 
     for i in range(0, len(clip_paths), batch_size):
         batch_paths = clip_paths[i:i + batch_size]

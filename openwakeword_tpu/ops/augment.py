@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from openwakeword_tpu.ops.fftc import spectral_op
+
 
 def gain(key, x, min_gain_db=-18.0, max_gain_db=0.0):
     g_db = jax.random.uniform(key, (x.shape[0], 1), minval=min_gain_db, maxval=max_gain_db)
@@ -36,6 +38,7 @@ def tanh_distortion(key, x, min_distortion=0.0001, max_distortion=0.10):
     return y * (rms_in / rms_out)
 
 
+@spectral_op
 def seven_band_eq(key, x, min_gain_db=-6.0, max_gain_db=6.0, sr=16000):
     """Seven-band parametric EQ as a cascade of RBJ peaking biquads (the
     filter family audiomentations' SevenBandParametricEQ runs sequentially
@@ -49,6 +52,7 @@ def seven_band_eq(key, x, min_gain_db=-6.0, max_gain_db=6.0, sr=16000):
     return filters.apply_cascade(x, b, a)
 
 
+@spectral_op
 def band_stop(key, x, min_center_hz=200.0, max_center_hz=4000.0,
               min_bandwidth_fraction=0.5, max_bandwidth_fraction=1.99, sr=16000):
     """Attenuate a random frequency band with an RBJ notch biquad
@@ -66,6 +70,7 @@ def band_stop(key, x, min_center_hz=200.0, max_center_hz=4000.0,
     return filters.apply_cascade(x, b[:, None, :], a[:, None, :])
 
 
+@spectral_op
 def colored_noise(key, shape, f_decay, sr=16000):
     """Noise with PSD ~ 1/f^decay (decay 0=white, 1=pink, 2=brown; negative
     values tilt blue/violet), normalized to unit peak per example."""
@@ -111,6 +116,7 @@ def mix_at_snr(bg, fg, snr_db):
     return (bg + scale[:, None] * fg) / 2.0
 
 
+@spectral_op
 def reverberate(x, rir, rescale_amp="avg"):
     """FFT convolution with an RIR, shifted to the RIR's direct path and
     rescaled to the input's average amplitude (speechbrain semantics used at
@@ -157,6 +163,7 @@ def _overlap_add(frames, hop, n_out, window_sq):
     return out / jnp.maximum(norm, 1e-6)
 
 
+@spectral_op
 def pitch_shift(key, x, min_semitones=-3.0, max_semitones=3.0,
                 n_fft=1024, hop=256):
     """Batch pitch shift: phase-vocoder time stretch, then resample back --

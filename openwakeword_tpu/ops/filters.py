@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from openwakeword_tpu.ops.fftc import spectral_op
+
 TWO_PI = 2.0 * np.pi
 
 
@@ -58,6 +60,7 @@ def notch_coeffs(f0, q, sr: int = 16000) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return b, a
 
 
+@spectral_op
 def cascade_response(b: jnp.ndarray, a: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     """Complex frequency response of a biquad cascade on the rfft grid.
 
@@ -82,6 +85,7 @@ def cascade_response(b: jnp.ndarray, a: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     return jnp.prod(num / den, axis=-2).astype(jnp.complex64)         # (...,F)
 
 
+@spectral_op
 def apply_cascade(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray,
                   pad: int = 8192) -> jnp.ndarray:
     """Filter (B, N) audio through a per-example biquad cascade (B, K, 3).
