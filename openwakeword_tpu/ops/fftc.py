@@ -18,6 +18,7 @@ code can feed any backend.
 
 import functools
 import logging
+import os
 import subprocess
 import sys
 
@@ -40,6 +41,14 @@ def device_fft_ok() -> bool:
         if jax.default_backend() == "cpu":
             _FFT_OK = True
             return True
+        # probing costs minutes on tunneled backends — cache per machine
+        import tempfile
+        marker = os.path.join(tempfile.gettempdir(),
+                              f"owwt_fft_probe_{jax.default_backend()}")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                _FFT_OK = f.read().strip() == "ok"
+            return _FFT_OK
         code = ("import jax, jax.numpy as jnp, numpy as np; "
                 "np.asarray(jax.jit(jnp.fft.rfft)(jnp.zeros(16, jnp.float32)))")
         try:
@@ -48,6 +57,11 @@ def device_fft_ok() -> bool:
             _FFT_OK = r.returncode == 0
         except Exception:
             _FFT_OK = False
+        try:
+            with open(marker, "w") as f:
+                f.write("ok" if _FFT_OK else "no")
+        except OSError:
+            pass
         if not _FFT_OK:
             logging.info(
                 "Default %s backend cannot lower FFT ops; spectral "
