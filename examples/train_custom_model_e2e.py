@@ -24,8 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--workdir", default="./e2e_demo")
-parser.add_argument("--n-clips", type=int, default=12)
-parser.add_argument("--steps", type=int, default=60)
+parser.add_argument("--n-clips", type=int, default=16)
+parser.add_argument("--steps", type=int, default=300)
+parser.add_argument("--seed", type=int, default=7,
+                    help="pipeline seed (config key `seed`); the run is "
+                         "bitwise reproducible for a given seed")
 args = parser.parse_args()
 
 
@@ -45,6 +48,11 @@ def build_demo_corpus(model_dir: str, n: int):
                 t = np.arange(samples) / 16000.0
                 f0 = 280.0 + 40.0 * i
                 sig = 0.4 * np.sin(2 * np.pi * f0 * t) * np.hanning(samples)
+            elif i % 4 == 0:
+                # exact-silence negatives: predict_clip pads every scored
+                # clip with zeros, and the mel clamp makes exact silence a
+                # distinctive input the model must learn as negative
+                sig = np.zeros(samples)
             else:
                 sig = rng.uniform(-0.3, 0.3, samples)
             write_audio(os.path.join(d, f"clip_{i}.wav"),
@@ -70,7 +78,7 @@ def main():
         "n_samples_val": args.n_clips,
         "tts_batch_size": 4,
         "augmentation_batch_size": 8,
-        "augmentation_rounds": 1,
+        "augmentation_rounds": 3,
         "rir_paths": [],
         "background_paths": [],
         "background_paths_duplication_rate": [],
@@ -80,8 +88,12 @@ def main():
         "model_type": "dnn",
         "layer_size": 24,
         "steps": args.steps,
-        "max_negative_weight": 8,
+        # a miniature corpus cannot carry the published 1000x negative
+        # overweighting; a mild ramp keeps both classes learnable
+        "max_negative_weight": 4,
         "target_false_positives_per_hour": 0.2,
+        # full-pipeline reproducibility (augmentation draws + trainer init)
+        "seed": args.seed,
     }
     cfg_path = os.path.join(work, "config.yml")
     with open(cfg_path, "w") as f:
@@ -106,10 +118,20 @@ def main():
     test_neg = [os.path.join(model_dir, "negative_test", f)
                 for f in sorted(os.listdir(os.path.join(model_dir, "negative_test")))]
     report = owwe.evaluate_model(npz, test_neg, test_pos, threshold=0.5)
-    print(f"[4/4] held-out evaluation: "
+    # pick the operating point from the swept curve (the notebook's
+    # methodology): balance the two error rates, normalising FAR by the
+    # worst point on the curve so both terms live on [0, 1]
+    curve = report["curve"]
+    far_norm = curve["far_per_hour"] / max(curve["far_per_hour"].max(), 1e-9)
+    best = int(np.argmin(curve["frr"] + far_norm))
+    print(f"[4/4] held-out evaluation at the default threshold 0.5: "
           f"FRR {report['frr']:.1%} | "
           f"{report['far_per_hour']:.2f} false accepts/hour over "
           f"{report['negative_hours'] * 60:.1f} min of negatives")
+    print(f"      operating point from the FAR/TAR sweep: "
+          f"threshold {curve['thresholds'][best]:.2f} -> "
+          f"FRR {curve['frr'][best]:.1%}, "
+          f"{curve['far_per_hour'][best]:.2f} false accepts/hour")
     m = oww.Model(wakeword_models=[npz])
     preds = m.predict_clip(test_pos[0])
     print(f"      max streaming score on {os.path.basename(test_pos[0])}: "

@@ -418,16 +418,19 @@ def mix_clips_batch(
 # Augmentation
 # ---------------------------------------------------------------------------
 
-def create_fixed_size_clip(x, n_samples, sr=16000, start=None, end_jitter=0.200):
+def create_fixed_size_clip(x, n_samples, sr=16000, start=None, end_jitter=0.200,
+                           rng=None):
     """Left-pad a clip with silence into a fixed-size buffer, ending 0-200 ms
-    before the buffer end (reference data.py:700-729)."""
+    before the buffer end (reference data.py:700-729). Pass ``rng`` (a
+    numpy Generator) to make the jitter draws reproducible."""
+    rng = rng if rng is not None else np.random
     x = np.asarray(x)
     dat = np.zeros(n_samples, dtype=np.float32)
-    end_jitter = int(np.random.uniform(0, end_jitter) * sr)
+    end_jitter = int(rng.uniform(0, end_jitter) * sr)
     if start is None:
         start = max(0, n_samples - (len(x) + end_jitter))
     if len(x) > n_samples:
-        dat = x[0:n_samples] if np.random.random() >= 0.5 else x[-n_samples:]
+        dat = x[0:n_samples] if rng.random() >= 0.5 else x[-n_samples:]
     else:
         dat[start:start + len(x)] = x
     return dat
@@ -470,7 +473,8 @@ def augment_clips(clip_paths: List[str],
             data = read_audio(path)
             if data.shape[0] > total_length:
                 data = data[0:total_length]
-            clips.append(create_fixed_size_clip(data, total_length, sr))
+            clips.append(create_fixed_size_clip(data, total_length, sr,
+                                                rng=rng if seed else None))
         x = jnp.asarray(np.vstack(clips), jnp.float32)
         B = x.shape[0]
 

@@ -16,6 +16,7 @@ Usage:
 import argparse
 import logging
 import os
+import random
 import sys
 import uuid
 from pathlib import Path
@@ -69,6 +70,13 @@ def main(argv=None):
 
     config = _load_config(args.training_config)
     config["output_dir"] = os.path.abspath(config["output_dir"])
+    # optional `seed` config key: makes the whole pipeline (augmentation
+    # draws, window-size sampling, trainer init) reproducible run-to-run
+    seed = config.get("seed")
+    if seed is not None:
+        seed = int(seed)
+        np.random.seed(seed)
+        random.seed(seed)
     model_dir = os.path.join(config["output_dir"], config["model_name"])
     os.makedirs(model_dir, exist_ok=True)
 
@@ -147,7 +155,7 @@ def main(argv=None):
                        for _, name in split_outputs)
         if not all_done or args.overwrite:
             logging.info("Augmenting clips and computing features...")
-            for split_dir, out_name in split_outputs:
+            for si, (split_dir, out_name) in enumerate(split_outputs):
                 final_path = os.path.join(feature_save_dir, out_name)
                 if os.path.exists(final_path) and not args.overwrite:
                     continue
@@ -156,7 +164,8 @@ def main(argv=None):
                 gen = augment_clips(clips, total_length=config["total_length"],
                                     batch_size=config.get("augmentation_batch_size", 128),
                                     background_clip_paths=background_paths,
-                                    RIR_paths=rir_paths)
+                                    RIR_paths=rir_paths,
+                                    seed=(seed + si + 1) if seed is not None else 0)
                 tmp_path = final_path + ".tmp.npy"
                 compute_features_from_generator(
                     gen, n_total=len(clips), clip_duration=config["total_length"],
@@ -173,7 +182,8 @@ def main(argv=None):
         trainer = HeadTrainer(n_classes=1, input_shape=input_shape,
                               model_type=config.get("model_type", "dnn"),
                               layer_dim=config.get("layer_size", 128),
-                              seconds_per_example=1280 * input_shape[0] / 16000)
+                              seconds_per_example=1280 * input_shape[0] / 16000,
+                              seed=seed if seed is not None else 0)
 
         def reshape_negative(x, n=input_shape[0]):
             """Re-window negative feature arrays whose clip length differs

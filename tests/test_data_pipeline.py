@@ -110,6 +110,17 @@ class TestAugmentation:
         assert batch.dtype == np.int16
         assert np.abs(batch).max() > 0
 
+    def test_augment_clips_seed_reproducible(self, wav_dir, tmp_path, rng):
+        bg = str(tmp_path / "bg.wav")
+        D.write_audio(bg, rng.uniform(-0.2, 0.2, 40000).astype(np.float32))
+        runs = []
+        for _ in range(2):
+            gen = D.augment_clips(wav_dir * 2, total_length=32000,
+                                  batch_size=6, background_clip_paths=[bg],
+                                  seed=9)
+            runs.append(np.concatenate([b for b in gen]))
+        np.testing.assert_array_equal(runs[0], runs[1])
+
     def test_augment_zero_probabilities_is_padding_only(self, wav_dir):
         probs = {k: 0.0 for k in D.DEFAULT_AUGMENTATION_PROBABILITIES}
         gen = D.augment_clips(wav_dir, total_length=32000, batch_size=3,

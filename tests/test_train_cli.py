@@ -50,6 +50,9 @@ def training_setup(tmp_path, rng):
         # unreachable target: the between-sequence negative-weight doubling
         # must fire deterministically in this miniature run
         "target_false_positives_per_hour": -1.0,
+        # exercises the config seed path (threaded into augment_clips and
+        # HeadTrainer)
+        "seed": 3,
     }
     cfg_path = str(tmp_path / "cfg.yml")
     with open(cfg_path, "w") as f:
