@@ -26,7 +26,7 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--workdir", default="./e2e_demo")
 parser.add_argument("--n-clips", type=int, default=16)
 parser.add_argument("--steps", type=int, default=300)
-parser.add_argument("--seed", type=int, default=7,
+parser.add_argument("--seed", type=int, default=3,
                     help="pipeline seed (config key `seed`); the run is "
                          "bitwise reproducible for a given seed")
 args = parser.parse_args()

@@ -377,8 +377,11 @@ def mix_clips_batch(
                 noise = np.asarray(A.colored_noise(
                     key, (rows.size, combined_size), decay), np.float32)
                 sub_snrs = np.random.choice(snrs_db, rows.size)
+                # roles: the already-mixed clip is the FOREGROUND scaled to
+                # sit sub_snr dB above the generated noise (reference
+                # data.py:436 mix_clip(mixed_clip, noise_clip, snr, 0))
                 mixed_batch[rows] = np.asarray(
-                    A.mix_at_snr(mixed_batch[rows], noise, sub_snrs),
+                    A.mix_at_snr(noise, mixed_batch[rows], sub_snrs),
                     np.float32)
 
         if rirs and np.random.random() <= rir_probability:
@@ -480,7 +483,7 @@ def augment_clips(clip_paths: List[str],
 
         def maybe(name, fn, x, per_example=True):
             nonlocal key
-            key, k_apply, k_fn = jax.random.split(key, 3)
+            key, k_apply, k_fn = fftc.host_split(key, 3)
             if per_example:
                 mask = jax.random.uniform(k_apply, (B, 1)) < probs[name]
                 return jnp.where(mask, fn(k_fn, x), x)
@@ -497,7 +500,7 @@ def augment_clips(clip_paths: List[str],
                   per_example=False)
 
         def colored(k, v):
-            k1, k2, k3 = jax.random.split(k, 3)
+            k1, k2, k3 = fftc.host_split(k, 3)
             decay = jax.random.uniform(k1, (B,), minval=-1.0, maxval=2.0)
             noise = A.colored_noise(k2, v.shape, decay)
             return A.add_noise_at_snr(k3, v, noise, 10, 30)

@@ -14,17 +14,18 @@ import numpy as np
 
 
 def get_false_positives(scores: List, threshold: float, grouping_window: int = 50) -> int:
-    """Number of distinct false-positive activation events in a score stream."""
-    bin_pred = np.asarray(scores) >= threshold
+    """Number of distinct false-positive activation events in a score stream.
+
+    Greedy earliest-first grouping: an above-threshold frame starts an event
+    and suppresses the following ``grouping_window`` frames. The loop jumps
+    between above-threshold indices (one iteration per *event*, not per
+    frame), so threshold sweeps over multi-hour corpora stay cheap."""
+    hits = np.flatnonzero(np.asarray(scores) >= threshold)
     count = 0
-    i = 0
-    n = len(bin_pred)
-    while i < n:
-        if bin_pred[i]:
-            count += 1
-            i += grouping_window   # everything within the window is one event
-        else:
-            i += 1
+    pos = 0
+    while pos < hits.size:
+        count += 1
+        pos = np.searchsorted(hits, hits[pos] + grouping_window)
     return int(count)
 
 

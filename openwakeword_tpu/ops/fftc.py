@@ -81,6 +81,19 @@ def host_key(seed: int) -> np.ndarray:
                     dtype=np.uint32)
 
 
+def host_split(key, num: int = 2) -> np.ndarray:
+    """Split a threefry key on the CPU backend, returning numpy key material.
+
+    Host-pipeline code (augment_clips) must split keys HERE rather than with
+    a bare ``jax.random.split``: that would place the resulting raw uint32
+    keys on the default device, and when a @spectral_op fallback later
+    materializes its arguments, the device uint32 fetch hangs on the axon
+    backend (see host_key)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(jax.random.split(np.asarray(key), num))
+
+
 def spectral_op(fn):
     """Run ``fn`` on the CPU backend when the default backend lacks FFT."""
     @functools.wraps(fn)

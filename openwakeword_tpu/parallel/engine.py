@@ -697,10 +697,14 @@ class MultiStreamEngine:
 
             def packet_step(params, state, stage, ids):
                 okay = ids >= 0
+                # scatters WRAP negative indices before mode='drop' applies,
+                # so a -1 padding row would land on slot capacity-1 and
+                # starve it; remap padding to an out-of-bounds-HIGH index,
+                # which mode='drop' genuinely discards
+                safe = jnp.where(okay, ids, stage.shape[0])
                 chunk = jnp.zeros(stage.shape, stage.dtype)
-                # mode='drop' discards the -1 padding rows
-                chunk = chunk.at[ids].set(stage, mode="drop")
-                valid = jnp.zeros(stage.shape[0], bool).at[ids].set(
+                chunk = chunk.at[safe].set(stage, mode="drop")
+                valid = jnp.zeros(stage.shape[0], bool).at[safe].set(
                     okay, mode="drop")
                 return masked_step(params, state, chunk, valid)
 

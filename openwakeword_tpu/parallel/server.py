@@ -116,9 +116,17 @@ class StreamServer:
         # stale cursor out of alignment (and run_pending would ignore it)
         self._q_len[sid] = self._tail_len[sid] = 0
         if self._staged_mask[sid]:
+            # compact the stage so stage_ids[:n_staged] stays all-valid —
+            # leaving a hole would let push_block run the append cursor past
+            # the stage capacity after enough remove/add churn
             self._staged_mask[sid] = False
-            self._stage_ids[np.where(
-                self._stage_ids[:self._n_staged] == sid)[0]] = -1
+            n = self._n_staged
+            keep = self._stage_ids[:n] != sid
+            m = int(keep.sum())
+            self._stage[:m] = self._stage[:n][keep]
+            self._stage_ids[:m] = self._stage_ids[:n][keep]
+            self._stage_ids[m:n] = -1
+            self._n_staged = m
         self._activations.pop(sid)
         self._free.append(sid)
 
@@ -162,6 +170,13 @@ class StreamServer:
             raise KeyError(f"inactive stream id(s) {bad.tolist()}")
         F = config.CHUNK_SAMPLES
         k, rem = divmod(packets.shape[1], F)
+        if sids.size and np.bincount(sids, minlength=self.capacity).max() > 1:
+            # duplicate slot ids: the vectorized scatters would collapse the
+            # duplicates (fancy-index += counts once; same-slot rows
+            # overwrite); per-slot push coalesces them correctly
+            for i, sid in enumerate(sids):
+                self.push(int(sid), packets[i])
+            return
         if rem or k == 0 or self._tail_len[sids].any():
             for i, sid in enumerate(sids):
                 self.push(int(sid), packets[i])

@@ -137,8 +137,7 @@ _train_step = partial(jax.jit, static_argnames=("meta_items", "accum_target",
                                                 "true_acc"))(_step_impl)
 
 
-@partial(jax.jit, static_argnames=("meta_items", "accum_target", "true_acc"),
-         donate_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnames=("meta_items", "accum_target", "true_acc"))
 def _train_scan(params, opt_state, acc, xs, ys, neg_ws, lrs,
                 meta_items, accum_target=128, true_acc=False):
     """K fused steps in ONE device dispatch over stacked (K, batch, ...)
@@ -156,6 +155,10 @@ def _train_scan(params, opt_state, acc, xs, ys, neg_ws, lrs,
     (params, opt_state, acc), stats = jax.lax.scan(
         body, (params, opt_state, acc), (xs, ys, neg_ws, lrs))
     return params, opt_state, acc, stats
+# No donate_argnums here: the first call would donate the very arrays still
+# referenced by HeadTrainer.params/opt_state, so an exception mid-training
+# (ragged batch, KeyboardInterrupt) would leave the trainer holding deleted
+# buffers. Head params are tiny; donation buys nothing.
 
 
 # Scale-free Adam: LR is applied manually per step (the reference mutates the
@@ -387,7 +390,12 @@ class HeadTrainer:
             exhausted = len(group) < k_target
             sched = [schedule(s) for s in range(s0, s0 + len(group))]
 
-            uniform = len(group) > 1 and all(
+            # scan ONLY at the full feed_chunk length: every distinct K would
+            # compile its own K-step program (minutes each on a tunneled
+            # TPU), so validation-boundary remainders and the exhausted tail
+            # take the per-step path instead — K*30 ms of dispatch beats a
+            # fresh multi-minute compile every time
+            uniform = len(group) == feed_chunk and feed_chunk > 1 and all(
                 np.shape(d[0]) == np.shape(group[0][0])
                 and np.shape(d[1]) == np.shape(group[0][1]) for d in group[1:])
             if uniform:

@@ -326,3 +326,23 @@ class TestBatchedMixOps:
         batch, labels, _ = next(gen)
         assert batch.shape[1] == 32000 and batch.dtype == np.int16
         assert np.abs(batch).max() > 0
+
+    def test_generated_noise_sits_below_the_speech(self, tmp_path, rng):
+        """The second mix scales the SPEECH snr dB above the generated
+        noise (reference data.py:436 roles), not the other way around."""
+        fg = str(tmp_path / "tone.wav")
+        t = np.arange(16000) / 16000.0
+        D.write_audio(fg, (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+        bg = str(tmp_path / "quiet.wav")
+        D.write_audio(bg, rng.uniform(-0.01, 0.01, 40000).astype(np.float32))
+        kw = dict(combined_size=32000, labels=[1] * 4, batch_size=4,
+                  snr_low=20, snr_high=20, volume_augmentation=False, seed=13)
+        base, _, _ = next(D.mix_clips_batch([fg] * 4, [bg], **kw))
+        noisy, _, _ = next(D.mix_clips_batch([fg] * 4, [bg],
+                                             generated_noise_augmentation=1.0,
+                                             **kw))
+        for b, n in zip(base.astype(np.float64), noisy.astype(np.float64)):
+            corr = np.dot(b, n) / max(np.linalg.norm(b) * np.linalg.norm(n), 1e-9)
+            # at 20 dB SNR the speech dominates: corr ~ 10/sqrt(101) ~ 0.995;
+            # with the roles swapped it would be ~0.1
+            assert corr > 0.9

@@ -28,6 +28,24 @@ class TestFalseAcceptsPerHour:
     def test_empty_stream(self):
         assert E.false_accepts_per_hour(np.zeros(0), 0.5) == 0.0
 
+    def test_event_count_matches_naive_scan(self):
+        # the index-jumping implementation must match the frame-by-frame
+        # reference scan on random streams at every swept threshold
+        from openwakeword_tpu.metrics import get_false_positives
+        rng = np.random.default_rng(0)
+        scores = rng.random(5000) ** 3          # sparse-ish activations
+        for threshold in (0.05, 0.3, 0.5, 0.9, 0.999):
+            for window in (1, 5, 50):
+                bin_pred = scores >= threshold
+                naive, i = 0, 0
+                while i < bin_pred.size:
+                    if bin_pred[i]:
+                        naive += 1
+                        i += window
+                    else:
+                        i += 1
+                assert get_false_positives(scores, threshold, window) == naive
+
     def test_hours_derived_from_frame_count(self):
         scores = np.zeros(45000)   # exactly 1 h at 80 ms/frame
         scores[0] = 1.0

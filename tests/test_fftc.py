@@ -59,3 +59,15 @@ def test_mix_at_snr_has_no_fft_dependency(rng):
     """The hot mixing op is pure real math — it must not be wrapped (runs
     on the default device even where FFT is unavailable)."""
     assert not hasattr(A.mix_at_snr, "__wrapped__")
+
+
+def test_host_split_matches_jax_split_and_stays_numpy():
+    key = fftc.host_key(42)
+    got = fftc.host_split(key, 3)
+    assert isinstance(got, np.ndarray) and got.dtype == np.uint32
+    expected = np.asarray(jax.random.split(jax.random.PRNGKey(42), 3))
+    np.testing.assert_array_equal(got, expected)
+    # derived keys drive identical draws
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.uniform(got[1], (4,))),
+        np.asarray(jax.random.uniform(expected[1], (4,))))

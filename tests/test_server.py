@@ -323,3 +323,74 @@ def test_staged_slot_removed_before_step(rng):
     assert scores.shape[0] == 2
     # slot b advanced; slot a is inactive and must not have been scored as valid
     assert srv.pending_frames(b) == 0
+
+
+def test_predict_packets_padding_rows_dropped(rng):
+    """JAX scatters wrap negative indices BEFORE mode='drop' applies, so -1
+    padding rows must be remapped out-of-bounds-high or they overwrite (and
+    starve) the highest slot."""
+    eng = MultiStreamEngine(wakeword_models=["alexa"], n_streams=3)
+    stage = rng.integers(-1000, 1000, (3, 1280)).astype(np.int16)
+    eng.predict_packets(stage, np.array([0, 2, -1]))
+    seen = np.asarray(eng.state["frames_seen"])
+    assert seen.tolist() == [1, 0, 1]
+
+
+def test_partial_stage_matches_per_push(rng):
+    """A partially-filled stage (padding rows present) must score exactly
+    like per-slot pushes, with no slot starved."""
+    srv1 = StreamServer(wakeword_models=["alexa"], capacity=3, threshold=2.0,
+                        rng_seed=0)
+    srv2 = StreamServer(wakeword_models=["alexa"], capacity=3, threshold=2.0,
+                        rng_seed=0)
+    s1 = [srv1.add_stream() for _ in range(3)]
+    s2 = [srv2.add_stream() for _ in range(3)]
+    for t in range(3):
+        pkts = rng.integers(-2000, 2000, (2, 1280)).astype(np.int16)
+        # only slots 0 and 2 deliver this tick -> stage rows [p0, p2, pad]
+        srv1.push_block(np.array([s1[0], s1[2]]), pkts)
+        srv2.push(s2[0], pkts[0])
+        srv2.push(s2[2], pkts[1])
+        np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-6,
+                                   err_msg=f"tick {t}")
+
+
+def test_remove_stream_compacts_stage(rng):
+    """Slot churn while packets are staged must not run the stage cursor
+    past capacity (crash) or strand staged flags (run_pending livelock)."""
+    srv = StreamServer(wakeword_models=["alexa"], capacity=3, threshold=2.0)
+    sids = [srv.add_stream() for _ in range(3)]
+    srv.push_block(np.array(sids),
+                   rng.integers(-1000, 1000, (3, 1280)).astype(np.int16))
+    srv.remove_stream(sids[0])
+    srv.remove_stream(sids[2])
+    new = [srv.add_stream() for _ in range(2)]
+    srv.push_block(np.array(new),
+                   rng.integers(-1000, 1000, (2, 1280)).astype(np.int16))
+    assert srv.run_pending() >= 1
+    for sid in new:
+        assert srv.pending_frames(sid) == 0
+
+
+def test_push_block_duplicate_sids(rng):
+    """Duplicate slot ids in one block must coalesce like sequential
+    pushes (the vectorized scatters would silently drop frames)."""
+    pkts = rng.integers(-1000, 1000, (2, 1280)).astype(np.int16)
+    srv1 = StreamServer(wakeword_models=["alexa"], capacity=2, threshold=2.0,
+                        rng_seed=0)
+    srv2 = StreamServer(wakeword_models=["alexa"], capacity=2, threshold=2.0,
+                        rng_seed=0)
+    a1 = srv1.add_stream()
+    a2 = srv2.add_stream()
+    srv1.push_block(np.array([a1, a1]), pkts)
+    srv2.push(a2, pkts[0])
+    srv2.push(a2, pkts[1])
+    assert srv1.pending_frames(a1) == srv2.pending_frames(a2) == 2
+    # multi-frame packets with duplicates as well
+    wide = rng.integers(-1000, 1000, (2, 2560)).astype(np.int16)
+    srv1.push_block(np.array([a1, a1]), wide)
+    srv2.push(a2, wide[0])
+    srv2.push(a2, wide[1])
+    assert srv1.pending_frames(a1) == srv2.pending_frames(a2)
+    while srv1.pending_frames(a1):
+        np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-6)
