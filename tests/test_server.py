@@ -394,3 +394,49 @@ def test_push_block_duplicate_sids(rng):
     assert srv1.pending_frames(a1) == srv2.pending_frames(a2)
     while srv1.pending_frames(a1):
         np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-6)
+
+
+def test_random_churn_parity_with_plain_push(rng):
+    """Property test: under a random interleaving of add/remove/push_block/
+    push/step, the staged fast-path server must match a twin that only ever
+    uses plain per-slot push. Covers stage compaction, padding scatter,
+    duplicate coalescing, and cursor alignment in combination."""
+    cap = 4
+    srv1 = StreamServer(wakeword_models=["alexa"], capacity=cap,
+                        threshold=2.0, rng_seed=0)
+    srv2 = StreamServer(wakeword_models=["alexa"], capacity=cap,
+                        threshold=2.0, rng_seed=0)
+    live1, live2 = [], []
+    for opi in range(60):
+        op = rng.choice(["add", "remove", "block", "push", "step"])
+        if op == "add" and len(live1) < cap:
+            live1.append(srv1.add_stream())
+            live2.append(srv2.add_stream())
+        elif op == "remove" and live1:
+            k = int(rng.integers(len(live1)))
+            srv1.remove_stream(live1.pop(k))
+            srv2.remove_stream(live2.pop(k))
+        elif op == "block" and live1:
+            n = int(rng.integers(1, len(live1) + 1))
+            rows = rng.choice(len(live1), n, replace=True)  # may duplicate
+            frames = int(rng.integers(1, 3))
+            pkts = rng.integers(-2000, 2000,
+                                (n, 1280 * frames)).astype(np.int16)
+            srv1.push_block(np.array([live1[r] for r in rows]), pkts)
+            for r, p in zip(rows, pkts):
+                srv2.push(live2[r], p)
+        elif op == "push" and live1:
+            k = int(rng.integers(len(live1)))
+            # odd lengths exercise the tail path
+            pcm = rng.integers(-2000, 2000,
+                               int(rng.integers(1, 3000))).astype(np.int16)
+            srv1.push(live1[k], pcm)
+            srv2.push(live2[k], pcm)
+        elif op == "step":
+            np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-5,
+                                       err_msg=f"op {opi}")
+        for s1, s2 in zip(live1, live2):
+            assert srv1.pending_frames(s1) == srv2.pending_frames(s2), \
+                f"op {opi}: pending mismatch slot {s1}/{s2}"
+    while any(srv1.pending_frames(s) for s in live1):
+        np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-5)
