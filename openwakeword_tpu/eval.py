@@ -69,10 +69,12 @@ def false_accepts_per_hour(negative_scores: np.ndarray, threshold: float,
 def false_reject_rate(positive_clip_scores: Sequence[np.ndarray],
                       threshold: float) -> float:
     """Fraction of positive clips whose per-clip max score misses the
-    threshold (the reference's per-clip false-reject rule)."""
+    threshold (the reference's per-clip false-reject rule); NaN when no
+    clips are given."""
     clips = list(positive_clip_scores)
     if not clips:
-        return 0.0
+        # no positives measured: the rate is undefined, not perfect
+        return float("nan")
     maxima = np.array([np.max(c) if np.asarray(c).size else 0.0 for c in clips])
     return float(np.mean(maxima < threshold))
 
@@ -120,10 +122,16 @@ def evaluate_model(wakeword_model: str,
     Returns a dict with ``far_per_hour`` / ``frr`` at ``threshold``, the
     swept ``curve``, the corpus ``negative_hours``, and ``rejected_clips``
     (the positive files the model missed at ``threshold`` — the notebook's
-    listen-to-the-failures list).
+    listen-to-the-failures list). ``padding`` applies to positive clips
+    only (it exists so short utterances fill the scoring windows);
+    negatives are always scored unpadded so the FAR/hr denominator equals
+    the real corpus duration. With no positive files, ``frr`` is NaN.
     """
+    # negatives are scored UNPADDED: padding silence would count toward the
+    # FAR denominator (negative_hours) without being part of the corpus,
+    # systematically under-reporting false accepts per hour
     neg = score_files(negative_files, [wakeword_model], label=label,
-                      padding=1, **kwargs)
+                      padding=0, **kwargs)
     pos = score_files(positive_files, [wakeword_model], label=label,
                       padding=padding, **kwargs)
     neg_stream = (np.concatenate([neg[p] for p in negative_files])

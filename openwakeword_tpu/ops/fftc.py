@@ -38,6 +38,13 @@ def device_fft_ok() -> bool:
     """
     global _FFT_OK
     if _FFT_OK is None:
+        forced = os.environ.get("OWWT_FFT_OK")
+        if forced is not None:
+            # explicit override: skip probing entirely (useful on backends
+            # where a probe subprocess would contend with this process for
+            # a single-tenant device tunnel)
+            _FFT_OK = forced not in ("0", "no", "false")
+            return _FFT_OK
         if jax.default_backend() == "cpu":
             _FFT_OK = True
             return True
@@ -53,8 +60,19 @@ def device_fft_ok() -> bool:
                 "np.asarray(jax.jit(jnp.fft.rfft)(jnp.zeros(16, jnp.float32)))")
         try:
             r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=600)
+                               capture_output=True, timeout=120)
             _FFT_OK = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            # a hung probe usually means the probe subprocess could not
+            # attach to a single-tenant device this process already holds —
+            # that says nothing about FFT support, so fall back to CPU for
+            # THIS process only and leave the per-machine cache unwritten
+            logging.warning(
+                "FFT-capability probe timed out (device busy?); running "
+                "spectral augmentations on the CPU backend for this "
+                "process. Set OWWT_FFT_OK=1/0 to skip the probe.")
+            _FFT_OK = False
+            return False
         except Exception:
             _FFT_OK = False
         try:

@@ -165,6 +165,12 @@ class StreamServer:
         if packets.shape[0] != sids.shape[0]:
             raise ValueError(f"{sids.shape[0]} slot ids but "
                              f"{packets.shape[0]} packet rows")
+        # bounds first: negative sids would wrap through the fancy indexing
+        # below and out-of-range ones would surface as IndexError instead of
+        # the KeyError contract push()/_check_active() established
+        oob = (sids < 0) | (sids >= self.capacity)
+        if oob.any():
+            raise KeyError(f"inactive stream id(s) {sids[oob].tolist()}")
         if not self._active_mask[sids].all():
             bad = sids[~self._active_mask[sids]]
             raise KeyError(f"inactive stream id(s) {bad.tolist()}")

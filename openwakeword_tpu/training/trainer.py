@@ -258,8 +258,11 @@ class HeadTrainer:
             ys = jax.device_put(ys, sharding)
         return xs, ys
 
-    def _device_batch(self, x, y):
-        x = jnp.asarray(np.asarray(x, np.float32))
+    def _device_batch(self, x, y, dtype=None):
+        """One (x, y) batch to device; ``dtype`` narrows the x transfer
+        (the train step casts back to f32 before any math)."""
+        xd = np.dtype(dtype) if dtype is not None else np.float32
+        x = jnp.asarray(np.asarray(x, np.float32).astype(xd))
         y = jnp.asarray(np.asarray(y, np.float32))
         if self._batch_sharding is not None:
             n_dev = self.mesh.devices.size
@@ -330,9 +333,10 @@ class HeadTrainer:
 
         ``feed_dtype``: optional narrow dtype (e.g. ``jnp.bfloat16``) used
         only for the host->device batch transfer; the device casts back to
-        f32 before any math. Halves feed bandwidth on links where the feed
-        is the bottleneck (PERF_NOTES round 3: ~29 MB/s TPU tunnel) at the
-        cost of quantizing the input features (~0.4% relative)."""
+        f32 before any math. Applies on both the scanned-chunk and the
+        per-step dispatch paths. Halves feed bandwidth on links where the
+        feed is the bottleneck (PERF_NOTES round 3: ~29 MB/s TPU tunnel) at
+        the cost of quantizing the input features (~0.4% relative)."""
         val_steps = set(int(v) for v in np.asarray(val_steps).tolist())
         # validation inputs are iterated once per validation round; a plain
         # generator would silently exhaust after the first round (the
@@ -411,7 +415,8 @@ class HeadTrainer:
                 pending_stats.append(stats)         # (K,)-stacked
             else:
                 for (data, (step_lr, neg_w)) in zip(group, sched):
-                    x, y = self._device_batch(data[0], data[1])
+                    x, y = self._device_batch(data[0], data[1],
+                                              dtype=feed_dtype)
                     params, opt_state, acc, stats = _train_step(
                         params, opt_state, acc, x, y,
                         jnp.asarray(neg_w, jnp.float32),

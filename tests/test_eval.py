@@ -62,8 +62,9 @@ class TestFalseRejectRate:
     def test_empty_clip_counts_as_reject(self):
         assert E.false_reject_rate([np.zeros(0)], 0.5) == 1.0
 
-    def test_no_clips(self):
-        assert E.false_reject_rate([], 0.5) == 0.0
+    def test_no_clips_is_undefined_not_perfect(self):
+        # an empty positive set must not report perfect recall
+        assert np.isnan(E.false_reject_rate([], 0.5))
 
 
 class TestCurve:
@@ -104,7 +105,10 @@ class TestEndToEnd:
         report = E.evaluate_model("alexa", neg_files, pos_files,
                                   threshold=0.5, padding=1)
         assert report["n_positive_clips"] == 2
-        assert report["negative_hours"] > 0
+        # negatives are scored unpadded: 3 clips x 2 s = 6 s of corpus in
+        # the FAR denominator, minus at most one boundary frame per clip
+        # (padding=1 used to add a full second per side per clip here)
+        assert 5.5 / 3600.0 <= report["negative_hours"] <= 6.0 / 3600.0
         assert 0.0 <= report["frr"] <= 1.0
         assert report["far_per_hour"] >= 0.0
         assert set(report["rejected_clips"]) <= set(pos_files)

@@ -252,6 +252,13 @@ def test_push_block_rejects_inactive_and_float(rng):
         srv.push_block(np.array([0, 1]), np.zeros((2, 1280), np.int16))
     with pytest.raises(ValueError, match="int16"):
         srv.push_block(np.array([0]), np.zeros((1, 1280), np.float32))
+    # out-of-bounds ids must honor the same KeyError contract as push():
+    # a negative sid would otherwise wrap through the active-mask fancy
+    # indexing and die deep in numpy, and sid >= capacity as IndexError
+    with pytest.raises(KeyError, match="-1"):
+        srv.push_block(np.array([-1]), np.zeros((1, 1280), np.int16))
+    with pytest.raises(KeyError, match="2"):
+        srv.push_block(np.array([2]), np.zeros((1, 1280), np.int16))
 
 
 def test_accumulator_copies_client_buffer(rng):

@@ -213,19 +213,27 @@ def test_auto_train_neg_weight_doubling(rng):
     assert t.history["max_negative_weight"] == [5, 10, 20]
 
 
-def test_feed_dtype_bf16_transfer(rng):
+@pytest.mark.parametrize("feed_chunk", [1, 5])
+def test_feed_dtype_bf16_transfer(rng, feed_chunk):
     """Compressed bf16 feed: math stays f32 on device; results track the
-    f32-feed run within input-quantization tolerance."""
+    f32-feed run within input-quantization tolerance but are NOT identical
+    (proving the narrowed transfer actually happened). feed_chunk=1 drives
+    the per-step dispatch path, 5 the scanned-chunk path (10 steps = two
+    full chunks, so every batch goes through _device_chunk)."""
     import jax.numpy as jnp
     x = rng.normal(0, 1, (10, 64, 16, 96)).astype(np.float32)
     y = rng.integers(0, 2, (10, 64))
     data = list(zip(x, y))
     t1 = HeadTrainer(layer_dim=32, seed=0)
-    t1.train_model(iter(data), max_steps=10, warmup_steps=2, hold_steps=2, lr=1e-3)
+    t1.train_model(iter(data), max_steps=10, warmup_steps=2, hold_steps=2,
+                   lr=1e-3, feed_chunk=feed_chunk)
     t2 = HeadTrainer(layer_dim=32, seed=0)
-    t2.train_model(iter(data), max_steps=10, warmup_steps=2, hold_steps=2, lr=1e-3,
-                   feed_dtype=jnp.bfloat16)
+    t2.train_model(iter(data), max_steps=10, warmup_steps=2, hold_steps=2,
+                   lr=1e-3, feed_chunk=feed_chunk, feed_dtype=jnp.bfloat16)
     w1 = np.asarray(t1.params["layer1"]["w"])
     w2 = np.asarray(t2.params["layer1"]["w"])
     assert np.isfinite(w2).all()
     np.testing.assert_allclose(w1, w2, atol=1e-2)  # masking flips near thresholds
+    # bf16 input quantization must leave a trace; exact equality would mean
+    # the feed_dtype option silently did nothing on this path
+    assert not np.array_equal(w1, w2)
