@@ -77,7 +77,7 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     return n_streams * n_frames / best, best
 
 
-def main():
+def _child_main():
     n_streams = int(os.environ.get("BENCH_STREAMS", "4096"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "50"))
 
@@ -100,6 +100,53 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def main():
+    """Watchdog wrapper around the real benchmark.
+
+    A corrupted entry in the persistent jax compilation cache can wedge the
+    device indefinitely when its executable is loaded (observed once after a
+    crashed AOT helper: loading the cached 4096-stream program hung for
+    hours while fresh compiles worked). This script is the round's recorded
+    headline, so it must not be lost to that failure mode: the
+    bench runs in a child process under a timeout, and on a hang the child
+    is killed (by PID), the cache is moved aside, and the bench retried once
+    cold. Also guarantees the one-JSON-line output contract: only the
+    child's final stdout line is forwarded.
+    """
+    import shutil
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_CHILD") == "1":
+        _child_main()
+        return
+
+    cache = "/tmp/owwt_jax_cache"
+    timeout_s = float(os.environ.get("BENCH_WATCHDOG_S", "1200"))
+    for attempt in (0, 1):
+        env = dict(os.environ, BENCH_CHILD="1")
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=timeout_s,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            r = None
+            print(f"bench child hung past {timeout_s:.0f}s and was killed",
+                  file=sys.stderr)
+        if r is not None and r.returncode == 0 and r.stdout.strip():
+            print(r.stdout.strip().splitlines()[-1])
+            return
+        if r is not None:
+            print(f"bench child exited {r.returncode}:\n{r.stderr[-2000:]}",
+                  file=sys.stderr)
+        if attempt == 0 and os.path.isdir(cache):
+            aside = f"{cache}.poisoned.{int(time.time())}"
+            print(f"retrying with a cold compile cache (moved to {aside})",
+                  file=sys.stderr)
+            shutil.move(cache, aside)
+    sys.exit(1)
 
 
 if __name__ == "__main__":

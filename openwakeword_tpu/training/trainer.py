@@ -646,3 +646,30 @@ class HeadTrainer:
                              os.path.join(output_dir, model_name + ".onnx"))
         except NotImplementedError:
             logging.warning("ONNX export unavailable; native checkpoint saved only.")
+
+    def export_to_onnx(self, output_path: str, class_mapping: str = ""):
+        """Write this head as a standalone .onnx file (reference
+        train.py:144-165 surface). ``class_mapping`` is, as in the
+        reference, the name given to the graph's output tensor; the
+        multiclass softmax-at-export wrap is handled by the writer."""
+        from openwakeword_tpu.io.onnx_export import export_head_onnx
+        export_head_onnx(self.params, output_path, output_name=class_mapping)
+
+    def lr_warmup_cosine_decay(self, global_step, warmup_steps=0, hold=0,
+                               total_steps=0, start_lr=0.0, target_lr=1e-3):
+        """Method alias of the module-level schedule (the reference exposes
+        the schedule as a Model method, train.py:25-40)."""
+        return lr_warmup_cosine_decay(global_step, warmup_steps=warmup_steps,
+                                      hold=hold, total_steps=total_steps,
+                                      start_lr=start_lr, target_lr=target_lr)
+
+    def summary(self):
+        """Print a per-layer parameter-count summary (the reference's
+        torchinfo-based Model.summary equivalent)."""
+        total = 0
+        for name, leaves in sorted(self._leaf(self.params).items()):
+            n = sum(int(np.asarray(v).size) for v in jax.tree.leaves(leaves))
+            total += n
+            print(f"{name:<24s} {n:>10,d} params")
+        print(f"{'total':<24s} {total:>10,d} params")
+        return total

@@ -71,3 +71,19 @@ def test_host_split_matches_jax_split_and_stays_numpy():
     np.testing.assert_array_equal(
         np.asarray(jax.random.uniform(got[1], (4,))),
         np.asarray(jax.random.uniform(expected[1], (4,))))
+
+
+@pytest.mark.parametrize("val,expect", [("1", True), ("0", False),
+                                        ("no", False), ("yes", True)])
+def test_env_override_skips_probe(monkeypatch, val, expect):
+    """OWWT_FFT_OK short-circuits capability detection entirely — no
+    subprocess probe, no marker read — for single-tenant device tunnels
+    where a probe subprocess would contend with this process."""
+    monkeypatch.setattr(fftc, "_FFT_OK", None)
+    monkeypatch.setenv("OWWT_FFT_OK", val)
+
+    def boom(*a, **k):   # any probe attempt is a failure
+        raise AssertionError("probe must not run under OWWT_FFT_OK")
+    monkeypatch.setattr(fftc.subprocess, "run", boom)
+    assert fftc.device_fft_ok() is expect
+    fftc._FFT_OK = None  # leave no cross-test residue beyond monkeypatch

@@ -237,3 +237,33 @@ def test_feed_dtype_bf16_transfer(rng, feed_chunk):
     # bf16 input quantization must leave a trace; exact equality would mean
     # the feed_dtype option silently did nothing on this path
     assert not np.array_equal(w1, w2)
+
+
+def test_reference_method_surface(tmp_path, rng):
+    """The reference's trainable-Model methods the shim must carry:
+    summary(), export_to_onnx(path, class_mapping) (class_mapping names the
+    output tensor), and the schedule exposed as a method."""
+    import jax
+
+    from openwakeword_tpu.io.onnx_import import import_head_onnx
+    from openwakeword_tpu.models import heads as heads_lib
+
+    t = HeadTrainer(layer_dim=32, seed=0)
+    assert t.summary() == sum(int(np.asarray(v).size)
+                              for v in jax.tree.leaves(t._leaf(t.params)))
+
+    p = str(tmp_path / "head.onnx")
+    t.export_to_onnx(p, class_mapping="alexa")
+    params, meta = import_head_onnx(p)
+    x = rng.normal(0, 1, (4, 16, 96)).astype(np.float32)
+    want = t.forward(x)
+    got = np.asarray(heads_lib.forward(params, x, params["__meta__"],
+                                       inference=True)).reshape(want.shape)
+    np.testing.assert_allclose(want, got, atol=1e-5)
+
+    # method alias must match the module-level schedule
+    from openwakeword_tpu.training.trainer import lr_warmup_cosine_decay
+    assert t.lr_warmup_cosine_decay(
+        10, warmup_steps=20, total_steps=100, target_lr=1e-3) == \
+        lr_warmup_cosine_decay(10, warmup_steps=20, total_steps=100,
+                               target_lr=1e-3)
