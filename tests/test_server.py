@@ -447,3 +447,44 @@ def test_random_churn_parity_with_plain_push(rng):
                 f"op {opi}: pending mismatch slot {s1}/{s2}"
     while any(srv1.pending_frames(s) for s in live1):
         np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-5)
+
+
+def test_server_composes_with_stream_mesh(rng):
+    """Serving over a sharded engine: StreamServer(mesh=...) must behave
+    identically to the unsharded server under slot churn — per-slot resets,
+    staged pushes, and masked steps all run on mesh-sharded state (the
+    multi-chip serving path, one host driving N chips over ICI)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("streams",))
+    srv_m = StreamServer(wakeword_models=["alexa"], capacity=16,
+                         threshold=2.0, rng_seed=0, mesh=mesh)
+    srv_1 = StreamServer(wakeword_models=["alexa"], capacity=16,
+                         threshold=2.0, rng_seed=0)
+    live_m, live_1 = [], []
+    for opi in range(30):
+        op = rng.choice(["add", "remove", "block", "push", "step"])
+        if op == "add" and len(live_m) < 16:
+            live_m.append(srv_m.add_stream())
+            live_1.append(srv_1.add_stream())
+        elif op == "remove" and live_m:
+            k = int(rng.integers(len(live_m)))
+            srv_m.remove_stream(live_m.pop(k))
+            srv_1.remove_stream(live_1.pop(k))
+        elif op == "block" and live_m:
+            pkts = rng.integers(-2000, 2000,
+                                (len(live_m), 1280)).astype(np.int16)
+            srv_m.push_block(np.array(live_m), pkts)
+            srv_1.push_block(np.array(live_1), pkts)
+        elif op == "push" and live_m:
+            k = int(rng.integers(len(live_m)))
+            pcm = rng.integers(-2000, 2000,
+                               int(rng.integers(1, 2000))).astype(np.int16)
+            srv_m.push(live_m[k], pcm)
+            srv_1.push(live_1[k], pcm)
+        elif op == "step":
+            np.testing.assert_allclose(srv_m.step(), srv_1.step(),
+                                       atol=1e-5, err_msg=f"op {opi}")
+    while any(srv_m.pending_frames(s) for s in live_m):
+        np.testing.assert_allclose(srv_m.step(), srv_1.step(), atol=1e-5)
