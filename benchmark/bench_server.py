@@ -31,6 +31,12 @@ parser.add_argument("--host-only", action="store_true",
                          "isolate the server's own per-tick cost (queue "
                          "gather, cursor updates, activation extraction) at "
                          "slot counts whose engine cannot compile here")
+parser.add_argument("--ingest", choices=["push", "zero"], default="push",
+                    help="'push': push_block hands the server a packet "
+                         "matrix to copy (threaded native copy when "
+                         "native/libowwingest.so is available); 'zero': the "
+                         "client writes acquire_block rows in place and "
+                         "commit_block only does bookkeeping")
 args = parser.parse_args()
 
 
@@ -65,7 +71,7 @@ class _StubEngine:
 
 
 def bench_capacity(capacity: int, n_ticks: int, occupancy: float,
-                   host_only: bool = False):
+                   host_only: bool = False, ingest_mode: str = "push"):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/owwt_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -85,9 +91,22 @@ def bench_capacity(capacity: int, n_ticks: int, occupancy: float,
     packet = rng.integers(-2000, 2000, (capacity, 1280)).astype(np.int16)
     n_arrive = int(capacity * occupancy)
 
+    fill_s = []
+
     def one_tick(sync=False):
         t0 = time.perf_counter()
-        srv.push_block(sids[:n_arrive], packet[:n_arrive])
+        if ingest_mode == "zero":
+            # zero-copy path: the receive loop writes packets straight into
+            # the staging rows, so the fill replaces the client's own buffer
+            # write (not a server cost — tracked separately); the server-side
+            # ingest cost is commit_block bookkeeping only.
+            view = srv.acquire_block(n_arrive)
+            view[...] = packet[:n_arrive]
+            fill_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            srv.commit_block(sids[:n_arrive])
+        else:
+            srv.push_block(sids[:n_arrive], packet[:n_arrive])
         t_push = time.perf_counter() - t0
         t0 = time.perf_counter()
         scores = srv.step()
@@ -138,13 +157,16 @@ def bench_capacity(capacity: int, n_ticks: int, occupancy: float,
         "ticks_per_sec": round(1.0 / (med_push + med_step), 1),
         "realtime_ok": (med_push + med_step) < 0.080,
         "host_below_device": host < dev_tick,
+        "ingest": ingest_mode,
+        **({"fill_ms": round(float(np.median(fill_s)) * 1e3, 2)}
+           if fill_s else {}),
     }
 
 
 def main():
     for cap in args.slots:
         r = bench_capacity(cap, args.ticks, args.occupancy,
-                           host_only=args.host_only)
+                           host_only=args.host_only, ingest_mode=args.ingest)
         print(r)
 
 

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from openwakeword_tpu import config
+from openwakeword_tpu.parallel import ingest
 from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
 
@@ -83,6 +84,7 @@ class StreamServer:
         self._stage_ids = np.full(C, -1, np.int64)
         self._staged_mask = np.zeros(C, bool)
         self._n_staged = 0
+        self._reserved: Optional[int] = None   # open acquire_block size
         #: frames dropped because a slot's queue overflowed (clients pushing
         #: faster than the server ticks); oldest frames are dropped first
         self.overflow_drops = 0
@@ -110,6 +112,7 @@ class StreamServer:
         return sid
 
     def remove_stream(self, sid: int):
+        self._check_no_reservation()
         self._check_active(sid)
         self._active_mask[sid] = False
         # drop buffered audio now: a lingering q_len would hold this slot's
@@ -130,8 +133,79 @@ class StreamServer:
         self._activations.pop(sid)
         self._free.append(sid)
 
+    # -- zero-copy ingest ----------------------------------------------
+
+    def acquire_block(self, n: int) -> np.ndarray:
+        """Reserve ``n`` staging rows and return them as a writable
+        (n, 1280) int16 view — the zero-copy ingest path.
+
+        The caller (e.g. a network receive loop) writes one whole 80 ms
+        packet per row directly into the view, then calls
+        ``commit_block(sids)`` with the destination slot ids in row order.
+        The server never copies the audio again: the slot-order scatter
+        happens on device at the next ``step()``. While a reservation is
+        open, every other mutating call (push/push_block/step/
+        remove_stream) raises — acquire, fill, commit is one atomic ingest.
+        """
+        if self._reserved is not None:
+            raise RuntimeError("an acquire_block reservation is already "
+                               "open; commit_block it first")
+        n = int(n)
+        if n <= 0:
+            raise ValueError(f"need a positive row count, got {n}")
+        if self._n_staged + n > self.capacity:
+            raise RuntimeError(
+                f"stage full ({self._n_staged} staged + {n} requested > "
+                f"capacity {self.capacity}); step() before acquiring more")
+        self._reserved = n
+        return self._stage[self._n_staged:self._n_staged + n]
+
+    def commit_block(self, sids: np.ndarray):
+        """Attach the rows filled after ``acquire_block`` to their slots.
+
+        ``sids[i]`` is the stream that owns reserved row ``i``. Slots that
+        cannot take the staged fast path (buffered backlog, a second packet
+        this tick, duplicates) are drained through the per-slot queue;
+        everything else stays exactly where the caller wrote it.
+        """
+        if self._reserved is None:
+            raise RuntimeError("no open acquire_block reservation to commit")
+        n, self._reserved = self._reserved, None   # server stays usable
+        sids = np.asarray(sids)
+        if sids.shape != (n,):
+            raise ValueError(f"expected {n} slot ids for the open "
+                             f"reservation, got shape {sids.shape}")
+        oob = (sids < 0) | (sids >= self.capacity)
+        if oob.any():
+            raise KeyError(f"inactive stream id(s) {sids[oob].tolist()}")
+        if not self._active_mask[sids].all():
+            bad = sids[~self._active_mask[sids]]
+            raise KeyError(f"inactive stream id(s) {bad.tolist()}")
+        n0 = self._n_staged
+        dup = np.bincount(sids, minlength=self.capacity)[sids] > 1
+        ok = (self._q_len[sids] == 0) & ~self._staged_mask[sids] & ~dup
+        for i in np.where(~ok)[0]:                 # rare: queue instead
+            self.push(int(sids[i]), self._stage[n0 + i])
+        good = np.where(ok)[0]
+        g = good.size
+        if not g:
+            return
+        if g < n:
+            # compact the reserved region so stage_ids[:n_staged] stays
+            # all-valid (materializing fancy-index: rows may overlap)
+            self._stage[n0:n0 + g] = self._stage[n0:n0 + n][good]
+        self._stage_ids[n0:n0 + g] = sids[good]
+        self._staged_mask[sids[good]] = True
+        self._n_staged = n0 + g
+
+    def _check_no_reservation(self):
+        if self._reserved is not None:
+            raise RuntimeError("an acquire_block reservation is open; "
+                               "commit_block it before other server calls")
+
     def push(self, sid: int, pcm: np.ndarray):
         """Add an arbitrary-length 16-bit PCM packet to a stream."""
+        self._check_no_reservation()
         self._check_active(sid)
         pcm = self._check_pcm(pcm)
         F = config.CHUNK_SAMPLES
@@ -160,6 +234,7 @@ class StreamServer:
             sids: (N,) int slot ids (must all be active).
             packets: (N, P) int16 PCM, one row per slot.
         """
+        self._check_no_reservation()
         sids = np.asarray(sids)
         packets = np.atleast_2d(self._check_pcm(packets))
         if packets.shape[0] != sids.shape[0]:
@@ -194,7 +269,9 @@ class StreamServer:
             n0 = self._n_staged
             if ok.all():
                 n1 = n0 + sids.size
-                self._stage[n0:n1] = packets
+                # threaded native copy when available (ingest.cpp);
+                # numpy memcpy otherwise — the tick's dominant host cost
+                ingest.copy_rows(self._stage[n0:n1], packets)
                 self._stage_ids[n0:n1] = sids
                 self._staged_mask[sids] = True
                 self._n_staged = n1
@@ -202,7 +279,7 @@ class StreamServer:
             good = np.where(ok)[0]
             if good.size:
                 n1 = n0 + good.size
-                self._stage[n0:n1] = packets[good]
+                ingest.gather_rows(self._stage[n0:n1], packets, good)
                 self._stage_ids[n0:n1] = sids[good]
                 self._staged_mask[sids[good]] = True
                 self._n_staged = n1
@@ -231,6 +308,7 @@ class StreamServer:
         """One serving tick: advance every slot holding a complete frame
         (staged packets and/or queued frames); starved and inactive slots
         are untouched. Returns the full (capacity, L) score matrix."""
+        self._check_no_reservation()
         heads = self._q_head
         queued = self._active_mask & (self._q_len > 0) & ~self._staged_mask
         if self._n_staged:
