@@ -23,6 +23,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import logging
 import os
+import sys
 import time
 
 import numpy as np
@@ -34,7 +35,8 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     import jax
     import jax.numpy as jnp
     # machine-local persistent compile cache: tunnel compiles are minutes-slow
-    jax.config.update("jax_compilation_cache_dir", "/tmp/owwt_jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BENCH_CACHE_DIR", "/tmp/owwt_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
@@ -78,6 +80,16 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
 
 
 def _child_main():
+    test_mode = os.environ.get("BENCH_TEST_MODE")
+    if test_mode:            # watchdog self-tests only (tests/test_bench_watchdog.py)
+        if test_mode == "hang":
+            time.sleep(10_000)
+        if test_mode == "crash":
+            sys.exit(3)
+        print(json.dumps({"metric": "watchdog_selftest", "value": 1.0,
+                          "unit": "ok", "vs_baseline": 1.0}))
+        return
+
     n_streams = int(os.environ.get("BENCH_STREAMS", "4096"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "50"))
 
@@ -123,23 +135,52 @@ def main():
         _child_main()
         return
 
-    cache = "/tmp/owwt_jax_cache"
-    timeout_s = float(os.environ.get("BENCH_WATCHDOG_S", "1200"))
+    import signal
+    import tempfile
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/owwt_jax_cache")
+    # generous by design: a healthy warm-cache run over the device tunnel
+    # has been observed at ~18 min, and a cold compile is slower still — a
+    # wrong kill (which also discards the cache) is worse than a slow pass.
+    # The wedge this guards against lasts hours, not minutes.
+    timeout_s = float(os.environ.get("BENCH_WATCHDOG_S", "2400"))
     for attempt in (0, 1):
         env = dict(os.environ, BENCH_CHILD="1")
-        try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=timeout_s,
-                               capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
-            r = None
-            print(f"bench child hung past {timeout_s:.0f}s and was killed",
-                  file=sys.stderr)
-        if r is not None and r.returncode == 0 and r.stdout.strip():
-            print(r.stdout.strip().splitlines()[-1])
+        # stdout/stderr go to files, NOT pipes: after killing a wedged
+        # child, subprocess.run's post-kill communicate() would block
+        # forever on a pipe held open by a D-state process or a grandchild;
+        # files let the watchdog walk away unconditionally.
+        with tempfile.TemporaryFile(mode="w+") as out, \
+                tempfile.TemporaryFile(mode="w+") as err:
+            # own session so the whole process group can be killed at once
+            proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                    env=env, stdout=out, stderr=err,
+                                    text=True, start_new_session=True)
+            try:
+                rc = proc.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                rc = None
+                print(f"bench child hung past {timeout_s:.0f}s; killing its "
+                      "process group", file=sys.stderr)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                try:   # bounded reap: a device-wedged D-state child may
+                    proc.wait(timeout=30)   # ignore even SIGKILL for a while
+                except subprocess.TimeoutExpired:
+                    print("bench child did not reap in 30s; proceeding "
+                          "(it may hold the device until it dies)",
+                          file=sys.stderr)
+            out.seek(0)
+            stdout = out.read()
+            err.seek(0)
+            stderr_txt = err.read()
+        if rc == 0 and stdout.strip():
+            print(stdout.strip().splitlines()[-1])
             return
-        if r is not None:
-            print(f"bench child exited {r.returncode}:\n{r.stderr[-2000:]}",
+        if rc is not None:
+            print(f"bench child exited {rc}:\n{stderr_txt[-2000:]}",
                   file=sys.stderr)
         if attempt == 0 and os.path.isdir(cache):
             aside = f"{cache}.poisoned.{int(time.time())}"

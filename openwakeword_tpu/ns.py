@@ -5,13 +5,11 @@ statefully on 160-sample (10 ms) int16 frames at 16 kHz.
 """
 
 import ctypes
-import os
-import subprocess
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         "native", "libowwns.so")
+from openwakeword_tpu.utils.native_lib import build_and_load
+
 _lib = None
 
 
@@ -19,18 +17,7 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        # Build on demand (g++ is part of the supported toolchain)
-        native_dir = os.path.dirname(_LIB_PATH)
-        src = os.path.join(native_dir, "ns.cpp")
-        if os.path.exists(src):
-            subprocess.run(["make", "-C", native_dir], check=True,
-                           capture_output=True)
-        else:
-            raise ImportError(
-                f"Native noise-suppression library not found at {_LIB_PATH} "
-                "and sources are unavailable to build it.")
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = build_and_load("libowwns.so", "ns.cpp")
     lib.owwns_create.restype = ctypes.c_void_p
     lib.owwns_create.argtypes = [ctypes.c_int, ctypes.c_int]
     lib.owwns_process.restype = None

@@ -14,13 +14,11 @@ below a few MB the thread fan-out costs more than it saves.
 import ctypes
 import logging
 import os
-import subprocess
 
 import numpy as np
 
-_LIB_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native", "libowwingest.so")
+from openwakeword_tpu.utils.native_lib import build_and_load
+
 _lib = None
 _lib_failed = False
 
@@ -30,18 +28,16 @@ _N_THREADS = min(os.cpu_count() or 1, 16)
 
 
 def _load_lib():
-    """The native library, or None (never raises; failure is cached)."""
+    """The native library, or None (never raises; failure is cached).
+
+    Lazy compiles take seconds — call this (or ``warm()``) at server
+    construction, never from inside a serving tick.
+    """
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
-            native_dir = os.path.dirname(_LIB_PATH)
-            if not os.path.exists(os.path.join(native_dir, "ingest.cpp")):
-                raise ImportError("ingest.cpp sources unavailable")
-            subprocess.run(["make", "-C", native_dir, "libowwingest.so"],
-                           check=True, capture_output=True)
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = build_and_load("libowwingest.so", "ingest.cpp")
         i16p = ctypes.POINTER(ctypes.c_int16)
         lib.owwt_copy_rows.restype = None
         lib.owwt_copy_rows.argtypes = [i16p, i16p, ctypes.c_int64,
@@ -59,12 +55,19 @@ def _load_lib():
     return _lib
 
 
+def warm() -> bool:
+    """Build/load the native library ahead of time (e.g. at server
+    construction) so the first large copy never pays a lazy compile."""
+    return _load_lib() is not None
+
+
 def _i16p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
 
 
 def _native_ok(dst: np.ndarray, src: np.ndarray) -> bool:
     return (src.nbytes >= _MIN_NATIVE_BYTES
+            and dst.ndim == 2 and src.ndim == 2
             and dst.dtype == np.int16 and src.dtype == np.int16
             and dst.flags.c_contiguous and src.flags.c_contiguous
             and _load_lib() is not None)
@@ -82,10 +85,14 @@ def copy_rows(dst: np.ndarray, src: np.ndarray) -> None:
 
 
 def gather_rows(dst: np.ndarray, src: np.ndarray, idx: np.ndarray) -> None:
-    """dst[i] = src[idx[i]], threaded when large (avoids the intermediate
-    copy a numpy fancy-index materializes before the assignment)."""
+    """dst[i] = src[idx[i]] for non-negative indices, threaded when large
+    (avoids the intermediate copy a numpy fancy-index materializes before
+    the assignment). Raises IndexError on out-of-range indices on both
+    paths — the native loop would otherwise read arbitrary memory."""
     if dst.shape[0] != idx.shape[0] or dst.shape[1:] != src.shape[1:]:
         raise ValueError(f"shape mismatch {dst.shape} vs {src.shape}[{idx.shape}]")
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= src.shape[0]):
+        raise IndexError(f"gather indices outside [0, {src.shape[0]})")
     if _native_ok(dst, src) and dst.shape[0] and idx.flags.c_contiguous \
             and idx.dtype == np.int64:
         _lib.owwt_gather_rows(

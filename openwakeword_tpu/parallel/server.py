@@ -85,6 +85,9 @@ class StreamServer:
         self._staged_mask = np.zeros(C, bool)
         self._n_staged = 0
         self._reserved: Optional[int] = None   # open acquire_block size
+        # build/load the native copy library now, not inside a serving tick
+        # (a lazy first-use g++ compile would blow the 80 ms budget)
+        ingest.warm()
         #: frames dropped because a slot's queue overflowed (clients pushing
         #: faster than the server ticks); oldest frames are dropped first
         self.overflow_drops = 0
@@ -183,7 +186,11 @@ class StreamServer:
             raise KeyError(f"inactive stream id(s) {bad.tolist()}")
         n0 = self._n_staged
         dup = np.bincount(sids, minlength=self.capacity)[sids] > 1
-        ok = (self._q_len[sids] == 0) & ~self._staged_mask[sids] & ~dup
+        # a slot with buffered tail samples must NOT be staged: its packet
+        # has to queue BEHIND the tail or the stream's sample order shifts
+        # forever (same guard as push_block's fast path)
+        ok = ((self._q_len[sids] == 0) & (self._tail_len[sids] == 0)
+              & ~self._staged_mask[sids] & ~dup)
         for i in np.where(~ok)[0]:                 # rare: queue instead
             self.push(int(sids[i]), self._stage[n0 + i])
         good = np.where(ok)[0]

@@ -1,0 +1,65 @@
+"""bench.py watchdog tests: the headline benchmark must survive a hung or
+crashed child (the observed poisoned-compile-cache wedge) and still honor
+the one-JSON-line output contract. Uses bench.py's BENCH_TEST_MODE hook so
+no device is involved."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench.py")
+
+
+def _run(tmp_path, mode, watchdog_s="15"):
+    # watchdog_s must comfortably exceed interpreter startup (~2.6 s on
+    # this host: heavy sitecustomize) or healthy children get killed
+    cache = tmp_path / "cache"
+    cache.mkdir(exist_ok=True)
+    (cache / "entry").write_text("poisoned")
+    env = dict(os.environ, BENCH_TEST_MODE=mode,
+               BENCH_WATCHDOG_S=watchdog_s, BENCH_CACHE_DIR=str(cache))
+    t0 = time.perf_counter()
+    r = subprocess.run([sys.executable, BENCH], env=env, timeout=120,
+                       capture_output=True, text=True)
+    return r, time.perf_counter() - t0, cache
+
+
+def test_healthy_child_forwards_one_json_line(tmp_path):
+    r, _, cache = _run(tmp_path, "ok")
+    assert r.returncode == 0
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) == 1                      # the output contract
+    assert json.loads(lines[0])["metric"] == "watchdog_selftest"
+    assert cache.is_dir()                       # healthy run keeps the cache
+
+
+def test_hung_child_is_killed_and_cache_moved(tmp_path):
+    r, wall, cache = _run(tmp_path, "hang")
+    assert r.returncode == 1
+    assert "hung past" in r.stderr
+    # first hang moves the cache aside and retries once
+    assert not cache.exists()
+    assert any(p.name.startswith("cache.poisoned")
+               for p in tmp_path.iterdir())
+    # two 15 s watchdog windows + kill/reap, nowhere near the 10000 s sleep
+    assert wall < 110
+
+
+def test_crashed_child_retries_then_fails(tmp_path):
+    r, _, cache = _run(tmp_path, "crash")
+    assert r.returncode == 1
+    assert "exited 3" in r.stderr
+    assert not cache.exists()                   # retry went cold
+
+
+@pytest.mark.parametrize("mode", ["hang", "crash"])
+def test_failure_prints_no_stdout(tmp_path, mode):
+    """A failed bench must not emit a bogus metric line the driver could
+    record as a result."""
+    r, _, _ = _run(tmp_path, mode)
+    assert r.stdout.strip() == ""

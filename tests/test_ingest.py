@@ -48,6 +48,24 @@ class TestNativeCopies:
         ingest.copy_rows(dst, src)
         np.testing.assert_array_equal(dst, src)
 
+    def test_gather_rejects_out_of_range_indices(self, rng):
+        """The native loop would read arbitrary memory on a bad index; both
+        paths must raise IndexError instead (numpy-fallback parity)."""
+        src = rng.integers(-100, 100, (4096, 1280)).astype(np.int16)
+        dst = np.zeros((2, 1280), np.int16)
+        for bad in ([-1, 0], [0, 4096], [0, 10 ** 9]):
+            with pytest.raises(IndexError):
+                ingest.gather_rows(dst, src, np.array(bad, np.int64))
+
+    def test_3d_arrays_fall_back_correctly(self, rng):
+        """A contiguous int16 array with >2 dims must not take the native
+        path (it would copy only shape[0]*shape[1] elements); results must
+        equal numpy regardless."""
+        src = rng.integers(-100, 100, (2048, 2, 1280)).astype(np.int16)
+        dst = np.zeros_like(src)
+        ingest.copy_rows(dst, src)
+        np.testing.assert_array_equal(dst, src)
+
     def test_noncontiguous_falls_back(self, rng):
         src = rng.integers(-100, 100, (4096, 2560)).astype(np.int16)[:, ::2]
         assert not src.flags.c_contiguous
@@ -96,6 +114,24 @@ class TestZeroCopyIngest:
             assert srv_z.pending_frames(z) == srv_p.pending_frames(p)
         while any(srv_z.pending_frames(s) for s in za):
             np.testing.assert_allclose(srv_z.step(), srv_p.step(), atol=1e-6)
+
+    def test_commit_respects_partial_tails(self, rng):
+        """A slot holding tail samples (a partial frame) must queue its
+        committed packet BEHIND the tail — staging it would reorder the
+        stream's audio forever (review finding, round 3)."""
+        srv_z, srv_p = self._servers()
+        z = srv_z.add_stream()
+        p = srv_p.add_stream()
+        half = rng.integers(-2000, 2000, 640).astype(np.int16)
+        srv_z.push(z, half)
+        srv_p.push(p, half)
+        pkts = rng.integers(-2000, 2000, (1, 1280)).astype(np.int16)
+        view = srv_z.acquire_block(1)
+        view[...] = pkts
+        srv_z.commit_block(np.array([z]))
+        srv_p.push(p, pkts[0])
+        assert srv_z.pending_frames(z) == srv_p.pending_frames(p) == 1
+        np.testing.assert_allclose(srv_z.step(), srv_p.step(), atol=1e-6)
 
     def test_reservation_blocks_other_calls(self, rng):
         srv, _ = self._servers()
