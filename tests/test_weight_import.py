@@ -422,3 +422,41 @@ def test_onnx_single_op_layernormalization(tmp_path, rng):
     h = (h - mu) / np.sqrt(var + 1e-5) * g1 + be1
     want = 1 / (1 + np.exp(-(np.maximum(h, 0) @ W2 + b2)))
     np.testing.assert_allclose(got, want[:, 0], atol=1e-5)
+
+
+class TestRoundTripProperty:
+    """Randomized export->import->forward property: any head configuration
+    the trainer can produce must survive both artifact formats bit-close.
+    Fixed specs above pin the published architectures; this sweeps the
+    configuration space (frames, classes, width, depth) so a writer/reader
+    regression on an untested shape cannot slip through."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_randomized_head_round_trips(self, tmp_path, seed):
+        from openwakeword_tpu.io.tflite_export import export_head_tflite
+        from openwakeword_tpu.io.tflite_import import import_head_tflite
+
+        rng = np.random.default_rng(seed)
+        mt = ["dnn", "mlp"][seed % 2]
+        frames = int(rng.integers(4, 40))
+        ncls = int(rng.choice([1, 2, 5, 7]))
+        dim = int(rng.choice([8, 16, 48, 96, 160]))
+        blocks = int(rng.integers(1, 4))
+        p = heads.init_params(jax.random.PRNGKey(seed), mt, frames, ncls,
+                              dim, blocks)
+
+        onnx_path = str(tmp_path / "h.onnx")
+        export_head_onnx(p, onnx_path, output_name="y")
+        p_onnx, _ = import_head_onnx(onnx_path)
+        tfl_path = str(tmp_path / "h.tflite")
+        export_head_tflite(p, tfl_path, output_name="y")
+        p_tfl, _ = import_head_tflite(tfl_path)
+
+        x = jnp.asarray(rng.normal(0, 1, (3, frames, 96)), jnp.float32)
+        want = np.asarray(heads.apply(p, x))
+        np.testing.assert_allclose(
+            want, np.asarray(heads.apply(p_onnx, x)), atol=1e-5,
+            err_msg=f"onnx roundtrip {mt},{frames},{ncls},{dim},{blocks}")
+        np.testing.assert_allclose(
+            want, np.asarray(heads.apply(p_tfl, x)), atol=1e-5,
+            err_msg=f"tflite roundtrip {mt},{frames},{ncls},{dim},{blocks}")
