@@ -415,8 +415,23 @@ def test_random_churn_parity_with_plain_push(rng):
                         threshold=2.0, rng_seed=0)
     live1, live2 = [], []
     for opi in range(60):
-        op = rng.choice(["add", "remove", "block", "push", "step"])
-        if op == "add" and len(live1) < cap:
+        op = rng.choice(["add", "remove", "block", "push", "step", "zero"])
+        if op == "zero" and live1:
+            # zero-copy ingest interleaved with everything else: fill the
+            # acquired rows in place, commit to random (possibly duplicate,
+            # possibly tailed/backlogged) slots
+            n = int(rng.integers(1, len(live1) + 1))
+            rows = rng.choice(len(live1), n, replace=True)
+            pkts = rng.integers(-2000, 2000, (n, 1280)).astype(np.int16)
+            try:
+                view = srv1.acquire_block(n)
+            except RuntimeError:      # stage full this tick: skip op
+                continue
+            view[...] = pkts
+            srv1.commit_block(np.array([live1[r] for r in rows]))
+            for r, p in zip(rows, pkts):
+                srv2.push(live2[r], p)
+        elif op == "add" and len(live1) < cap:
             live1.append(srv1.add_stream())
             live2.append(srv2.add_stream())
         elif op == "remove" and live1:
