@@ -72,6 +72,7 @@ class StreamServer:
 
         self._free = deque(range(C))
         self._activations: Dict[int, deque] = {}
+        self._dirty: set = set()     # slots with undrained activations
         self._frame_counter = 0
         self._align_head = 0      # common read cursor for the fast path
 
@@ -134,6 +135,7 @@ class StreamServer:
             self._stage_ids[m:n] = -1
             self._n_staged = m
         self._activations.pop(sid)
+        self._dirty.discard(sid)
         self._free.append(sid)
 
     # -- zero-copy ingest ----------------------------------------------
@@ -355,8 +357,10 @@ class StreamServer:
         # Python work is per *activation* (sparse), never per slot
         hits = np.argwhere((scores >= self.threshold) & valid[:, None])
         for sid, k in hits:
-            self._activations[int(sid)].append(
+            sid = int(sid)
+            self._activations[sid].append(
                 (self.labels[k], self._frame_counter, float(scores[sid, k])))
+            self._dirty.add(sid)
         return scores
 
     def run_pending(self) -> int:
@@ -373,6 +377,24 @@ class StreamServer:
         self._check_active(sid)
         out = list(self._activations[sid])
         self._activations[sid].clear()
+        self._dirty.discard(sid)
+        return out
+
+    def poll_all(self) -> Dict[int, List[Tuple[str, int, float]]]:
+        """Drain every stream's pending activations in one call.
+
+        Returns {sid: [(label, frame_index, score), ...]} for the streams
+        that have activations; all other slots are untouched. Cost is per
+        *activated stream*, not per slot — at 50k slots a per-slot ``poll``
+        sweep would cost 50k Python calls per tick for a handful of events.
+        """
+        out: Dict[int, List[Tuple[str, int, float]]] = {}
+        for sid in self._dirty:
+            acts = self._activations.get(sid)
+            if acts:
+                out[sid] = list(acts)
+                acts.clear()
+        self._dirty.clear()
         return out
 
     # ------------------------------------------------------------------

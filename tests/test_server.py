@@ -503,3 +503,39 @@ def test_server_composes_with_stream_mesh(rng):
                                        atol=1e-5, err_msg=f"op {opi}")
     while any(srv_m.pending_frames(s) for s in live_m):
         np.testing.assert_allclose(srv_m.step(), srv_1.step(), atol=1e-5)
+
+
+def test_poll_all_drains_only_activated_slots(rng):
+    """poll_all must return exactly the per-slot activations poll() would,
+    draining them, touching only slots that fired, and surviving
+    remove_stream of a dirty slot."""
+    srv = StreamServer(wakeword_models=["alexa"], capacity=4, threshold=0.0)
+    sids = [srv.add_stream() for _ in range(3)]
+    audio = rng.integers(-2000, 2000, (3, 1280 * 4)).astype(np.int16)
+    for sid, pcm in zip(sids, audio):
+        srv.push(sid, pcm)
+    srv.run_pending()
+
+    # twin expectation via per-slot poll on an identical server
+    srv2 = StreamServer(wakeword_models=["alexa"], capacity=4, threshold=0.0)
+    sids2 = [srv2.add_stream() for _ in range(3)]
+    for sid, pcm in zip(sids2, audio):
+        srv2.push(sid, pcm)
+    srv2.run_pending()
+    expected = {s1: srv2.poll(s2) for s1, s2 in zip(sids, sids2)}
+    expected = {k: v for k, v in expected.items() if v}
+
+    got = srv.poll_all()
+    assert got == expected
+    assert srv.poll_all() == {}                 # drained
+    for sid in sids:
+        assert srv.poll(sid) == []              # nothing left per-slot
+
+    # a dirty slot removed before draining must not leak into poll_all
+    srv.push(sids[0], audio[0])
+    srv.run_pending()
+    assert srv.poll_all().keys() == {sids[0]} or srv.poll_all() == {}
+    srv.push(sids[1], audio[1])
+    srv.run_pending()
+    srv.remove_stream(sids[1])
+    assert sids[1] not in srv.poll_all()
