@@ -313,11 +313,19 @@ class MultiStreamEngine:
             state["raw_hist"] = jnp.zeros(
                 (S, len(self.labels), config.PREDICTION_BUFFER_MAX), jnp.float32)
         if self.incremental:
-            # shape-correct caches; values are overwritten by the first
-            # step's prime branch (which re-derives them from mel_ring)
-            caches, _ = jax.jit(embedding_stream.init_caches)(
+            # Shape-correct PLACEHOLDER caches; the values are never read:
+            # every stream starts at frames_seen==0, and the first step's
+            # prime branch re-derives all caches from mel_ring before the
+            # stream branch can consume them. eval_shape + zeros costs no
+            # compute and no compile — actually running init_caches here
+            # both paid a multi-minute tunnel compile per construction and
+            # OOMed at 50k streams (the full-window CNN materialized ~21 GB
+            # of intermediates for values that were about to be discarded).
+            cache_shapes, _ = jax.eval_shape(
+                embedding_stream.init_caches,
                 self.params["embedding"], state["mel_ring"])
-            state["conv_caches"] = caches
+            state["conv_caches"] = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
         if self.precision == "bf16":
             # activation rings in bf16: halves per-step HBM state traffic;
             # the compute path already quantizes to bf16 at every matmul.
