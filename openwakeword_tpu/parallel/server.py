@@ -90,7 +90,11 @@ class StreamServer:
         # (a lazy first-use g++ compile would blow the 80 ms budget)
         ingest.warm()
         #: frames dropped because a slot's queue overflowed (clients pushing
-        #: faster than the server ticks); oldest frames are dropped first
+        #: faster than the server ticks); the queue's oldest frames are
+        #: dropped first. A zero-copy staged packet is exempt: it was
+        #: accepted for the *current* tick (consumed before any queued
+        #: frame at the next step) and lives outside the queue, so only
+        #: queued frames participate in — and are counted by — overflow.
         self.overflow_drops = 0
 
         # template rows for slot resets, kept on device; resets are jitted

@@ -407,12 +407,18 @@ def test_random_churn_parity_with_plain_push(rng):
     """Property test: under a random interleaving of add/remove/push_block/
     push/step, the staged fast-path server must match a twin that only ever
     uses plain per-slot push. Covers stage compaction, padding scatter,
-    duplicate coalescing, and cursor alignment in combination."""
+    duplicate coalescing, and cursor alignment in combination.
+
+    queue_frames is sized past the worst-case backlog one slot can reach
+    (60 ops x <= 8 frames/op) so queue overflow never fires: a staged packet
+    is exempt from overflow drops while the twin's plain-push copy is not
+    (test_staged_packet_survives_queue_overflow pins that semantic), so
+    under overflow the two servers legitimately diverge."""
     cap = 4
     srv1 = StreamServer(wakeword_models=["alexa"], capacity=cap,
-                        threshold=2.0, rng_seed=0)
+                        threshold=2.0, rng_seed=0, queue_frames=512)
     srv2 = StreamServer(wakeword_models=["alexa"], capacity=cap,
-                        threshold=2.0, rng_seed=0)
+                        threshold=2.0, rng_seed=0, queue_frames=512)
     live1, live2 = [], []
     for opi in range(60):
         op = rng.choice(["add", "remove", "block", "push", "step", "zero"])
@@ -462,6 +468,36 @@ def test_random_churn_parity_with_plain_push(rng):
                 f"op {opi}: pending mismatch slot {s1}/{s2}"
     while any(srv1.pending_frames(s) for s in live1):
         np.testing.assert_allclose(srv1.step(), srv2.step(), atol=1e-5)
+
+
+def test_staged_packet_survives_queue_overflow(rng):
+    """A zero-copy staged packet is accepted for the *current* tick and sits
+    outside the per-slot queue, so a client outrunning the server drops the
+    QUEUE's oldest frames but never the staged packet, and overflow_drops
+    counts only queued frames (server.py overflow_drops contract)."""
+    srv = StreamServer(wakeword_models=["alexa"], capacity=2, threshold=2.0,
+                       queue_frames=2, rng_seed=0)
+    # the twin queues plainly (no staging), so it needs one extra queue slot
+    # to hold the same 3 surviving frames without overflowing itself
+    twin = StreamServer(wakeword_models=["alexa"], capacity=2, threshold=2.0,
+                        queue_frames=3, rng_seed=0)
+    a, b = srv.add_stream(), twin.add_stream()
+    pkts = rng.integers(-2000, 2000, (4, 1280)).astype(np.int16)
+    view = srv.acquire_block(1)
+    view[...] = pkts[0]
+    srv.commit_block(np.array([a]))
+    # three more packets overrun the 2-deep queue: pkts[1] (the queue's
+    # oldest) is dropped; the staged pkts[0] survives
+    for p in pkts[1:]:
+        srv.push(a, p)
+    assert srv.overflow_drops == 1
+    assert srv.pending_frames(a) == 3            # staged + 2 queued
+    # the audio the server will actually score, in consumption order
+    for p in (pkts[0], pkts[2], pkts[3]):
+        twin.push(b, p)
+    while srv.pending_frames(a):
+        np.testing.assert_allclose(srv.step(), twin.step(), atol=1e-6)
+    assert twin.overflow_drops == 0
 
 
 def test_server_composes_with_stream_mesh(rng):
@@ -534,7 +570,9 @@ def test_poll_all_drains_only_activated_slots(rng):
     # a dirty slot removed before draining must not leak into poll_all
     srv.push(sids[0], audio[0])
     srv.run_pending()
-    assert srv.poll_all().keys() == {sids[0]} or srv.poll_all() == {}
+    # only the slot that received frames can have fired (threshold 0.0
+    # makes every valid step an activation, so it MUST have fired)
+    assert srv.poll_all().keys() == {sids[0]}
     srv.push(sids[1], audio[1])
     srv.run_pending()
     srv.remove_stream(sids[1])
