@@ -79,6 +79,24 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     return n_streams * n_frames / best, best
 
 
+def _probe_main():
+    """Attach-only child: prove the device backend answers at all.
+
+    The benchmark's failure mode on a dead device tunnel is an attach that
+    hangs forever (the runtime retries the connection in a loop), which
+    would otherwise burn both full watchdog windows (~80 min) before the
+    driver learns anything. This child only initializes the backend; the
+    parent gives it a short leash.
+    """
+    test_mode = os.environ.get("BENCH_TEST_MODE")
+    if test_mode == "probe_hang":     # self-test hook
+        time.sleep(10_000)
+    elif not test_mode:               # self-tests must not touch a device
+        import jax
+        jax.devices()
+    print("ok")
+
+
 def _child_main():
     test_mode = os.environ.get("BENCH_TEST_MODE")
     if test_mode:            # watchdog self-tests only (tests/test_bench_watchdog.py)
@@ -134,9 +152,46 @@ def main():
     if os.environ.get("BENCH_CHILD") == "1":
         _child_main()
         return
+    if os.environ.get("BENCH_CHILD") == "probe":
+        _probe_main()
+        return
 
     import signal
     import tempfile
+
+    def _kill_group(proc):
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        try:   # bounded reap: a device-wedged D-state child may
+            proc.wait(timeout=30)   # ignore even SIGKILL for a while
+        except subprocess.TimeoutExpired:
+            print("bench child did not reap in 30s; proceeding "
+                  "(it may hold the device until it dies)", file=sys.stderr)
+
+    # fail-fast pre-flight: if backend attach itself hangs (dead tunnel /
+    # unreachable device service), fail in minutes, not watchdog-hours.
+    # BENCH_PROBE_S=0 skips the probe.
+    probe_s = float(os.environ.get("BENCH_PROBE_S", "300"))
+    if probe_s > 0:
+        env = dict(os.environ, BENCH_CHILD="probe")
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                env=env, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL,
+                                start_new_session=True)
+        try:
+            rc = proc.wait(timeout=probe_s)
+        except subprocess.TimeoutExpired:
+            _kill_group(proc)
+            print(f"device attach probe hung past {probe_s:.0f}s — the "
+                  "backend/tunnel is unreachable; failing fast (set "
+                  "BENCH_PROBE_S to adjust or 0 to skip)", file=sys.stderr)
+            sys.exit(1)
+        if rc != 0:
+            print(f"device attach probe exited {rc}; failing fast",
+                  file=sys.stderr)
+            sys.exit(1)
 
     cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/owwt_jax_cache")
     # generous by design: a healthy warm-cache run over the device tunnel
@@ -162,16 +217,7 @@ def main():
                 rc = None
                 print(f"bench child hung past {timeout_s:.0f}s; killing its "
                       "process group", file=sys.stderr)
-                try:
-                    os.killpg(proc.pid, signal.SIGKILL)
-                except (ProcessLookupError, PermissionError):
-                    pass
-                try:   # bounded reap: a device-wedged D-state child may
-                    proc.wait(timeout=30)   # ignore even SIGKILL for a while
-                except subprocess.TimeoutExpired:
-                    print("bench child did not reap in 30s; proceeding "
-                          "(it may hold the device until it dies)",
-                          file=sys.stderr)
+                _kill_group(proc)
             out.seek(0)
             stdout = out.read()
             err.seek(0)

@@ -15,7 +15,7 @@ BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                      "bench.py")
 
 
-def _run(tmp_path, mode, watchdog_s="15"):
+def _run(tmp_path, mode, watchdog_s="15", probe_s=None):
     # watchdog_s must comfortably exceed interpreter startup (~2.6 s on
     # this host: heavy sitecustomize) or healthy children get killed
     cache = tmp_path / "cache"
@@ -23,6 +23,8 @@ def _run(tmp_path, mode, watchdog_s="15"):
     (cache / "entry").write_text("poisoned")
     env = dict(os.environ, BENCH_TEST_MODE=mode,
                BENCH_WATCHDOG_S=watchdog_s, BENCH_CACHE_DIR=str(cache))
+    if probe_s is not None:
+        env["BENCH_PROBE_S"] = probe_s
     t0 = time.perf_counter()
     r = subprocess.run([sys.executable, BENCH], env=env, timeout=120,
                        capture_output=True, text=True)
@@ -63,3 +65,21 @@ def test_failure_prints_no_stdout(tmp_path, mode):
     record as a result."""
     r, _, _ = _run(tmp_path, mode)
     assert r.stdout.strip() == ""
+
+
+def test_hung_attach_probe_fails_fast(tmp_path):
+    """A backend attach that hangs (dead device tunnel) must fail within
+    the probe leash, not burn both full watchdog windows — and must not
+    blame (or discard) the compile cache."""
+    r, wall, cache = _run(tmp_path, "probe_hang", probe_s="10")
+    assert r.returncode == 1
+    assert "attach probe hung" in r.stderr
+    assert r.stdout.strip() == ""
+    assert wall < 50                    # probe leash + kill, not 2x15 s + retries
+    assert cache.is_dir()               # an unreachable device is not a cache bug
+
+
+def test_probe_can_be_skipped(tmp_path):
+    r, _, _ = _run(tmp_path, "ok", probe_s="0")
+    assert r.returncode == 0
+    assert json.loads(r.stdout.strip())["metric"] == "watchdog_selftest"
