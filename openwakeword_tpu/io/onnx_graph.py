@@ -442,14 +442,19 @@ def _op_transpose(node, vals):
 def _op_layernorm(node, vals):
     x, scale = vals[0], vals[1]
     bias = vals[2] if len(vals) > 2 else None
-    axis = int(_attr(node, "axis", -1))
+    # ONNX LayerNormalization normalizes over ALL dims [axis, rank) -- not
+    # just the one `axis` dim (they coincide only for axis=-1)
+    axis = int(_attr(node, "axis", -1)) % x.ndim
+    red = tuple(range(axis, x.ndim))
     eps = _attr(node, "epsilon", 1e-5)
-    mean = jnp.mean(x, axis=axis, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=axis, keepdims=True)
-    y = (x - mean) * lax.rsqrt(var + eps) * scale
+    mean = jnp.mean(x, axis=red, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=red, keepdims=True)
+    inv = lax.rsqrt(var + eps)
+    y = (x - mean) * inv * scale
     if bias is not None:
         y = y + bias
-    return [y]
+    outs = [y, mean, inv]                   # optional Mean / InvStdDev outputs
+    return outs[:max(1, len(node["output"]))]
 
 
 _OPS = {

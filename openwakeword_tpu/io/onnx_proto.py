@@ -109,7 +109,10 @@ def decode_tensor(data) -> Dict:
         arr = np.array([_decode_signed(v) for v in f[5]], dtype=np_dtype)
     else:
         arr = np.zeros(0, dtype=np_dtype)
-    if dims:
+    # dims == [] means a SCALAR tensor (0-D), not "no shape info": reshape
+    # unconditionally so ops like Gather see the rank the graph declared.
+    # (Guard the degenerate no-data case, which cannot be a scalar.)
+    if dims or arr.size == 1:
         arr = arr.reshape(dims)
     return {"name": name, "array": arr}
 
