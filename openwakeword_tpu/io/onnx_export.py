@@ -1,16 +1,29 @@
-"""Export trained heads as ONNX graphs loadable by the reference engine.
+"""Export the pipeline's models as ONNX graphs loadable by the reference engine.
 
-Emits only widely-supported primitive ops (Gemm, ReduceMean, Sub, Mul, Add,
-Div, Sqrt, Relu, Sigmoid, Softmax at opset 13), mirroring how the reference's
-published heads were produced by torch.onnx.export (reference
-train.py:144-165): LayerNorm is decomposed, binary heads end in Sigmoid,
-multiclass heads end in (Relu ->) Softmax.
+Covers every artifact family the reference distributes (SURVEY.md section 2.2):
+
+  * heads (``export_head_onnx``) -- Gemm chains with decomposed LayerNorm,
+    mirroring how the reference's published heads were produced by
+    torch.onnx.export (reference train.py:144-165);
+  * the melspectrogram frontend (``export_melspectrogram_onnx``) -- the
+    analytic matmul-DFT formulation as a Conv/MatMul/Log graph with the same
+    I/O contract as the reference's torchlibrosa export (conversion notebook
+    cell 15: raw int16-range float input, librosa power_to_db output);
+  * the speech-embedding CNN (``export_embedding_onnx``) -- explicit
+    Conv/BatchNormalization nodes in the unfolded form our own
+    ``io.onnx_import.import_embedding_onnx`` (and the reference's conversion
+    notebook) expect.
+
+Emits only widely-supported primitive ops at opset 13, so the graphs run on
+onnxruntime, and round-trip through this package's own ONNX executor
+(io.onnx_graph) for offline verification.
 """
 
 from typing import Dict
 
 import numpy as np
 
+from openwakeword_tpu import config
 from openwakeword_tpu.io import onnx_proto as op
 
 
@@ -105,6 +118,214 @@ def export_head_onnx(params: Dict, path: str, output_name: str = ""):
         nodes, inits,
         inputs=[op.encode_value_info("input", ["batch", input_frames, 96])],
         outputs=[op.encode_value_info(final, ["batch", n_classes])],
+    )
+    with open(path, "wb") as f:
+        f.write(model)
+
+
+def export_melspectrogram_onnx(path: str, apply_transform: bool = False):
+    """Write the analytic log-mel frontend as a standalone .onnx graph.
+
+    Same I/O contract as the reference's ``melspectrogram.onnx`` artifact
+    (reference utils.py:180-208): input ``(batch, samples)`` float32 holding
+    RAW int16-range PCM values, output ``(batch, frames, 32)`` log-mel dB
+    (librosa power_to_db with the per-example top_db floor). With
+    ``apply_transform`` the downstream ``spec/10 + 2`` affine (which the
+    reference applies in Python) is fused into the graph, so the output
+    feeds the embedding model directly.
+
+    The STFT is a strided Conv against the windowed DFT basis -- the same
+    math as ops.melspec's matmul form, expressed as the conv that
+    torchlibrosa's export uses, so frame count stays dynamic in ``samples``.
+    """
+    from openwakeword_tpu.ops import melspec
+
+    nodes, inits = [], []
+    n_freqs = 1 + config.N_FFT // 2
+
+    # (B, samples) -> (B, 1, samples) for Conv1D
+    inits.append(op.encode_tensor("to_nchw", np.asarray([0, 1, -1], np.int64)))
+    nodes.append(op.encode_node("Reshape", ["input", "to_nchw"], ["pcm"]))
+
+    # windowed DFT as a stride-hop conv: out channel c = basis column c
+    basis = np.asarray(melspec.stft_power_basis(), np.float64)   # (512, 514)
+    w = np.ascontiguousarray(basis.T[:, None, :]).astype(np.float32)
+    inits.append(op.encode_tensor("dft_basis", w))
+    nodes.append(op.encode_node("Conv", ["pcm", "dft_basis"], ["spec"],
+                                strides=[config.HOP_LENGTH]))
+
+    # |X|^2 from the interleaved (real, imag) channels
+    for name, start in (("re", 0), ("im", 1)):
+        inits += [op.encode_tensor(f"{name}_s", np.asarray([start], np.int64)),
+                  op.encode_tensor(f"{name}_e", np.asarray([start + 2 * n_freqs], np.int64))]
+        nodes.append(op.encode_node("Slice", ["spec", f"{name}_s", f"{name}_e",
+                                              "spec_axis", "spec_step"], [name]))
+        nodes.append(op.encode_node("Mul", [name, name], [name + "2"]))
+    inits += [op.encode_tensor("spec_axis", np.asarray([1], np.int64)),
+              op.encode_tensor("spec_step", np.asarray([2], np.int64))]
+    nodes.append(op.encode_node("Add", ["re2", "im2"], ["power"]))
+
+    # mel projection: (B, 257, T) -> (B, T, 257) @ (257, 32)
+    nodes.append(op.encode_node("Transpose", ["power"], ["power_t"], perm=[0, 2, 1]))
+    inits.append(op.encode_tensor("mel_basis",
+                                  np.asarray(melspec.mel_filterbank(), np.float32)))
+    nodes.append(op.encode_node("MatMul", ["power_t", "mel_basis"], ["mel"]))
+
+    # librosa power_to_db: 10*log10(max(mel, amin)) - 10*log10(max(amin, ref))
+    inits.append(op.encode_tensor("amin", np.float32(config.MEL_AMIN).reshape(())))
+    nodes.append(op.encode_node("Max", ["mel", "amin"], ["mel_c"]))
+    nodes.append(op.encode_node("Log", ["mel_c"], ["mel_ln"]))
+    inits.append(op.encode_tensor("db_scale",
+                                  np.float32(10.0 / np.log(10.0)).reshape(())))
+    nodes.append(op.encode_node("Mul", ["mel_ln", "db_scale"], ["mel_db"]))
+    cur = "mel_db"
+    ref_db = 10.0 * np.log10(max(config.MEL_AMIN, config.MEL_REF))
+    if ref_db != 0.0:
+        inits.append(op.encode_tensor("ref_db", np.float32(ref_db).reshape(())))
+        nodes.append(op.encode_node("Sub", [cur, "ref_db"], ["mel_db_ref"]))
+        cur = "mel_db_ref"
+    if config.MEL_TOP_DB is not None:
+        # data-dependent floor over each example's FULL spectrogram
+        nodes.append(op.encode_node("ReduceMax", [cur], ["db_peak"],
+                                    axes=[1, 2], keepdims=1))
+        inits.append(op.encode_tensor("top_db",
+                                      np.float32(config.MEL_TOP_DB).reshape(())))
+        nodes.append(op.encode_node("Sub", ["db_peak", "top_db"], ["db_floor"]))
+        nodes.append(op.encode_node("Max", [cur, "db_floor"], ["mel_db_clamped"]))
+        cur = "mel_db_clamped"
+    if apply_transform:
+        inits += [op.encode_tensor("tf_scale",
+                                   np.float32(config.MEL_TRANSFORM_SCALE).reshape(())),
+                  op.encode_tensor("tf_shift",
+                                   np.float32(config.MEL_TRANSFORM_SHIFT).reshape(()))]
+        nodes.append(op.encode_node("Mul", [cur, "tf_scale"], ["mel_scaled"]))
+        nodes.append(op.encode_node("Add", ["mel_scaled", "tf_shift"], ["melspectrogram"]))
+    else:
+        nodes.append(op.encode_node("Identity", [cur], ["melspectrogram"]))
+
+    model = op.encode_model(
+        nodes, inits,
+        inputs=[op.encode_value_info("input", ["batch", "samples"])],
+        outputs=[op.encode_value_info("melspectrogram",
+                                      ["batch", "frames", config.N_MELS])],
+    )
+    with open(path, "wb") as f:
+        f.write(model)
+
+
+def export_embedding_onnx(params: Dict, path: str):
+    """Write the speech-embedding CNN as a standalone .onnx graph.
+
+    Same I/O contract as the reference's ``embedding_model.onnx`` artifact
+    (SURVEY.md section 2.2): input ``(batch, 76, 32, 1)`` NHWC transformed
+    log-mel window, output ``(batch, 1, 1, 96)``. Emits the UNFOLDED form --
+    explicit BatchNormalization nodes (epsilon 1e-3) and the clipped-leaky
+    activation ``max(max(0.2x, x), -0.4)`` as Mul/Max ops -- which is the
+    structure ``io.onnx_import.import_embedding_onnx`` round-trips exactly.
+
+    ``params`` must be the unfolded pytree (conv_i: {w} HWIO + bn_i stats),
+    i.e. what ``models.embedding.init_params`` / the weight importer produce.
+    """
+    from openwakeword_tpu.models import embedding
+
+    if embedding.is_folded(params):
+        raise ValueError("export_embedding_onnx needs UNFOLDED params "
+                         "(conv_i/bn_i form); BN-folded params cannot be "
+                         "unfolded back into BatchNormalization nodes")
+
+    nodes, inits = [], []
+    counter = [0]
+
+    def t(name):
+        counter[0] += 1
+        return f"e{counter[0]}_{name}"
+
+    nodes.append(op.encode_node("Transpose", ["input_window"], ["x_nchw"],
+                                perm=[0, 3, 1, 2]))
+    cur = "x_nchw"
+    h, w = embedding.INPUT_SHAPE[:2]
+    pending_pad = (0, 0)
+    conv_i = bn_i = 0
+    for layer in embedding.spec():
+        kind = layer[0]
+        if kind == "pad":
+            pending_pad = layer[1]
+        elif kind == "conv":
+            _, _, (kh, kw), padding, act = layer
+            if padding == "SAME":
+                ph, pw = (kh - 1), (kw - 1)   # stride 1: total pad = k - 1
+            else:
+                ph, pw = 0, 0
+            ph, pw = ph + 2 * pending_pad[0], pw + 2 * pending_pad[1]
+            pending_pad = (0, 0)
+            kernel = np.asarray(params[f"conv_{conv_i}"]["w"], np.float32)
+            wn = f"conv{conv_i}_w"
+            inits.append(op.encode_tensor(wn, np.ascontiguousarray(
+                np.transpose(kernel, (3, 2, 0, 1)))))               # HWIO -> OIHW
+            out = t(f"conv{conv_i}")
+            nodes.append(op.encode_node(
+                "Conv", [cur, wn], [out],
+                pads=[ph // 2, pw // 2, ph - ph // 2, pw - pw // 2]))
+            h, w = h + ph - (kh - 1), w + pw - (kw - 1)
+            cur = out
+            if act == "relu":
+                out = t("relu")
+                nodes.append(op.encode_node("Relu", [cur], [out]))
+                cur = out
+            conv_i += 1
+        elif kind == "bnact":
+            bn = params[f"bn_{bn_i}"]
+            names = []
+            for field, key in (("gamma", "gamma"), ("beta", "beta"),
+                               ("mean", "mean"), ("var", "var")):
+                nm = f"bn{bn_i}_{field}"
+                inits.append(op.encode_tensor(nm, np.asarray(bn[key], np.float32)))
+                names.append(nm)
+            out = t(f"bn{bn_i}")
+            nodes.append(op.encode_node("BatchNormalization", [cur] + names,
+                                        [out], epsilon=float(embedding.BN_EPS)))
+            # clipped leaky: max(max(0.2*x, x), -0.4)
+            leak = t("leak")
+            nodes.append(op.encode_node("Mul", [out, "leak_slope"], [leak]))
+            lo = t("leaky")
+            nodes.append(op.encode_node("Max", [leak, out], [lo]))
+            out2 = t("clip")
+            nodes.append(op.encode_node("Max", [lo, "leak_floor"], [out2]))
+            cur = out2
+            bn_i += 1
+        elif kind == "pool":
+            _, window, strides, padding = layer
+            if padding == "SAME":
+                tot = [max(0, (-(-d // s) - 1) * s + k - d)
+                       for d, k, s in zip((h, w), window, strides)]
+                pads = [tot[0] // 2, tot[1] // 2,
+                        tot[0] - tot[0] // 2, tot[1] - tot[1] // 2]
+                h = -(-h // strides[0])
+                w = -(-w // strides[1])
+            else:
+                pads = [0, 0, 0, 0]
+                h = (h - window[0]) // strides[0] + 1
+                w = (w - window[1]) // strides[1] + 1
+            out = t("pool")
+            nodes.append(op.encode_node("MaxPool", [cur], [out],
+                                        kernel_shape=list(window),
+                                        strides=list(strides), pads=pads))
+            cur = out
+    inits += [op.encode_tensor("leak_slope", np.float32(0.2).reshape(())),
+              op.encode_tensor("leak_floor", np.float32(-0.4).reshape(()))]
+    if (h, w) != (1, 1):
+        raise AssertionError(f"embedding export shape tracking ended at {(h, w)}, "
+                             "expected (1, 1) -- layer spec changed?")
+
+    # (B, 96, 1, 1) NCHW -> the artifact's (B, 1, 1, 96) NHWC output
+    nodes.append(op.encode_node("Transpose", [cur], ["embedding"],
+                                perm=[0, 2, 3, 1]))
+    model = op.encode_model(
+        nodes, inits,
+        inputs=[op.encode_value_info(
+            "input_window", ["batch"] + list(embedding.INPUT_SHAPE))],
+        outputs=[op.encode_value_info(
+            "embedding", ["batch", 1, 1, embedding.OUTPUT_DIM])],
     )
     with open(path, "wb") as f:
         f.write(model)

@@ -30,6 +30,14 @@ def _all_op_types(graph: Dict):
 
 def _classify(graph: Dict) -> str:
     ins = [i for i in graph["inputs"] if i["name"] not in graph["initializers"]]
+    # Heads take (B, frames, 96) embedding windows -- classify by that input
+    # shape BEFORE the LSTM rule, so rnn-family heads (reference
+    # train.py:84-96 exports contain LSTM nodes) aren't mistaken for VAD.
+    if ins:
+        shape = ins[0]["shape"]
+        concrete = [d for d in shape if isinstance(d, int)]
+        if len(shape) == 3 and concrete and concrete[-1] == 96:
+            return "head"
     # VAD: recurrent state carried through the graph I/O (h/c of the Silero
     # contract, reference vad.py:92-96), or any LSTM in the (sub)graphs.
     n_state = sum(1 for i in ins
@@ -42,11 +50,14 @@ def _classify(graph: Dict) -> str:
         if len(shape) == 4 and concrete[-2:] in ([32, 1],) or \
            (len(shape) == 4 and 76 in concrete and 32 in concrete):
             return "embedding"
-        if len(shape) == 3 and concrete and concrete[-1] == 96:
-            return "head"
         if len(shape) == 2:
+            # melspectrogram frontend: a Conv STFT with no dense layers and
+            # no activations (torchlibrosa exports carry a MatMul for the
+            # mel projection, so Gemm-absence -- not MatMul-absence -- is
+            # the discriminator; heads always contain activations).
             ops = {n["op_type"] for n in graph["nodes"]}
-            if "Conv" in ops and any(n["op_type"] in ("Gemm", "MatMul") for n in graph["nodes"]) is False:
+            if "Conv" in ops and not ops & {"Gemm", "Relu", "Sigmoid",
+                                            "Softmax", "Tanh"}:
                 return "melspectrogram"
             return "head"
     ops = [n["op_type"] for n in graph["nodes"]]

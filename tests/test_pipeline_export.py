@@ -1,0 +1,138 @@
+"""Full-pipeline ONNX export: mel frontend + embedding CNN.
+
+The reference distributes its entire compute path as frozen artifacts
+(melspectrogram.onnx, embedding_model.onnx, head .onnx files -- SURVEY.md
+section 2.2); this package must be able to produce the same artifact set so
+a trained stack can be deployed on any ONNX runtime. Verification is
+offline-complete: each exported graph is re-executed through io.onnx_graph
+(itself differentially fuzzed against torch in test_onnx_graph_fuzz.py) and
+compared against the native JAX computation, and the embedding export is
+round-tripped through the real-artifact importer for exact param equality.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from openwakeword_tpu import config                              # noqa: E402
+from openwakeword_tpu.io import onnx_export, onnx_import, onnx_proto  # noqa: E402
+from openwakeword_tpu.io.onnx_graph import load_program          # noqa: E402
+from openwakeword_tpu.models import embedding                    # noqa: E402
+from openwakeword_tpu.ops import melspec                         # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(11)
+    # speech-ish: tones + noise at raw int16 amplitude, 1.58 s
+    t = np.arange(25280) / config.SAMPLE_RATE
+    x = (6000 * np.sin(2 * np.pi * 440 * t) * np.sin(2 * np.pi * 3 * t)
+         + 2000 * rng.normal(size=t.size))
+    return x.astype(np.float32)[None]                            # (1, N)
+
+
+class TestMelspectrogramExport:
+
+    def test_matches_native(self, tmp_path, audio):
+        path = str(tmp_path / "melspectrogram.onnx")
+        onnx_export.export_melspectrogram_onnx(path)
+        prog = load_program(path)
+        got = np.asarray(jax.jit(prog.apply)(prog.params,
+                                             {"input": audio})["melspectrogram"])
+        want = np.asarray(melspec.melspectrogram(audio, apply_transform=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_transform_variant_feeds_embedding(self, tmp_path, audio):
+        path = str(tmp_path / "mel_tf.onnx")
+        onnx_export.export_melspectrogram_onnx(path, apply_transform=True)
+        prog = load_program(path)
+        got = np.asarray(prog.apply(prog.params, {"input": audio})["melspectrogram"])
+        want = np.asarray(melspec.log_mel_features(audio))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_dynamic_length(self, tmp_path, audio):
+        """One exported graph serves any input length (the artifact contract:
+        reference utils.py feeds arbitrary chunk sizes)."""
+        path = str(tmp_path / "mel_dyn.onnx")
+        onnx_export.export_melspectrogram_onnx(path)
+        prog = load_program(path)
+        for n in (1760, 4000, 12800):
+            x = audio[:, :n]
+            got = np.asarray(prog.apply(prog.params, {"input": x})["melspectrogram"])
+            assert got.shape[1] == melspec.num_frames(n)
+
+    def test_classified_and_rejected_as_analytic(self, tmp_path):
+        """io.loaders recognizes the artifact kind and points the user to the
+        analytic frontend instead of silently importing a redundant graph."""
+        path = str(tmp_path / "mel_cls.onnx")
+        onnx_export.export_melspectrogram_onnx(path)
+        graph = onnx_proto.load_onnx(path)["graph"]
+        assert onnx_import._classify(graph) == "melspectrogram"
+        with pytest.raises(ValueError, match="analytic"):
+            onnx_import.import_onnx_model(path)
+
+
+class TestEmbeddingExport:
+
+    @pytest.fixture(scope="class")
+    def params(self):
+        return jax.device_get(embedding.init_params(jax.random.PRNGKey(3)))
+
+    @pytest.fixture(scope="class")
+    def exported(self, params, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("emb") / "embedding_model.onnx")
+        onnx_export.export_embedding_onnx(params, path)
+        return path
+
+    def test_matches_native(self, exported, params):
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 1.5, (3,) + embedding.INPUT_SHAPE).astype(np.float32)
+        prog = load_program(exported)
+        got = np.asarray(jax.jit(prog.apply)(prog.params,
+                                             {"input_window": x})["embedding"])
+        assert got.shape == (3, 1, 1, embedding.OUTPUT_DIM)
+        want = np.asarray(embedding.apply(params, x[..., 0]))
+        np.testing.assert_allclose(got.reshape(3, -1), want, atol=2e-4)
+
+    def test_importer_roundtrip_exact(self, exported, params):
+        """The real-artifact importer recovers the exact original params --
+        pins both the exporter's layout (OIHW, BN field order, epsilon) and
+        the importer against a graph with the artifact's structure."""
+        kind, got, _meta = onnx_import.import_onnx_model(exported)
+        assert kind == "embedding"
+        assert set(got) == set(params)
+        for name, group in params.items():
+            for field, arr in group.items():
+                np.testing.assert_array_equal(
+                    np.asarray(got[name][field]), np.asarray(arr),
+                    err_msg=f"{name}/{field}")
+
+    def test_folded_params_rejected(self, params, tmp_path):
+        folded = jax.device_get(embedding.fold_batchnorm(params))
+        with pytest.raises(ValueError, match="UNFOLDED"):
+            onnx_export.export_embedding_onnx(folded, str(tmp_path / "x.onnx"))
+
+
+def test_full_pipeline_composition(tmp_path, audio):
+    """mel.onnx -> window -> embedding.onnx chained as a user of the exported
+    artifacts would run them, vs the native chain."""
+    mel_path = str(tmp_path / "mel.onnx")
+    emb_path = str(tmp_path / "emb.onnx")
+    onnx_export.export_melspectrogram_onnx(mel_path, apply_transform=True)
+    params = jax.device_get(embedding.init_params(jax.random.PRNGKey(9)))
+    onnx_export.export_embedding_onnx(params, emb_path)
+    mel_prog, emb_prog = load_program(mel_path), load_program(emb_path)
+
+    mels = np.asarray(mel_prog.apply(mel_prog.params, {"input": audio})["melspectrogram"])
+    window = mels[:, :config.EMB_WINDOW_FRAMES, :, None]         # (1, 76, 32, 1)
+    got = np.asarray(emb_prog.apply(emb_prog.params,
+                                    {"input_window": window})["embedding"]).ravel()
+
+    native_mels = melspec.log_mel_features(audio)
+    want = np.asarray(embedding.apply(
+        params, native_mels[:, :config.EMB_WINDOW_FRAMES])).ravel()
+    np.testing.assert_allclose(got, want, atol=5e-4)
