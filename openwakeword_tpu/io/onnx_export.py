@@ -27,10 +27,25 @@ from openwakeword_tpu import config
 from openwakeword_tpu.io import onnx_proto as op
 
 
+def _torch_gates_to_onnx(m: np.ndarray) -> np.ndarray:
+    """Reorder LSTM gate blocks from torch's [i, f, g, o] row/element order
+    to ONNX's [i, o, f, c] (c == torch's g). Operates on the leading axis of
+    a (4H, ...) weight or (4H,) bias."""
+    h = m.shape[0] // 4
+    i, f, g, o = m[:h], m[h:2 * h], m[2 * h:3 * h], m[3 * h:4 * h]
+    return np.concatenate([i, o, f, g], axis=0)
+
+
+def _onnx_gates_to_torch(m: np.ndarray) -> np.ndarray:
+    h = m.shape[0] // 4
+    i, o, f, c = m[:h], m[h:2 * h], m[2 * h:3 * h], m[3 * h:4 * h]
+    return np.concatenate([i, f, c, o], axis=0)
+
+
 def export_head_onnx(params: Dict, path: str, output_name: str = ""):
     meta = params["__meta__"]
     model_type = meta["model_type"]
-    if model_type not in ("dnn", "mlp"):
+    if model_type not in ("dnn", "mlp", "rnn"):
         raise NotImplementedError(f"ONNX export for '{model_type}' heads is not supported yet")
     input_frames = int(meta["input_frames"])
     n_classes = int(meta["n_classes"])
@@ -83,11 +98,12 @@ def export_head_onnx(params: Dict, path: str, output_name: str = ""):
         return out_name
 
     x = "input"
-    flat = t("flat")
-    shape_n = t("flatten_shape")
-    inits.append(op.encode_tensor(shape_n, np.asarray([0, input_frames * 96], np.int64)))
-    nodes.append(op.encode_node("Reshape", [x, shape_n], [flat]))
-    h = flat
+    if model_type in ("dnn", "mlp"):
+        flat = t("flat")
+        shape_n = t("flatten_shape")
+        inits.append(op.encode_tensor(shape_n, np.asarray([0, input_frames * 96], np.int64)))
+        nodes.append(op.encode_node("Reshape", [x, shape_n], [flat]))
+        h = flat
 
     if model_type == "dnn":
         h = linear(h, params["layer1"], t("fc1"))
@@ -99,11 +115,57 @@ def export_head_onnx(params: Dict, path: str, output_name: str = ""):
             h = layer_norm(h, params[f"block{i}_ln"], t(f"block{i}_ln"))
             h = relu(h, t(f"block{i}_relu"))
             i += 1
-    else:  # mlp
+    elif model_type == "mlp":
         h = linear(h, params["layer1"], t("fc1"))
         h = relu(h, t("relu1"))
         h = linear(h, params["layer2"], t("fc2"))
         h = relu(h, t("relu2"))
+    else:  # rnn: 2-layer bidirectional LSTM, last-timestep features
+        hidden = params["lstm0_fwd"]["w_hh"].shape[0]
+        xs = t("xs")
+        nodes.append(op.encode_node("Transpose", [x], [xs], perm=[1, 0, 2]))
+        n_layers = len({k for k in params if k.startswith("lstm")}) // 2
+        for layer in range(n_layers):
+            W, R, B = [], [], []
+            for tag in ("fwd", "bwd"):
+                p = params[f"lstm{layer}_{tag}"]
+                W.append(_torch_gates_to_onnx(np.asarray(p["w_ih"], np.float32).T))
+                R.append(_torch_gates_to_onnx(np.asarray(p["w_hh"], np.float32).T))
+                B.append(np.concatenate([
+                    _torch_gates_to_onnx(np.asarray(p["b_ih"], np.float32)),
+                    _torch_gates_to_onnx(np.asarray(p["b_hh"], np.float32))]))
+            names = [f"lstm{layer}_{nm}" for nm in ("W", "R", "B")]
+            for nm, stackd in zip(names, (W, R, B)):
+                inits.append(op.encode_tensor(nm, np.stack(stackd)))
+            y = t(f"lstm{layer}")
+            nodes.append(op.encode_node("LSTM", [xs] + names, [y],
+                                        hidden_size=int(hidden),
+                                        direction="bidirectional"))
+            if layer < n_layers - 1:
+                # ONNX Y is (T, 2, B, H); the next layer wants (T, B, 2H)
+                tr = t("dirs_last")
+                nodes.append(op.encode_node("Transpose", [y], [tr],
+                                            perm=[0, 2, 1, 3]))
+                xs = t("merged")
+                shp = t("merge_shape")
+                inits.append(op.encode_tensor(shp, np.asarray([0, 0, -1], np.int64)))
+                nodes.append(op.encode_node("Reshape", [tr, shp], [xs]))
+            else:
+                # last timestep: fwd saw the full window, bwd saw x[T-1]
+                # (same contract as torch's batch-first output[:, -1, :])
+                last = t("last")
+                for nm, val in (("t_last_s", input_frames - 1),
+                                ("t_last_e", input_frames), ("t_axis0", 0)):
+                    inits.append(op.encode_tensor(nm, np.asarray([val], np.int64)))
+                nodes.append(op.encode_node("Slice", [y, "t_last_s", "t_last_e",
+                                                      "t_axis0"], [last]))
+                tr = t("batch_first")
+                nodes.append(op.encode_node("Transpose", [last], [tr],
+                                            perm=[2, 0, 1, 3]))   # (B, 1, 2, H)
+                h = t("features")
+                shp = t("feat_shape")
+                inits.append(op.encode_tensor(shp, np.asarray([0, -1], np.int64)))
+                nodes.append(op.encode_node("Reshape", [tr, shp], [h]))
 
     logits = linear(h, params["out"], t("logits"))
     final = output_name or (meta.get("name") or "output")

@@ -178,10 +178,61 @@ def _extract_linears_and_lns(graph: Dict) -> Tuple[List[Dict], List[Dict], Dict]
     return linears, lns, tail
 
 
+def _extract_rnn_head(graph: Dict) -> Dict:
+    """rnn-family head (reference train.py:84-96: stacked bidirectional LSTM
+    -> Linear -> Sigmoid) -> native lstm{layer}_{fwd,bwd} params. ONNX packs
+    per-direction weights as W (2, 4H, I) / R (2, 4H, H) / B (2, 8H) in gate
+    order [i, o, f, c]; the native format is torch's (I, 4H) / (H, 4H)
+    column-major [i, f, g, o]."""
+    from openwakeword_tpu.io.onnx_export import _onnx_gates_to_torch
+    inits = graph["initializers"]
+    params: Dict = {}
+    hidden = None
+    lstms = [n for n in graph["nodes"] if n["op_type"] == "LSTM"]
+    for layer, n in enumerate(lstms):
+        direction = n["attributes"].get("direction", {}).get("s", b"forward").decode()
+        if direction != "bidirectional":
+            raise ValueError(f"rnn head LSTM layer {layer} has direction "
+                             f"'{direction}'; the rnn family is bidirectional")
+        hidden = int(n["attributes"].get("hidden_size", {}).get("i", 0))
+        W = np.asarray(inits[n["input"][1]], np.float32)
+        R = np.asarray(inits[n["input"][2]], np.float32)
+        has_b = len(n["input"]) > 3 and n["input"][3] in inits
+        B = (np.asarray(inits[n["input"][3]], np.float32) if has_b
+             else np.zeros((W.shape[0], 8 * hidden), np.float32))
+        for d, tag in enumerate(("fwd", "bwd")):
+            params[f"lstm{layer}_{tag}"] = {
+                "w_ih": _onnx_gates_to_torch(W[d]).T.copy(),
+                "w_hh": _onnx_gates_to_torch(R[d]).T.copy(),
+                "b_ih": _onnx_gates_to_torch(B[d, :4 * hidden]),
+                "b_hh": _onnx_gates_to_torch(B[d, 4 * hidden:]),
+            }
+    return params
+
+
 def import_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
     """ONNX head -> (params pytree with __meta__, meta dict)."""
     if graph is None:
         graph = op.load_onnx(path)["graph"]
+    if any(n["op_type"] == "LSTM" for n in graph["nodes"]):
+        params = _extract_rnn_head(graph)
+        linears, _lns, _tail = _extract_linears_and_lns(graph)
+        if len(linears) != 1:
+            raise ValueError(f"rnn head has {len(linears)} linear layers; "
+                             "expected one output projection")
+        params["out"] = linears[0]
+        hidden = params["lstm0_fwd"]["w_hh"].shape[0]
+        ins = [i for i in graph["inputs"] if i["name"] not in graph["initializers"]]
+        frames = ins[0]["shape"][1] if ins and len(ins[0]["shape"]) == 3 else None
+        params["__meta__"] = {
+            "model_type": "rnn",
+            "input_frames": int(frames) if isinstance(frames, int) else 16,
+            "n_classes": int(linears[0]["w"].shape[-1]),
+            "layer_dim": int(hidden),
+            "n_blocks": len([k for k in params if k.endswith("_fwd")]),
+        }
+        out_names = [o["name"] for o in graph["outputs"]]
+        return params, {"kind": "head", "output_names": out_names}
     linears, lns, tail = _extract_linears_and_lns(graph)
     if not linears:
         raise ValueError(f"No linear layers found in ONNX head graph at {path}")

@@ -117,6 +117,57 @@ class TestEmbeddingExport:
             onnx_export.export_embedding_onnx(folded, str(tmp_path / "x.onnx"))
 
 
+class TestRnnHeadExport:
+    """rnn-family heads (reference train.py:84-96) export as ONNX LSTM
+    graphs and import back -- completing export/import coverage of every
+    head family the reference can train."""
+
+    @pytest.fixture(scope="class")
+    def params(self):
+        from openwakeword_tpu.models import heads
+        return jax.device_get(heads.init_params(
+            jax.random.PRNGKey(7), model_type="rnn", input_frames=16))
+
+    @pytest.fixture(scope="class")
+    def exported(self, params, tmp_path_factory):
+        from openwakeword_tpu.io import onnx_export as oe
+        path = str(tmp_path_factory.mktemp("rnn") / "my_word.onnx")
+        oe.export_head_onnx(params, path, output_name="my_word")
+        return path
+
+    def test_matches_native(self, exported, params):
+        from openwakeword_tpu.models import heads
+        rng = np.random.default_rng(2)
+        x = rng.normal(0, 1, (4, 16, 96)).astype(np.float32)
+        prog = load_program(exported)
+        got = np.asarray(jax.jit(prog.apply)(prog.params, {"input": x})["my_word"])
+        want = np.asarray(heads.apply(params, x))
+        assert got.shape == want.shape == (4, 1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_classified_as_head_not_vad(self, exported):
+        graph = onnx_proto.load_onnx(exported)["graph"]
+        assert onnx_import._classify(graph) == "head"
+
+    def test_importer_roundtrip(self, exported, params):
+        from openwakeword_tpu.models import heads
+        kind, got, _meta = onnx_import.import_onnx_model(exported)
+        assert kind == "head"
+        meta = got["__meta__"]
+        assert meta["model_type"] == "rnn"
+        assert meta["input_frames"] == 16 and meta["n_classes"] == 1
+        for name in (k for k in params if k != "__meta__"):
+            for field, arr in params[name].items():
+                np.testing.assert_allclose(
+                    np.asarray(got[name][field]), np.asarray(arr), atol=1e-7,
+                    err_msg=f"{name}/{field}")
+        rng = np.random.default_rng(4)
+        x = rng.normal(0, 1, (2, 16, 96)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(heads.apply(got, x)),
+                                   np.asarray(heads.apply(params, x)),
+                                   atol=1e-6)
+
+
 def test_full_pipeline_composition(tmp_path, audio):
     """mel.onnx -> window -> embedding.onnx chained as a user of the exported
     artifacts would run them, vs the native chain."""
