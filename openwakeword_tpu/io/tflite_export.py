@@ -85,14 +85,52 @@ class _TfliteBuilder:
         return self._opcode_idx[code]
 
     # BuiltinOptions union discriminants (tensorflow/lite/schema/schema.fbs)
+    OPT_CONV_2D = 1
+    OPT_POOL_2D = 5
     OPT_FULLY_CONNECTED = 8
     OPT_SOFTMAX = 9
     OPT_ADD = 11
     OPT_RESHAPE = 17
     OPT_MUL = 21
+    OPT_PAD = 22
     OPT_REDUCER = 27
     OPT_SUB = 28
+    OPT_MAXIMUM_MINIMUM = 39
+    OPT_TRANSPOSE = 26
+    OPT_STRIDED_SLICE = 32
     OPT_SQUARED_DIFFERENCE = 76
+
+    # Padding enum: SAME=0, VALID=1; ActivationFunctionType: NONE=0, RELU=1
+    PAD_SAME, PAD_VALID = 0, 1
+    ACT_NONE, ACT_RELU = 0, 1
+
+    def _conv2d_options(self, padding: int, stride_h: int, stride_w: int,
+                        activation: int = 0):
+        b = self.b
+        b.StartObject(6)
+        b.PrependInt8Slot(0, padding, 0)
+        b.PrependInt32Slot(1, stride_w, 0)
+        b.PrependInt32Slot(2, stride_h, 0)
+        b.PrependInt8Slot(3, activation, 0)
+        return b.EndObject()
+
+    def _pool2d_options(self, padding: int, stride_h: int, stride_w: int,
+                        filter_h: int, filter_w: int):
+        b = self.b
+        b.StartObject(6)
+        b.PrependInt8Slot(0, padding, 0)
+        b.PrependInt32Slot(1, stride_w, 0)
+        b.PrependInt32Slot(2, stride_h, 0)
+        b.PrependInt32Slot(3, filter_w, 0)
+        b.PrependInt32Slot(4, filter_h, 0)
+        return b.EndObject()
+
+    def _strided_slice_options(self, begin_mask=0, end_mask=0):
+        b = self.b
+        b.StartObject(5)
+        b.PrependInt32Slot(0, begin_mask, 0)
+        b.PrependInt32Slot(1, end_mask, 0)
+        return b.EndObject()
 
     def _empty_options(self, n_fields: int = 1):
         """Options table with all-default fields (fused activation NONE)."""
@@ -258,6 +296,196 @@ def export_head_tflite(params: Dict, path: str, output_name: str = "output"):
         final = tb.add_tensor([1, n_classes], output_name)
         tb.add_op(TL.OP_SOFTMAX, [logits], [final],
                   tb.OPT_SOFTMAX, tb._softmax_options(1.0))
+
+    data = tb.finish([x], [final])
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def export_embedding_tflite(params: Dict, path: str):
+    """Write the speech-embedding CNN as a .tflite file.
+
+    Emits the BN-FOLDED form the TFLite converter produces for the
+    reference's ``embedding_model.tflite`` (SURVEY.md section 2.2): CONV_2D
+    ops carrying folded weights+bias (stem ReLU fused into its conv), the
+    stem's unfoldable BatchNorm as vector MUL/ADD, and the clipped-leaky
+    activation as scalar MUL/MAXIMUM ops. Input (1, 76, 32, 1) NHWC, output
+    (1, 1, 1, 96). ``io.tflite_import.import_embedding_tflite`` round-trips
+    the exact params (pinned in tests); accepts folded or unfolded pytrees.
+    """
+    from openwakeword_tpu.models import embedding
+    folded = {k: {f: np.asarray(a, np.float32) for f, a in grp.items()}
+              for k, grp in embedding.ensure_folded(params).items()}
+
+    tb = _TfliteBuilder()
+    h, w = embedding.INPUT_SHAPE[:2]
+    x = tb.add_tensor([1, h, w, 1], "input")
+    cur, ch = x, 1
+    pending_pad = (0, 0)
+    conv_i = bn_i = 0
+    for layer in embedding.spec():
+        kind = layer[0]
+        if kind == "pad":
+            pending_pad = layer[1]
+        elif kind == "conv":
+            _, out_ch, (kh, kw), padding, act = layer
+            if pending_pad != (0, 0):
+                ph, pw = pending_pad
+                pads = tb.add_tensor([4, 2], f"pad{conv_i}_widths",
+                                     np.asarray([[0, 0], [ph, ph], [pw, pw], [0, 0]],
+                                                np.int32), ttype=2)
+                h, w = h + 2 * ph, w + 2 * pw
+                out = tb.add_tensor([1, h, w, ch], f"pad{conv_i}")
+                tb.add_op(TL.OP_PAD, [cur, pads], [out],
+                          tb.OPT_PAD, tb._empty_options(1))
+                cur = out
+                pending_pad = (0, 0)
+            kern = np.transpose(folded[f"conv_{conv_i}"]["w"], (3, 0, 1, 2))  # HWIO->OHWI
+            wi = tb.add_tensor(list(kern.shape), f"conv{conv_i}_w", kern)
+            bi = tb.add_tensor([out_ch], f"conv{conv_i}_b",
+                               folded[f"conv_{conv_i}"]["b"])
+            if padding == "VALID":
+                h, w = h - (kh - 1), w - (kw - 1)
+            out = tb.add_tensor([1, h, w, out_ch], f"conv{conv_i}")
+            tb.add_op(TL.OP_CONV_2D, [cur, wi, bi], [out], tb.OPT_CONV_2D,
+                      tb._conv2d_options(
+                          tb.PAD_VALID if padding == "VALID" else tb.PAD_SAME,
+                          1, 1, tb.ACT_RELU if act == "relu" else tb.ACT_NONE))
+            cur, ch = out, out_ch
+            conv_i += 1
+        elif kind == "bnact":
+            aff = folded.get(f"affine_{bn_i}")
+            if aff is not None:
+                sc = tb.add_tensor([ch], f"bn{bn_i}_scale", aff["scale"])
+                out = tb.add_tensor([1, h, w, ch], f"bn{bn_i}_scaled")
+                tb.add_op(TL.OP_MUL, [cur, sc], [out],
+                          tb.OPT_MUL, tb._empty_options(1))
+                sh = tb.add_tensor([ch], f"bn{bn_i}_shift", aff["shift"])
+                out2 = tb.add_tensor([1, h, w, ch], f"bn{bn_i}")
+                tb.add_op(TL.OP_ADD, [out, sh], [out2],
+                          tb.OPT_ADD, tb._empty_options(1))
+                cur = out2
+            # clipped leaky: max(max(0.2x, x), -0.4)
+            slope = tb.add_tensor([1], f"leak{bn_i}_slope",
+                                  np.asarray([0.2], np.float32))
+            leak = tb.add_tensor([1, h, w, ch], f"leak{bn_i}")
+            tb.add_op(TL.OP_MUL, [cur, slope], [leak],
+                      tb.OPT_MUL, tb._empty_options(1))
+            mx = tb.add_tensor([1, h, w, ch], f"leaky{bn_i}")
+            tb.add_op(TL.OP_MAXIMUM, [leak, cur], [mx],
+                      tb.OPT_MAXIMUM_MINIMUM, tb._empty_options(1))
+            floor = tb.add_tensor([1], f"leak{bn_i}_floor",
+                                  np.asarray([-0.4], np.float32))
+            out = tb.add_tensor([1, h, w, ch], f"clip{bn_i}")
+            tb.add_op(TL.OP_MAXIMUM, [mx, floor], [out],
+                      tb.OPT_MAXIMUM_MINIMUM, tb._empty_options(1))
+            cur = out
+            bn_i += 1
+        elif kind == "pool":
+            _, window, strides, padding = layer
+            if padding == "SAME":
+                h, w = -(-h // strides[0]), -(-w // strides[1])
+            else:
+                h = (h - window[0]) // strides[0] + 1
+                w = (w - window[1]) // strides[1] + 1
+            out = tb.add_tensor([1, h, w, ch], f"pool{conv_i}_{bn_i}")
+            tb.add_op(TL.OP_MAX_POOL_2D, [cur], [out], tb.OPT_POOL_2D,
+                      tb._pool2d_options(
+                          tb.PAD_VALID if padding == "VALID" else tb.PAD_SAME,
+                          strides[0], strides[1], window[0], window[1]))
+            cur = out
+    if (h, w) != (1, 1):
+        raise AssertionError(f"embedding tflite export shape tracking ended at "
+                             f"{(h, w)}, expected (1, 1) -- layer spec changed?")
+    data = tb.finish([x], [cur])
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def export_melspectrogram_tflite(path: str, nominal_samples: int = 1760):
+    """Write the analytic log-mel frontend as a .tflite file.
+
+    Same op-for-op program (and the very same DFT/mel constants) as
+    ``onnx_export.export_melspectrogram_onnx``, whose numerics are
+    execution-verified against the native JAX frontend; this flatbuffer
+    encoding is verified structurally (parse + constant round-trip). Input
+    (1, samples) raw int16-range float32, output (frames, 32) power_to_db
+    log-mel. Tensor shapes are declared for ``nominal_samples``; LiteRT
+    callers resize the input tensor for other chunk sizes exactly as the
+    reference does (reference utils.py:122-159).
+    """
+    from openwakeword_tpu import config
+    from openwakeword_tpu.ops import melspec
+
+    n_freqs = 1 + config.N_FFT // 2
+    frames = melspec.num_frames(nominal_samples)
+    tb = _TfliteBuilder()
+    x = tb.add_tensor([1, nominal_samples], "input")
+    shp = tb.add_tensor([4], "to_nhwc",
+                        np.asarray([1, 1, nominal_samples, 1], np.int32), ttype=2)
+    pcm = tb.add_tensor([1, 1, nominal_samples, 1], "pcm")
+    tb.add_op(TL.OP_RESHAPE, [x, shp], [pcm], tb.OPT_RESHAPE,
+              tb._reshape_options([1, 1, nominal_samples, 1]))
+
+    basis = np.asarray(melspec.stft_power_basis(), np.float32)    # (512, 514)
+    kern = np.ascontiguousarray(basis.T)[:, None, :, None]        # OHWI
+    wi = tb.add_tensor(list(kern.shape), "dft_basis", kern)
+    bi = tb.add_tensor([2 * n_freqs], "dft_bias",
+                       np.zeros(2 * n_freqs, np.float32))
+    spec = tb.add_tensor([1, 1, frames, 2 * n_freqs], "spec")
+    tb.add_op(TL.OP_CONV_2D, [pcm, wi, bi], [spec], tb.OPT_CONV_2D,
+              tb._conv2d_options(tb.PAD_VALID, 1, config.HOP_LENGTH))
+
+    parts = []
+    for name, start in (("re", 0), ("im", 1)):
+        begin = tb.add_tensor([4], name + "_begin",
+                              np.asarray([0, 0, 0, start], np.int32), ttype=2)
+        end = tb.add_tensor([4], name + "_end",
+                            np.asarray([0, 0, 0, 2 * n_freqs], np.int32), ttype=2)
+        strd = tb.add_tensor([4], name + "_strides",
+                             np.asarray([1, 1, 1, 2], np.int32), ttype=2)
+        half = tb.add_tensor([1, 1, frames, n_freqs], name)
+        tb.add_op(TL.OP_STRIDED_SLICE, [spec, begin, end, strd], [half],
+                  tb.OPT_STRIDED_SLICE,
+                  tb._strided_slice_options(begin_mask=0b0111, end_mask=0b0111))
+        sq = tb.add_tensor([1, 1, frames, n_freqs], name + "2")
+        tb.add_op(TL.OP_MUL, [half, half], [sq],
+                  tb.OPT_MUL, tb._empty_options(1))
+        parts.append(sq)
+    power = tb.add_tensor([1, 1, frames, n_freqs], "power")
+    tb.add_op(TL.OP_ADD, parts, [power], tb.OPT_ADD, tb._empty_options(1))
+
+    melw = np.asarray(melspec.mel_filterbank(), np.float32).T     # (32, 257)
+    mwi = tb.add_tensor(list(melw.shape), "mel_basis", melw)
+    mbi = tb.add_tensor([config.N_MELS], "mel_bias",
+                        np.zeros(config.N_MELS, np.float32))
+    mel = tb.add_tensor([frames, config.N_MELS], "mel")
+    tb.add_op(TL.OP_FULLY_CONNECTED, [power, mwi, mbi], [mel],
+              tb.OPT_FULLY_CONNECTED, tb._empty_options(4))
+
+    amin = tb.add_tensor([1], "amin", np.asarray([config.MEL_AMIN], np.float32))
+    melc = tb.add_tensor([frames, config.N_MELS], "mel_clamped")
+    tb.add_op(TL.OP_MAXIMUM, [mel, amin], [melc],
+              tb.OPT_MAXIMUM_MINIMUM, tb._empty_options(1))
+    mln = tb.add_tensor([frames, config.N_MELS], "mel_ln")
+    tb.add_op(TL.OP_LOG, [melc], [mln])
+    dbs = tb.add_tensor([1], "db_scale",
+                        np.asarray([10.0 / np.log(10.0)], np.float32))
+    mdb = tb.add_tensor([frames, config.N_MELS], "mel_db")
+    tb.add_op(TL.OP_MUL, [mln, dbs], [mdb], tb.OPT_MUL, tb._empty_options(1))
+
+    axes = tb.add_tensor([2], "peak_axes", np.asarray([0, 1], np.int32), ttype=2)
+    peak = tb.add_tensor([1, 1], "db_peak")
+    tb.add_op(TL.OP_REDUCE_MAX, [mdb, axes], [peak],
+              tb.OPT_REDUCER, tb._reducer_options(True))
+    topdb = tb.add_tensor([1], "top_db",
+                          np.asarray([config.MEL_TOP_DB], np.float32))
+    floor = tb.add_tensor([1, 1], "db_floor")
+    tb.add_op(TL.OP_SUB, [peak, topdb], [floor],
+              tb.OPT_SUB, tb._empty_options(1))
+    final = tb.add_tensor([frames, config.N_MELS], "melspectrogram")
+    tb.add_op(TL.OP_MAXIMUM, [mdb, floor], [final],
+              tb.OPT_MAXIMUM_MINIMUM, tb._empty_options(1))
 
     data = tb.finish([x], [final])
     with open(path, "wb") as f:

@@ -95,6 +95,7 @@ OP_ADD, OP_CONV_2D, OP_FULLY_CONNECTED, OP_LOGISTIC = 0, 3, 9, 14
 OP_MAX_POOL_2D, OP_MUL, OP_RELU, OP_RESHAPE, OP_SOFTMAX = 17, 18, 19, 22, 25
 OP_PAD, OP_MAXIMUM, OP_MINIMUM, OP_MEAN = 34, 55, 57, 40
 OP_SQUARED_DIFFERENCE, OP_RSQRT, OP_SUB, OP_SQRT, OP_DIV = 99, 76, 41, 75, 42
+OP_STRIDED_SLICE, OP_LOG, OP_REDUCE_MAX = 45, 73, 82
 
 
 def load_tflite(path: str) -> Dict:
@@ -287,6 +288,12 @@ def import_tflite_model(path: str) -> Tuple[str, Dict, Dict]:
     if ops.count(OP_CONV_2D) > 10:
         return "embedding", import_embedding_tflite(path, model), {"kind": "embedding",
                                                                    "format": "folded"}
+    if OP_CONV_2D in ops and OP_LOG in ops and not (
+            {OP_LOGISTIC, OP_SOFTMAX} & set(ops)):
+        # the melspectrogram frontend (a Conv STFT + Log, no classifier tail)
+        raise ValueError("The melspectrogram frontend is analytic in this "
+                         "framework; no import needed "
+                         "(openwakeword_tpu.ops.melspec).")
     if OP_FULLY_CONNECTED in ops:
         params, meta = import_head_tflite(path, model)
         return "head", params, meta

@@ -168,6 +168,82 @@ class TestRnnHeadExport:
                                    atol=1e-6)
 
 
+class TestTfliteArtifacts:
+    """The reference also ships .tflite variants of the frontend artifacts;
+    the embedding export round-trips through the real-artifact importer
+    (exact params), and the mel export -- whose numerics are pinned by its
+    op-for-op ONNX twin -- is verified structurally (parse + constants)."""
+
+    def test_embedding_tflite_roundtrip_exact(self, tmp_path):
+        from openwakeword_tpu.io import tflite_export, tflite_import
+        params = jax.device_get(embedding.init_params(jax.random.PRNGKey(6)))
+        path = str(tmp_path / "embedding_model.tflite")
+        tflite_export.export_embedding_tflite(params, path)
+        kind, got, meta = tflite_import.import_tflite_model(path)
+        assert kind == "embedding" and meta["format"] == "folded"
+        want = {k: {f: np.asarray(a, np.float32) for f, a in g.items()}
+                for k, g in jax.device_get(embedding.fold_batchnorm(params)).items()}
+        assert set(got) == set(want)
+        for name, grp in want.items():
+            for field, arr in grp.items():
+                np.testing.assert_array_equal(np.asarray(got[name][field]), arr,
+                                              err_msg=f"{name}/{field}")
+        # imported (folded) params score identically to the original pytree
+        rng = np.random.default_rng(8)
+        x = rng.normal(0, 1.5, (2,) + embedding.INPUT_SHAPE).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(embedding.apply_folded(got, x[..., 0])),
+            np.asarray(embedding.apply(params, x[..., 0])), atol=2e-5)
+
+    def test_mel_tflite_structure_and_constants(self, tmp_path):
+        from openwakeword_tpu.io import tflite_export, tflite_import as TL
+        path = str(tmp_path / "melspectrogram.tflite")
+        tflite_export.export_melspectrogram_tflite(path)
+        model = TL.load_tflite(path)
+        ops = [o["opcode"] for o in model["operators"]]
+        assert ops.count(TL.OP_CONV_2D) == 1
+        assert ops.count(TL.OP_STRIDED_SLICE) == 2
+        assert TL.OP_LOG in ops and TL.OP_REDUCE_MAX in ops
+        consts = {t["name"]: t["data"] for t in model["tensors"]
+                  if t["data"] is not None}
+        basis = np.asarray(melspec.stft_power_basis(), np.float32)
+        np.testing.assert_array_equal(consts["dft_basis"].reshape(514, 512),
+                                      basis.T)
+        np.testing.assert_array_equal(
+            consts["mel_basis"],
+            np.asarray(melspec.mel_filterbank(), np.float32).T)
+        # the loaders entry point recognizes it as the analytic frontend
+        with pytest.raises(ValueError, match="analytic"):
+            TL.import_tflite_model(path)
+
+    def test_mel_tflite_nominal_shapes(self, tmp_path):
+        from openwakeword_tpu.io import tflite_export, tflite_import as TL
+        path = str(tmp_path / "mel_4000.tflite")
+        tflite_export.export_melspectrogram_tflite(path, nominal_samples=4000)
+        model = TL.load_tflite(path)
+        tensors = {t["name"]: t for t in model["tensors"]}
+        assert tensors["input"]["shape"] == [1, 4000]
+        assert tensors["melspectrogram"]["shape"] == \
+            [melspec.num_frames(4000), config.N_MELS]
+
+
+def test_rnn_head_serves_through_model(tmp_path):
+    """An exported rnn .onnx head loads into Model and scores streaming
+    audio through the engine's single-head path (reference Model loads any
+    trained head family via onnxruntime; parity for ours)."""
+    import openwakeword_tpu as oww
+    from openwakeword_tpu.io import onnx_export as oe
+    from openwakeword_tpu.models import heads
+    p = jax.device_get(heads.init_params(jax.random.PRNGKey(1), model_type="rnn"))
+    f = str(tmp_path / "rnn_word.onnx")
+    oe.export_head_onnx(p, f, output_name="rnn_word")
+    m = oww.Model(wakeword_models=[f])
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        out = m.predict(rng.integers(-2000, 2000, 1280).astype(np.int16))
+    assert set(out) == {"rnn_word"} and 0.0 <= out["rnn_word"] <= 1.0
+
+
 def test_full_pipeline_composition(tmp_path, audio):
     """mel.onnx -> window -> embedding.onnx chained as a user of the exported
     artifacts would run them, vs the native chain."""
