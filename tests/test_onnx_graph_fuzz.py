@@ -370,10 +370,18 @@ def test_reduce_fuzz(tmp_path):
             want = fns[name](x, axis=tuple(a % rank for a in axes),
                              keepdims=bool(keep))
         attrs = {"keepdims": keep}
+        inits = []
+        node_in = ["x"]
+        # opset < 13 passes axes as an attribute; opset >= 13/18 as an input
+        # initializer -- alternate so both forms stay covered
         if axes is not None:
-            attrs["axes"] = axes
-        nodes = [op.encode_node(name, ["x"], ["y"], **attrs)]
-        prog = _build(tmp_path, f"red{n}", nodes, [],
+            if n % 2:
+                attrs["axes"] = axes
+            else:
+                inits.append(op.encode_tensor("ax", np.asarray(axes, np.int64)))
+                node_in.append("ax")
+        nodes = [op.encode_node(name, node_in, ["y"], **attrs)]
+        prog = _build(tmp_path, f"red{n}", nodes, inits,
                       [op.encode_value_info("x", _dyn(x.shape))],
                       [op.encode_value_info("y", [])])
         got = np.asarray(prog.apply(prog.params, {"x": x})["y"])
@@ -418,26 +426,33 @@ def test_shape_plumbing_fuzz(tmp_path):
             a = axis % (rank + 1)
             want = x.reshape(int(np.prod(shape[:a], dtype=np.int64)), -1)
             nodes = [op.encode_node("Flatten", ["x"], ["y"], axis=axis)]
-        elif kind == 1:                    # Squeeze (axes input form)
+        elif kind == 1:                    # Squeeze (axes input OR attr form)
             ones = [i for i, d in enumerate(shape) if d == 1]
             if not ones:
                 continue
             pick = sorted(rng.choice(ones, int(rng.integers(1, len(ones) + 1)),
                                      replace=False).astype(int))
             want = np.squeeze(x, axis=tuple(pick))
-            pick = [p - rank if rng.random() < 0.5 else p for p in pick]
-            inits = [op.encode_tensor("ax", np.asarray(pick, np.int64))]
-            nodes = [op.encode_node("Squeeze", ["x", "ax"], ["y"])]
-        elif kind == 2:                    # Unsqueeze
+            pick = [int(p - rank) if rng.random() < 0.5 else int(p) for p in pick]
+            if n % 2:                      # opset < 13 attribute form
+                nodes = [op.encode_node("Squeeze", ["x"], ["y"], axes=pick)]
+            else:
+                inits = [op.encode_tensor("ax", np.asarray(pick, np.int64))]
+                nodes = [op.encode_node("Squeeze", ["x", "ax"], ["y"])]
+        elif kind == 2:                    # Unsqueeze (input OR attr form)
             n_new = int(rng.integers(1, 3))
             out_rank = rank + n_new
             pos = sorted(rng.choice(out_rank, n_new, replace=False).astype(int))
             want = x
             for p in pos:
                 want = np.expand_dims(want, p)
-            pos = [p - out_rank if rng.random() < 0.5 else p for p in pos]
-            inits = [op.encode_tensor("ax", np.asarray(pos, np.int64))]
-            nodes = [op.encode_node("Unsqueeze", ["x", "ax"], ["y"])]
+            pos = [int(p - out_rank) if rng.random() < 0.5 else int(p)
+                   for p in pos]
+            if n % 2:
+                nodes = [op.encode_node("Unsqueeze", ["x"], ["y"], axes=pos)]
+            else:
+                inits = [op.encode_tensor("ax", np.asarray(pos, np.int64))]
+                nodes = [op.encode_node("Unsqueeze", ["x", "ax"], ["y"])]
         elif kind == 3:                    # Transpose
             if n % 2:
                 perm = [int(p) for p in rng.permutation(rank)]
