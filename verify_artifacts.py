@@ -102,6 +102,28 @@ def verify_melspectrogram(path: str, audio: np.ndarray, rep: Report):
     from openwakeword_tpu.ops import melspec as ms
 
     name = os.path.basename(path)
+    if path.endswith(".tflite"):
+        # no TFLite runtime in this environment: verify structurally -- the
+        # graph parses and its DFT/mel constants match the analytic frontend
+        # (the op program numerics are pinned via the ONNX twin)
+        from openwakeword_tpu.io import tflite_import as TL
+        model = TL.load_tflite(path)
+        consts = {t["name"]: t["data"] for t in model["tensors"]
+                  if t["data"] is not None}
+        basis_t = next((v for k, v in consts.items() if "dft" in k.lower()
+                        or (v is not None and v.size == 512 * 514)), None)
+        mel_t = next((v for k, v in consts.items()
+                      if v is not None and v.size == 257 * 32), None)
+        ok_b = basis_t is not None and np.array_equal(
+            basis_t.reshape(514, 512),
+            np.asarray(ms.stft_power_basis(), np.float32).T)
+        ok_m = mel_t is not None and np.array_equal(
+            mel_t.reshape(-1, 257) if mel_t.shape[0] != 257 else mel_t.T,
+            np.asarray(ms.mel_filterbank(), np.float32).T)
+        rep.add(name, "parses + DFT basis matches analytic", bool(ok_b),
+                f"{len(model['operators'])} ops")
+        rep.add(name, "mel filterbank matches analytic", bool(ok_m), "")
+        return
     prog = load_program(path)
     feeds = {prog.input_names[0]: audio}
     out = prog.apply(prog.params, feeds)
@@ -338,6 +360,9 @@ def build_selftest_artifacts(artifacts_dir: str):
     fixture_builders.py) and construct real ONNX protobufs through
     io.onnx_proto — the same bytes-level path real artifacts take."""
     import jax
+    # pin the platform BEFORE any jax computation: fabrication must not
+    # attach to an accelerator backend (which may be a hanging tunnel)
+    jax.config.update("jax_platforms", os.environ.get("OWWT_VERIFY_PLATFORM", "cpu"))
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from fixture_builders import (build_embedding_onnx, build_head_onnx,
                                   build_melspec_onnx, build_silero_onnx)
@@ -346,15 +371,28 @@ def build_selftest_artifacts(artifacts_dir: str):
     os.makedirs(artifacts_dir, exist_ok=True)
     rng = np.random.default_rng(40)
     build_melspec_onnx(os.path.join(artifacts_dir, "melspectrogram.onnx"))
+    emb_params = embedding.init_params(jax.random.PRNGKey(8))
     build_embedding_onnx(os.path.join(artifacts_dir, "embedding_model.onnx"),
-                         embedding.init_params(jax.random.PRNGKey(8)))
-    build_head_onnx(os.path.join(artifacts_dir, "alexa_v0.1.onnx"), rng,
+                         emb_params)
+    alexa_onnx = os.path.join(artifacts_dir, "alexa_v0.1.onnx")
+    build_head_onnx(alexa_onnx, rng,
                     model_type="dnn", input_frames=16, n_classes=1,
                     layer_dim=64, n_blocks=1, output_name="alexa")
     build_head_onnx(os.path.join(artifacts_dir, "timer_v0.1.onnx"), rng,
                     model_type="mlp", input_frames=34, n_classes=7,
                     layer_dim=128, output_name="timer")
     build_silero_onnx(os.path.join(artifacts_dir, "silero_vad.onnx"), rng)
+
+    # the .tflite variants of the released set (reference ships both formats
+    # of every model); the head goes through convert_onnx_to_tflite, so the
+    # reference's conversion entry point is exercised too
+    from openwakeword_tpu.io import tflite_export
+    tflite_export.export_melspectrogram_tflite(
+        os.path.join(artifacts_dir, "melspectrogram.tflite"))
+    tflite_export.export_embedding_tflite(
+        emb_params, os.path.join(artifacts_dir, "embedding_model.tflite"))
+    tflite_export.convert_onnx_to_tflite(
+        alexa_onnx, os.path.join(artifacts_dir, "alexa_v0.1.tflite"))
     print(f"Fabricated self-test artifacts in {artifacts_dir}")
 
 
