@@ -47,29 +47,43 @@ def parse_message(data) -> Dict[int, List[Any]]:
 
     varint fields -> int; 64/32-bit -> bytes (caller interprets);
     length-delimited -> memoryview (caller decodes as submessage/string/packed).
+
+    Corrupt/truncated input raises ValueError (never IndexError/struct.error):
+    these parsers sit directly behind user-supplied model paths.
     """
     buf = memoryview(data)
     pos = 0
     fields: Dict[int, List[Any]] = {}
     n = len(buf)
-    while pos < n:
-        tag, pos = _read_varint(buf, pos)
-        field, wire = tag >> 3, tag & 7
-        if wire == 0:
-            val, pos = _read_varint(buf, pos)
-        elif wire == 1:
-            val = bytes(buf[pos:pos + 8])
-            pos += 8
-        elif wire == 2:
-            ln, pos = _read_varint(buf, pos)
-            val = buf[pos:pos + ln]
-            pos += ln
-        elif wire == 5:
-            val = bytes(buf[pos:pos + 4])
-            pos += 4
-        else:
-            raise ValueError(f"Unsupported protobuf wire type {wire} (field {field})")
-        fields.setdefault(field, []).append(val)
+    try:
+        while pos < n:
+            tag, pos = _read_varint(buf, pos)
+            field, wire = tag >> 3, tag & 7
+            if wire == 0:
+                val, pos = _read_varint(buf, pos)
+            elif wire == 1:
+                if pos + 8 > n:
+                    raise ValueError("truncated 64-bit field")
+                val = bytes(buf[pos:pos + 8])
+                pos += 8
+            elif wire == 2:
+                ln, pos = _read_varint(buf, pos)
+                if ln < 0 or pos + ln > n:
+                    raise ValueError(f"length-delimited field of {ln} bytes "
+                                     f"overruns the {n - pos}-byte remainder")
+                val = buf[pos:pos + ln]
+                pos += ln
+            elif wire == 5:
+                if pos + 4 > n:
+                    raise ValueError("truncated 32-bit field")
+                val = bytes(buf[pos:pos + 4])
+                pos += 4
+            else:
+                raise ValueError(f"Unsupported protobuf wire type {wire} (field {field})")
+            fields.setdefault(field, []).append(val)
+    except IndexError as e:
+        # _read_varint ran off the end of a truncated buffer
+        raise ValueError(f"truncated protobuf (varint at byte {pos} of {n})") from e
     return fields
 
 

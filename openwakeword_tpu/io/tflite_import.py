@@ -106,6 +106,20 @@ def load_tflite(path: str) -> Dict:
     """
     with open(path, "rb") as f:
         buf = f.read()
+    # flatbuffer file_identifier: every .tflite carries "TFL3" at bytes 4:8
+    if len(buf) < 8 or buf[4:8] != b"TFL3":
+        raise ValueError(f"{path} is not a TFLite flatbuffer (missing TFL3 "
+                         "file identifier)")
+    try:
+        return _parse_tflite(path, buf)
+    except (struct.error, IndexError) as e:
+        # wild offsets from a truncated/corrupt file surface as low-level
+        # unpack errors deep in the table walker -- translate them
+        raise ValueError(f"{path} is not a valid TFLite flatbuffer "
+                         f"(corrupt or truncated: {e})") from e
+
+
+def _parse_tflite(path: str, buf: bytes) -> Dict:
     root = _Table(buf, struct.unpack_from("<I", buf, 0)[0])
 
     opcodes = []
@@ -131,9 +145,13 @@ def load_tflite(path: str) -> Dict:
         raw = buffers[buf_idx] if buf_idx < len(buffers) else b""
         np_dtype = TENSORTYPE_NP.get(ttype)
         if raw and np_dtype is not None:
-            data = np.frombuffer(raw, dtype=np_dtype)
-            if shape:
-                data = data.reshape(shape)
+            try:
+                data = np.frombuffer(raw, dtype=np_dtype)
+                if shape:
+                    data = data.reshape(shape)
+            except ValueError as e:
+                raise ValueError(f"{path}: tensor '{name}' data does not "
+                                 f"match its declared shape {shape}: {e}") from e
         tensors.append({"name": name, "shape": shape, "dtype": ttype, "data": data})
 
     operators = []
