@@ -189,14 +189,24 @@ def _extract_rnn_head(graph: Dict) -> Dict:
     params: Dict = {}
     hidden = None
     lstms = [n for n in graph["nodes"] if n["op_type"] == "LSTM"]
+    if len(lstms) != 2:
+        # heads.forward's rnn family is exactly 2 stacked layers; accepting
+        # other depths would crash (1 layer) or silently mis-score (3+)
+        raise ValueError(f"rnn head has {len(lstms)} LSTM layers; the rnn "
+                         "family is 2 stacked bidirectional layers "
+                         "(reference train.py:84-96)")
     for layer, n in enumerate(lstms):
         direction = n["attributes"].get("direction", {}).get("s", b"forward").decode()
         if direction != "bidirectional":
             raise ValueError(f"rnn head LSTM layer {layer} has direction "
                              f"'{direction}'; the rnn family is bidirectional")
-        hidden = int(n["attributes"].get("hidden_size", {}).get("i", 0))
         W = np.asarray(inits[n["input"][1]], np.float32)
         R = np.asarray(inits[n["input"][2]], np.float32)
+        hidden = int(R.shape[-1])          # authoritative (attr is optional)
+        attr_hidden = int(n["attributes"].get("hidden_size", {}).get("i", hidden))
+        if attr_hidden != hidden:
+            raise ValueError(f"rnn head LSTM layer {layer}: hidden_size attr "
+                             f"{attr_hidden} != recurrence width {hidden}")
         has_b = len(n["input"]) > 3 and n["input"][3] in inits
         B = (np.asarray(inits[n["input"][3]], np.float32) if has_b
              else np.zeros((W.shape[0], 8 * hidden), np.float32))
@@ -216,7 +226,7 @@ def import_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
         graph = op.load_onnx(path)["graph"]
     if any(n["op_type"] == "LSTM" for n in graph["nodes"]):
         params = _extract_rnn_head(graph)
-        linears, _lns, _tail = _extract_linears_and_lns(graph)
+        linears, _lns, tail = _extract_linears_and_lns(graph)
         if len(linears) != 1:
             raise ValueError(f"rnn head has {len(linears)} linear layers; "
                              "expected one output projection")
@@ -224,13 +234,22 @@ def import_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
         hidden = params["lstm0_fwd"]["w_hh"].shape[0]
         ins = [i for i in graph["inputs"] if i["name"] not in graph["initializers"]]
         frames = ins[0]["shape"][1] if ins and len(ins[0]["shape"]) == 3 else None
+        if not isinstance(frames, int):
+            # a symbolic/dynamic frames dim cannot be recovered from the
+            # weights (unlike dnn/mlp); guessing would feed the head wrongly
+            # sized windows and score silently wrong
+            raise ValueError(f"rnn head input frames dim is {frames!r}; "
+                             "re-export with a concrete window length")
+        n_classes = int(linears[0]["w"].shape[-1])
         params["__meta__"] = {
             "model_type": "rnn",
-            "input_frames": int(frames) if isinstance(frames, int) else 16,
-            "n_classes": int(linears[0]["w"].shape[-1]),
+            "input_frames": int(frames),
+            "n_classes": n_classes,
             "layer_dim": int(hidden),
             "n_blocks": len([k for k in params if k.endswith("_fwd")]),
         }
+        if n_classes > 1:
+            params["__meta__"]["relu_logits"] = bool(tail["relu_before_softmax"])
         out_names = [o["name"] for o in graph["outputs"]]
         return params, {"kind": "head", "output_names": out_names}
     linears, lns, tail = _extract_linears_and_lns(graph)

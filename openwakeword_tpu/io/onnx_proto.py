@@ -68,7 +68,7 @@ def parse_message(data) -> Dict[int, List[Any]]:
                 pos += 8
             elif wire == 2:
                 ln, pos = _read_varint(buf, pos)
-                if ln < 0 or pos + ln > n:
+                if pos + ln > n:
                     raise ValueError(f"length-delimited field of {ln} bytes "
                                      f"overruns the {n - pos}-byte remainder")
                 val = buf[pos:pos + ln]

@@ -471,23 +471,35 @@ def export_melspectrogram_tflite(path: str, nominal_samples: int = 1760):
     tb.add_op(TL.OP_LOG, [melc], [mln])
     dbs = tb.add_tensor([1], "db_scale",
                         np.asarray([10.0 / np.log(10.0)], np.float32))
-    mdb = tb.add_tensor([frames, config.N_MELS], "mel_db")
-    tb.add_op(TL.OP_MUL, [mln, dbs], [mdb], tb.OPT_MUL, tb._empty_options(1))
+    cur = tb.add_tensor([frames, config.N_MELS], "mel_db")
+    tb.add_op(TL.OP_MUL, [mln, dbs], [cur], tb.OPT_MUL, tb._empty_options(1))
 
-    axes = tb.add_tensor([2], "peak_axes", np.asarray([0, 1], np.int32), ttype=2)
-    peak = tb.add_tensor([1, 1], "db_peak")
-    tb.add_op(TL.OP_REDUCE_MAX, [mdb, axes], [peak],
-              tb.OPT_REDUCER, tb._reducer_options(True))
-    topdb = tb.add_tensor([1], "top_db",
-                          np.asarray([config.MEL_TOP_DB], np.float32))
-    floor = tb.add_tensor([1, 1], "db_floor")
-    tb.add_op(TL.OP_SUB, [peak, topdb], [floor],
-              tb.OPT_SUB, tb._empty_options(1))
-    final = tb.add_tensor([frames, config.N_MELS], "melspectrogram")
-    tb.add_op(TL.OP_MAXIMUM, [mdb, floor], [final],
-              tb.OPT_MAXIMUM_MINIMUM, tb._empty_options(1))
+    # mirror the ONNX twin's conditional stages exactly (power_to_db:
+    # subtract 10*log10(ref) when nonzero; clamp only when top_db is set)
+    ref_db = 10.0 * np.log10(max(config.MEL_AMIN, config.MEL_REF))
+    if ref_db != 0.0:
+        refc = tb.add_tensor([1], "ref_db", np.asarray([ref_db], np.float32))
+        out = tb.add_tensor([frames, config.N_MELS], "mel_db_ref")
+        tb.add_op(TL.OP_SUB, [cur, refc], [out],
+                  tb.OPT_SUB, tb._empty_options(1))
+        cur = out
+    if config.MEL_TOP_DB is not None:
+        axes = tb.add_tensor([2], "peak_axes", np.asarray([0, 1], np.int32),
+                             ttype=2)
+        peak = tb.add_tensor([1, 1], "db_peak")
+        tb.add_op(TL.OP_REDUCE_MAX, [cur, axes], [peak],
+                  tb.OPT_REDUCER, tb._reducer_options(True))
+        topdb = tb.add_tensor([1], "top_db",
+                              np.asarray([config.MEL_TOP_DB], np.float32))
+        floor = tb.add_tensor([1, 1], "db_floor")
+        tb.add_op(TL.OP_SUB, [peak, topdb], [floor],
+                  tb.OPT_SUB, tb._empty_options(1))
+        out = tb.add_tensor([frames, config.N_MELS], "melspectrogram")
+        tb.add_op(TL.OP_MAXIMUM, [cur, floor], [out],
+                  tb.OPT_MAXIMUM_MINIMUM, tb._empty_options(1))
+        cur = out
 
-    data = tb.finish([x], [final])
+    data = tb.finish([x], [cur])
     with open(path, "wb") as f:
         f.write(data)
 

@@ -99,8 +99,6 @@ def _gen_pool_cases(rng):
         x = rng.normal(0, 1, [2, int(rng.integers(1, 4))] + spatial).astype(np.float32)
         attrs = {"kernel_shape": k, "strides": strides}
         if is_max:
-            attrs["pads"] = [int(rng.integers(0, min(ki, 2) + 1))
-                             for ki in k for _ in (0,)] * 2
             attrs["pads"] = [int(rng.integers(0, 2)) for _ in range(2 * rank)]
             opname = "MaxPool"
         else:

@@ -227,6 +227,77 @@ class TestTfliteArtifacts:
             [melspec.num_frames(4000), config.N_MELS]
 
 
+class TestRnnImportGuards:
+    """Graphs outside the rnn family's fixed contract must be rejected
+    loudly, not imported into params that crash or silently mis-score."""
+
+    def _graph(self, exported):
+        return onnx_proto.load_onnx(exported)["graph"]
+
+    @pytest.fixture()
+    def exported(self, tmp_path):
+        from openwakeword_tpu.io import onnx_export as oe
+        from openwakeword_tpu.models import heads
+        p = jax.device_get(heads.init_params(jax.random.PRNGKey(7),
+                                             model_type="rnn"))
+        path = str(tmp_path / "h.onnx")
+        oe.export_head_onnx(p, path, output_name="y")
+        return path
+
+    def test_wrong_layer_count_rejected(self, exported):
+        graph = self._graph(exported)
+        lstms = [n for n in graph["nodes"] if n["op_type"] == "LSTM"]
+        graph["nodes"].remove(lstms[1])
+        with pytest.raises(ValueError, match="2 stacked"):
+            onnx_import.import_head_onnx(exported, graph)
+        graph = self._graph(exported)
+        graph["nodes"].append([n for n in graph["nodes"]
+                               if n["op_type"] == "LSTM"][0])
+        with pytest.raises(ValueError, match="2 stacked"):
+            onnx_import.import_head_onnx(exported, graph)
+
+    def test_symbolic_frames_rejected(self, exported):
+        graph = self._graph(exported)
+        graph["inputs"][0]["shape"][1] = "frames"
+        with pytest.raises(ValueError, match="concrete window"):
+            onnx_import.import_head_onnx(exported, graph)
+
+    def test_hidden_size_mismatch_rejected(self, exported):
+        graph = self._graph(exported)
+        lstm = next(n for n in graph["nodes"] if n["op_type"] == "LSTM")
+        lstm["attributes"]["hidden_size"]["i"] = 99
+        with pytest.raises(ValueError, match="hidden_size"):
+            onnx_import.import_head_onnx(exported, graph)
+
+    def test_multiclass_relu_logits_threaded(self, tmp_path):
+        from openwakeword_tpu.io import onnx_export as oe
+        from openwakeword_tpu.models import heads
+        for relu in (True, False):
+            p = jax.device_get(heads.init_params(
+                jax.random.PRNGKey(7), model_type="rnn", n_classes=3))
+            p["__meta__"]["relu_logits"] = relu
+            path = str(tmp_path / f"mc_{relu}.onnx")
+            oe.export_head_onnx(p, path, output_name="y")
+            _kind, got, _m = onnx_import.import_onnx_model(path)
+            assert got["__meta__"]["relu_logits"] is relu
+            rng = np.random.default_rng(3)
+            x = rng.normal(0, 1, (2, 16, 96)).astype(np.float32)
+            np.testing.assert_allclose(np.asarray(heads.apply(got, x)),
+                                       np.asarray(heads.apply(p, x)), atol=1e-6)
+
+
+def test_mel_tflite_no_top_db(tmp_path, monkeypatch):
+    """top_db=None skips the clamp stages instead of crashing at export."""
+    from openwakeword_tpu import config as cfg
+    from openwakeword_tpu.io import tflite_export, tflite_import as TL
+    monkeypatch.setattr(cfg, "MEL_TOP_DB", None)
+    path = str(tmp_path / "mel_noclamp.tflite")
+    tflite_export.export_melspectrogram_tflite(path)
+    model = TL.load_tflite(path)
+    ops = [o["opcode"] for o in model["operators"]]
+    assert TL.OP_REDUCE_MAX not in ops and TL.OP_LOG in ops
+
+
 def test_rnn_head_serves_through_model(tmp_path):
     """An exported rnn .onnx head loads into Model and scores streaming
     audio through the engine's single-head path (reference Model loads any
