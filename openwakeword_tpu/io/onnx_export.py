@@ -275,6 +275,121 @@ def export_melspectrogram_onnx(path: str, apply_transform: bool = False):
         f.write(model)
 
 
+def export_vad_onnx(params: Dict, path: str, frame_samples: int = 480):
+    """Write a trained vad_net as a .onnx graph with the Silero I/O contract.
+
+    Same interface as the reference's ``silero_vad.onnx`` artifact (reference
+    vad.py:87-127): inputs ``input (batch, frame)`` float audio in [-1, 1],
+    ``h``/``c`` ``(2, batch, 64)`` recurrent state, and an (ignored) ``sr``
+    scalar; outputs ``output (batch, 1)`` speech probability plus the
+    advanced ``hn``/``cn`` state. The frame length is baked in at export
+    (Silero's own graph switches on it with If subgraphs; one export per
+    frame size keeps the graph static) -- 480 covers the reference VAD's
+    predict path, 640 its __call__ path.
+
+    The graph round-trips through ``models.silero.import_onnx`` (role-mapped
+    by the same heuristics as the real artifact), so an exported file drops
+    into ``Model(vad_threshold=...)`` like the original.
+    """
+    from openwakeword_tpu.models import vad_net
+
+    if frame_samples < vad_net.MIN_SAMPLES:
+        raise ValueError(f"frame_samples={frame_samples} is below the "
+                         f"{vad_net.MIN_SAMPLES}-sample minimum (one STFT frame)")
+    basis, melw = vad_net._frontend_consts()
+    n_freqs = basis.shape[1] // 2
+
+    nodes, inits = [], []
+    inits.append(op.encode_tensor("to_nchw", np.asarray([0, 1, -1], np.int64)))
+    nodes.append(op.encode_node("Reshape", ["input", "to_nchw"], ["pcm"]))
+    inits.append(op.encode_tensor(
+        "vad_dft", np.ascontiguousarray(basis.T[:, None, :]).astype(np.float32)))
+    nodes.append(op.encode_node("Conv", ["pcm", "vad_dft"], ["spec"],
+                                strides=[vad_net.HOP]))
+    for name, start in (("re", 0), ("im", 1)):
+        inits += [op.encode_tensor(f"v{name}_s", np.asarray([start], np.int64)),
+                  op.encode_tensor(f"v{name}_e",
+                                   np.asarray([start + 2 * n_freqs], np.int64))]
+        nodes.append(op.encode_node("Slice", ["spec", f"v{name}_s", f"v{name}_e",
+                                              "vspec_axis", "vspec_step"], [name]))
+        nodes.append(op.encode_node("Mul", [name, name], [name + "2"]))
+    inits += [op.encode_tensor("vspec_axis", np.asarray([1], np.int64)),
+              op.encode_tensor("vspec_step", np.asarray([2], np.int64))]
+    nodes.append(op.encode_node("Add", ["re2", "im2"], ["power"]))
+    nodes.append(op.encode_node("Transpose", ["power"], ["power_t"],
+                                perm=[0, 2, 1]))
+    inits.append(op.encode_tensor("vad_mel", np.asarray(melw, np.float32)))
+    nodes.append(op.encode_node("MatMul", ["power_t", "vad_mel"], ["mel"]))
+    inits.append(op.encode_tensor("log_eps", np.float32(1e-6).reshape(())))
+    nodes.append(op.encode_node("Add", ["mel", "log_eps"], ["mel_eps"]))
+    nodes.append(op.encode_node("Log", ["mel_eps"], ["feats"]))
+
+    # projection to the LSTM width
+    inits += [op.encode_tensor("proj_w", np.asarray(params["proj"]["w"], np.float32)),
+              op.encode_tensor("proj_b", np.asarray(params["proj"]["b"], np.float32))]
+    nodes.append(op.encode_node("MatMul", ["feats", "proj_w"], ["proj_mm"]))
+    nodes.append(op.encode_node("Add", ["proj_mm", "proj_b"], ["proj_lin"]))
+    nodes.append(op.encode_node("Relu", ["proj_lin"], ["z_btd"]))
+    nodes.append(op.encode_node("Transpose", ["z_btd"], ["z_tbd"],
+                                perm=[1, 0, 2]))
+
+    hidden = vad_net.HIDDEN
+    inits.append(op.encode_tensor("state_axis", np.asarray([0], np.int64)))
+    xs = "z_tbd"
+    h_outs, c_outs = [], []
+    for layer in range(vad_net.LAYERS):
+        p = params[f"lstm{layer}"]
+        inits += [
+            op.encode_tensor(f"l{layer}_W", _torch_gates_to_onnx(
+                np.asarray(p["w_ih"], np.float32).T)[None]),
+            op.encode_tensor(f"l{layer}_R", _torch_gates_to_onnx(
+                np.asarray(p["w_hh"], np.float32).T)[None]),
+            op.encode_tensor(f"l{layer}_B", np.concatenate([
+                _torch_gates_to_onnx(np.asarray(p["b_ih"], np.float32)),
+                _torch_gates_to_onnx(np.asarray(p["b_hh"], np.float32))])[None]),
+            op.encode_tensor(f"l{layer}_s", np.asarray([layer], np.int64)),
+            op.encode_tensor(f"l{layer}_e", np.asarray([layer + 1], np.int64)),
+        ]
+        for state in ("h", "c"):
+            nodes.append(op.encode_node(
+                "Slice", [state, f"l{layer}_s", f"l{layer}_e", "state_axis"],
+                [f"l{layer}_{state}0"]))
+        nodes.append(op.encode_node(
+            "LSTM", [xs, f"l{layer}_W", f"l{layer}_R", f"l{layer}_B", "",
+                     f"l{layer}_h0", f"l{layer}_c0"],
+            [f"l{layer}_Y", f"l{layer}_hn", f"l{layer}_cn"],
+            hidden_size=hidden, direction="forward"))
+        h_outs.append(f"l{layer}_hn")
+        c_outs.append(f"l{layer}_cn")
+        if layer < vad_net.LAYERS - 1:
+            inits.append(op.encode_tensor(f"l{layer}_sq", np.asarray([1], np.int64)))
+            nodes.append(op.encode_node("Squeeze", [f"l{layer}_Y", f"l{layer}_sq"],
+                                        [f"l{layer}_out"]))
+            xs = f"l{layer}_out"
+    nodes.append(op.encode_node("Concat", h_outs, ["hn"], axis=0))
+    nodes.append(op.encode_node("Concat", c_outs, ["cn"], axis=0))
+
+    inits.append(op.encode_tensor("last_sq", np.asarray([0], np.int64)))
+    nodes.append(op.encode_node("Squeeze", [h_outs[-1], "last_sq"], ["h_last"]))
+    inits += [op.encode_tensor("out_w", np.asarray(params["out"]["w"], np.float32)),
+              op.encode_tensor("out_b", np.asarray(params["out"]["b"], np.float32))]
+    nodes.append(op.encode_node("Gemm", ["h_last", "out_w", "out_b"], ["logit"]))
+    nodes.append(op.encode_node("Sigmoid", ["logit"], ["output"]))
+
+    model = op.encode_model(
+        nodes, inits,
+        inputs=[op.encode_value_info("input", ["batch", frame_samples]),
+                op.encode_value_info("h", [2, "batch", hidden]),
+                op.encode_value_info("c", [2, "batch", hidden]),
+                op.encode_value_info("sr", [], elem_type=op.TP_INT64)],
+        outputs=[op.encode_value_info("output", ["batch", 1]),
+                 op.encode_value_info("hn", [2, "batch", hidden]),
+                 op.encode_value_info("cn", [2, "batch", hidden])],
+    )
+    with open(path, "wb") as f:
+        f.write(model)
+
+
 def export_embedding_onnx(params: Dict, path: str):
     """Write the speech-embedding CNN as a standalone .onnx graph.
 

@@ -17,6 +17,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import jax.numpy as jnp                                          # noqa: E402
+
 from openwakeword_tpu import config                              # noqa: E402
 from openwakeword_tpu.io import onnx_export, onnx_import, onnx_proto  # noqa: E402
 from openwakeword_tpu.io.onnx_graph import load_program          # noqa: E402
@@ -284,6 +286,62 @@ class TestRnnImportGuards:
             x = rng.normal(0, 1, (2, 16, 96)).astype(np.float32)
             np.testing.assert_allclose(np.asarray(heads.apply(got, x)),
                                        np.asarray(heads.apply(p, x)), atol=1e-6)
+
+
+class TestVadExport:
+    """A trained vad_net exports with the Silero I/O contract (reference
+    vad.py:87-127) and round-trips through the same role-mapped importer
+    the real silero_vad.onnx artifact takes."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        from openwakeword_tpu.io import onnx_export as oe
+        from openwakeword_tpu.models import vad_net
+        params = jax.device_get(vad_net.init_params(jax.random.PRNGKey(12)))
+        path = str(tmp_path_factory.mktemp("vad") / "my_vad.onnx")
+        oe.export_vad_onnx(params, path)
+        return params, path
+
+    def test_stateful_parity_with_native(self, setup):
+        from openwakeword_tpu.models import silero, vad_net
+        params, path = setup
+        prog = silero.import_onnx(path)
+        rng = np.random.default_rng(3)
+        B = 2
+        h = c = np.zeros((2, B, 64), np.float32)
+        hn = cn = h
+        for step in range(4):                 # state carries across calls
+            x = rng.normal(0, 0.1, (B, 480)).astype(np.float32)
+            want_s, h, c = vad_net.apply(params, x, jnp.asarray(h), jnp.asarray(c))
+            got_s, hn, cn = prog.apply(prog.params, x, jnp.asarray(hn), jnp.asarray(cn))
+            np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                       atol=1e-5, err_msg=f"step {step}")
+            np.testing.assert_allclose(np.asarray(hn), np.asarray(h), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(cn), np.asarray(c), atol=1e-5)
+
+    def test_classified_and_importable_as_vad(self, setup):
+        _params, path = setup
+        graph = onnx_proto.load_onnx(path)["graph"]
+        assert onnx_import._classify(graph) == "vad"
+        kind, _p, meta = onnx_import.import_onnx_model(path)
+        assert kind == "vad" and meta["format"] == "onnx_program"
+
+    def test_frame_size_variants(self, setup, tmp_path):
+        from openwakeword_tpu.io import onnx_export as oe
+        from openwakeword_tpu.models import silero, vad_net
+        params, _ = setup
+        path = str(tmp_path / "vad640.onnx")
+        oe.export_vad_onnx(params, path, frame_samples=640)
+        prog = silero.import_onnx(path)
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 0.1, (1, 640)).astype(np.float32)
+        z = jnp.zeros((2, 1, 64), jnp.float32)
+        want_s, _h, _c = vad_net.apply(params, x, z, z)
+        got_s, _hn, _cn = prog.apply(prog.params, x, z, z)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-5)
+        with pytest.raises(ValueError, match="minimum"):
+            oe.export_vad_onnx(params, str(tmp_path / "bad.onnx"),
+                               frame_samples=128)
 
 
 def test_mel_tflite_no_top_db(tmp_path, monkeypatch):
