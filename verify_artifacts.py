@@ -251,6 +251,45 @@ def verify_vad(path: str, audio: np.ndarray, rep: Report) -> Optional[Dict]:
     return params, meta
 
 
+def cross_format_consistency(imported: Dict[str, Dict[str, Dict]], rep: Report):
+    """The reference releases every model as BOTH .onnx and .tflite of the
+    same weights; when both imported, the recovered params must agree. The
+    two embedding layouts differ (ONNX keeps raw BatchNorms, the TFLite
+    converter folds them), so the ONNX side is folded before comparing --
+    fold-then-compare tolerance is float32 arithmetic, not exactness."""
+    import jax
+    from openwakeword_tpu.models import embedding
+
+    for stem, by_ext in sorted(imported.items()):
+        if len(by_ext) < 2:
+            continue
+        a, b = by_ext[".onnx"], by_ext[".tflite"]
+        if "embedding" in stem:
+            a = jax.device_get(embedding.ensure_folded(a))
+        a = {k: v for k, v in a.items() if k != "__meta__"}
+        b = {k: v for k, v in b.items() if k != "__meta__"}
+        if set(a) != set(b):
+            rep.add(stem, "onnx/tflite consistency", False,
+                    f"param groups differ: {sorted(set(a) ^ set(b))}")
+            continue
+        worst = 0.0
+        for name in a:
+            for field in a[name]:
+                x = np.asarray(a[name][field], np.float32)
+                y = np.asarray(b[name].get(field), np.float32)
+                if x.shape != y.shape:
+                    rep.add(stem, "onnx/tflite consistency", False,
+                            f"{name}/{field} shape {x.shape} vs {y.shape}")
+                    break
+                worst = max(worst, float(np.abs(x - y).max()))
+            else:
+                continue
+            break
+        else:
+            rep.add(stem, "onnx/tflite consistency", worst < 1e-4,
+                    f"max|d|={worst:.2e}")
+
+
 def install_npz(install_dir: str, name: str, kind: str, params: Dict, meta: Dict):
     from openwakeword_tpu.io.checkpoints import save_checkpoint
     out = os.path.join(install_dir, name + ".npz")
@@ -316,6 +355,7 @@ def run(artifacts_dir: str, clips_dir: str = CLIP_DIR_DEFAULT,
         install_dir = os.path.dirname(registry.MODELS["alexa"]["model_path"])
 
     installed_heads: List[str] = []
+    imported: Dict[str, Dict[str, Dict]] = {}   # stem -> ext -> params
     for f in files:
         path = os.path.join(artifacts_dir, f)
         stem, ext = os.path.splitext(f)
@@ -326,6 +366,8 @@ def run(artifacts_dir: str, clips_dir: str = CLIP_DIR_DEFAULT,
                 verify_melspectrogram(path, audio, rep)
             elif "embedding" in stem:
                 params = verify_embedding(path, audio, rep)
+                if params is not None:
+                    imported.setdefault(stem, {})[ext] = params
                 if install and params is not None and ext == ".tflite":
                     install_npz(install_dir, "embedding_model", "embedding",
                                 params, {"format": "folded"})
@@ -335,11 +377,15 @@ def run(artifacts_dir: str, clips_dir: str = CLIP_DIR_DEFAULT,
                     install_npz(install_dir, "silero_vad", "vad", out[0], out[1])
             else:
                 out = verify_head(path, rep)
+                if out is not None and out[0] is not None:
+                    imported.setdefault(stem, {})[ext] = out[0]
                 if install and out is not None and out[0] is not None:
                     install_npz(install_dir, stem, "head", out[0], out[1])
                     installed_heads.append(stem)
         except Exception as e:
             rep.add(f, "import", False, f"{type(e).__name__}: {e}")
+
+    cross_format_consistency(imported, rep)
 
     if install:
         end_to_end(clips_dir, install_dir, installed_heads, rep,
