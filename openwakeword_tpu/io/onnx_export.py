@@ -42,6 +42,17 @@ def _onnx_gates_to_torch(m: np.ndarray) -> np.ndarray:
     return np.concatenate([i, f, c, o], axis=0)
 
 
+def _lstm_wrb(p: Dict):
+    """Native LSTM param group {w_ih, w_hh, b_ih, b_hh} -> per-direction
+    ONNX (W, R, B) arrays: transposed to (4H, I)/(4H, H), gate blocks
+    reordered torch->ONNX, biases concatenated to (8H,)."""
+    return (_torch_gates_to_onnx(np.asarray(p["w_ih"], np.float32).T),
+            _torch_gates_to_onnx(np.asarray(p["w_hh"], np.float32).T),
+            np.concatenate([
+                _torch_gates_to_onnx(np.asarray(p["b_ih"], np.float32)),
+                _torch_gates_to_onnx(np.asarray(p["b_hh"], np.float32))]))
+
+
 def export_head_onnx(params: Dict, path: str, output_name: str = ""):
     meta = params["__meta__"]
     model_type = meta["model_type"]
@@ -128,12 +139,10 @@ def export_head_onnx(params: Dict, path: str, output_name: str = ""):
         for layer in range(n_layers):
             W, R, B = [], [], []
             for tag in ("fwd", "bwd"):
-                p = params[f"lstm{layer}_{tag}"]
-                W.append(_torch_gates_to_onnx(np.asarray(p["w_ih"], np.float32).T))
-                R.append(_torch_gates_to_onnx(np.asarray(p["w_hh"], np.float32).T))
-                B.append(np.concatenate([
-                    _torch_gates_to_onnx(np.asarray(p["b_ih"], np.float32)),
-                    _torch_gates_to_onnx(np.asarray(p["b_hh"], np.float32))]))
+                w, r, b = _lstm_wrb(params[f"lstm{layer}_{tag}"])
+                W.append(w)
+                R.append(r)
+                B.append(b)
             names = [f"lstm{layer}_{nm}" for nm in ("W", "R", "B")]
             for nm, stackd in zip(names, (W, R, B)):
                 inits.append(op.encode_tensor(nm, np.stack(stackd)))
@@ -338,15 +347,11 @@ def export_vad_onnx(params: Dict, path: str, frame_samples: int = 480):
     xs = "z_tbd"
     h_outs, c_outs = [], []
     for layer in range(vad_net.LAYERS):
-        p = params[f"lstm{layer}"]
+        w, r, b = _lstm_wrb(params[f"lstm{layer}"])
         inits += [
-            op.encode_tensor(f"l{layer}_W", _torch_gates_to_onnx(
-                np.asarray(p["w_ih"], np.float32).T)[None]),
-            op.encode_tensor(f"l{layer}_R", _torch_gates_to_onnx(
-                np.asarray(p["w_hh"], np.float32).T)[None]),
-            op.encode_tensor(f"l{layer}_B", np.concatenate([
-                _torch_gates_to_onnx(np.asarray(p["b_ih"], np.float32)),
-                _torch_gates_to_onnx(np.asarray(p["b_hh"], np.float32))])[None]),
+            op.encode_tensor(f"l{layer}_W", w[None]),
+            op.encode_tensor(f"l{layer}_R", r[None]),
+            op.encode_tensor(f"l{layer}_B", b[None]),
             op.encode_tensor(f"l{layer}_s", np.asarray([layer], np.int64)),
             op.encode_tensor(f"l{layer}_e", np.asarray([layer + 1], np.int64)),
         ]

@@ -272,19 +272,29 @@ def cross_format_consistency(imported: Dict[str, Dict[str, Dict]], rep: Report):
             rep.add(stem, "onnx/tflite consistency", False,
                     f"param groups differ: {sorted(set(a) ^ set(b))}")
             continue
+        problem = None
         worst = 0.0
-        for name in a:
+        for name in sorted(a):
+            if set(a[name]) != set(b[name]):
+                problem = (f"{name} fields differ: "
+                           f"{sorted(set(a[name]) ^ set(b[name]))}")
+                break
             for field in a[name]:
                 x = np.asarray(a[name][field], np.float32)
-                y = np.asarray(b[name].get(field), np.float32)
+                y = np.asarray(b[name][field], np.float32)
                 if x.shape != y.shape:
-                    rep.add(stem, "onnx/tflite consistency", False,
-                            f"{name}/{field} shape {x.shape} vs {y.shape}")
+                    problem = f"{name}/{field} shape {x.shape} vs {y.shape}"
                     break
-                worst = max(worst, float(np.abs(x - y).max()))
-            else:
-                continue
-            break
+                d = np.abs(x - y)
+                if d.size and not np.isfinite(d).all():
+                    # NaN would be silently dropped by max(); fail loudly
+                    problem = f"{name}/{field} has non-finite differences"
+                    break
+                worst = max(worst, float(d.max()) if d.size else 0.0)
+            if problem:
+                break
+        if problem:
+            rep.add(stem, "onnx/tflite consistency", False, problem)
         else:
             rep.add(stem, "onnx/tflite consistency", worst < 1e-4,
                     f"max|d|={worst:.2e}")
@@ -379,13 +389,22 @@ def run(artifacts_dir: str, clips_dir: str = CLIP_DIR_DEFAULT,
                 out = verify_head(path, rep)
                 if out is not None and out[0] is not None:
                     imported.setdefault(stem, {})[ext] = out[0]
-                if install and out is not None and out[0] is not None:
+                # both formats carry the same weights; install once (.onnx
+                # wins by sort order) rather than overwriting + duplicating
+                # the stem in installed_heads
+                if install and out is not None and out[0] is not None \
+                        and stem not in installed_heads:
                     install_npz(install_dir, stem, "head", out[0], out[1])
                     installed_heads.append(stem)
         except Exception as e:
             rep.add(f, "import", False, f"{type(e).__name__}: {e}")
 
-    cross_format_consistency(imported, rep)
+    try:
+        cross_format_consistency(imported, rep)
+    except Exception as e:
+        # the layer must degrade to a FAIL row, not abort install/report
+        rep.add("cross-format", "onnx/tflite consistency", False,
+                f"{type(e).__name__}: {e}")
 
     if install:
         end_to_end(clips_dir, install_dir, installed_heads, rep,
