@@ -159,6 +159,15 @@ def main():
     import signal
     import tempfile
 
+    def _fail_json(reason: str):
+        # keep the one-JSON-line stdout contract even on total failure, so
+        # the driver records a parseable zero instead of an empty file
+        print(json.dumps({
+            "metric": "concurrent_realtime_16khz_streams_per_chip",
+            "value": 0.0, "unit": "streams", "vs_baseline": 0.0,
+            "detail": {"error": reason},
+        }))
+
     def _kill_group(proc):
         try:
             os.killpg(proc.pid, signal.SIGKILL)
@@ -187,10 +196,13 @@ def main():
             print(f"device attach probe hung past {probe_s:.0f}s — the "
                   "backend/tunnel is unreachable; failing fast (set "
                   "BENCH_PROBE_S to adjust or 0 to skip)", file=sys.stderr)
+            _fail_json(f"device attach probe hung past {probe_s:.0f}s "
+                       "(backend/tunnel unreachable)")
             sys.exit(1)
         if rc != 0:
             print(f"device attach probe exited {rc}; failing fast",
                   file=sys.stderr)
+            _fail_json(f"device attach probe exited {rc}")
             sys.exit(1)
 
     cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/owwt_jax_cache")
@@ -233,6 +245,8 @@ def main():
             print(f"retrying with a cold compile cache (moved to {aside})",
                   file=sys.stderr)
             shutil.move(cache, aside)
+    _fail_json("benchmark child failed twice (hang or nonzero exit); "
+               "see stderr")
     sys.exit(1)
 
 

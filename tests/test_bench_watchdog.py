@@ -59,12 +59,22 @@ def test_crashed_child_retries_then_fails(tmp_path):
     assert not cache.exists()                   # retry went cold
 
 
+def _assert_failure_json(r):
+    """A failed bench keeps the one-JSON-line contract with value 0 and an
+    explicit error detail, so the driver records a parseable zero instead
+    of an empty file (and cannot mistake it for a real measurement)."""
+    line = r.stdout.strip()
+    assert line and "\n" not in line
+    rec = json.loads(line)
+    assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
+    assert rec["detail"]["error"]
+
+
 @pytest.mark.parametrize("mode", ["hang", "crash"])
-def test_failure_prints_no_stdout(tmp_path, mode):
-    """A failed bench must not emit a bogus metric line the driver could
-    record as a result."""
+def test_failure_prints_zero_metric_json(tmp_path, mode):
     r, _, _ = _run(tmp_path, mode)
-    assert r.stdout.strip() == ""
+    assert r.returncode == 1
+    _assert_failure_json(r)
 
 
 def test_hung_attach_probe_fails_fast(tmp_path):
@@ -74,7 +84,7 @@ def test_hung_attach_probe_fails_fast(tmp_path):
     r, wall, cache = _run(tmp_path, "probe_hang", probe_s="10")
     assert r.returncode == 1
     assert "attach probe hung" in r.stderr
-    assert r.stdout.strip() == ""
+    _assert_failure_json(r)
     assert wall < 50                    # probe leash + kill, not 2x15 s + retries
     assert cache.is_dir()               # an unreachable device is not a cache bug
 
