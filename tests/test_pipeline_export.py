@@ -326,6 +326,18 @@ class TestVadExport:
         kind, _p, meta = onnx_import.import_onnx_model(path)
         assert kind == "vad" and meta["format"] == "onnx_program"
 
+    def test_vad_class_accepts_exported_path(self, setup):
+        """Reference parity: VAD(model_path=...) takes the artifact path
+        (reference vad.py:61-80); an exported graph drops straight in."""
+        from openwakeword_tpu.models import vad_net
+        from openwakeword_tpu.vad import VAD
+        params, path = setup
+        v_onnx = VAD(model_path=path)
+        v_native = VAD(params=params)
+        rng = np.random.default_rng(0)
+        x = rng.integers(-3000, 3000, 1280).astype(np.int16)
+        assert abs(v_onnx.predict(x) - v_native.predict(x)) < 1e-5
+
     def test_frame_size_variants(self, setup, tmp_path):
         from openwakeword_tpu.io import onnx_export as oe
         from openwakeword_tpu.models import silero, vad_net
