@@ -25,6 +25,46 @@ def test_streaming_mel_matches_whole_clip(rng, monkeypatch):
     np.testing.assert_allclose(streamed[-n:], whole[-n:], atol=1e-4)
 
 
+def test_random_chunk_splits_match_1280_feed(rng):
+    """Feeding the same audio as arbitrarily-sized chunks (including tiny
+    and odd sizes that exercise the accumulate/remainder path, reference
+    utils.py:409-452) must leave AudioFeatures in the same state as the
+    canonical 1280-sample feed, and the Model's best score must agree."""
+    total = 1280 * 16
+    x = (rng.uniform(-1, 1, total) * 11000).astype(np.int16)
+
+    ref = AudioFeatures()
+    for t in range(16):
+        ref(x[t * 1280:(t + 1) * 1280])
+
+    for trial in range(3):
+        cuts = np.sort(rng.choice(np.arange(1, total), 25, replace=False))
+        pieces = np.split(x, cuts)
+        af = AudioFeatures()
+        for piece in pieces:
+            if piece.size:
+                af(piece)
+        np.testing.assert_allclose(
+            np.asarray(af.melspectrogram_buffer),
+            np.asarray(ref.melspectrogram_buffer), atol=2e-3,
+            err_msg=f"mel buffer diverged (trial {trial})")
+        np.testing.assert_allclose(
+            np.asarray(af.feature_buffer)[-19:],
+            np.asarray(ref.feature_buffer)[-19:], atol=5e-3,
+            err_msg=f"feature buffer diverged (trial {trial})")
+
+    m_ref = oww.Model(wakeword_models=["alexa"])
+    best_ref = max(m_ref.predict(x[t * 1280:(t + 1) * 1280])["alexa"]
+                   for t in range(16))
+    cuts = np.sort(rng.choice(np.arange(1, total), 31, replace=False))
+    m = oww.Model(wakeword_models=["alexa"])
+    best = 0.0
+    for piece in np.split(x, cuts):
+        if piece.size:
+            best = max(best, m.predict(piece)["alexa"])
+    assert abs(best - best_ref) < 5e-3
+
+
 def test_engine_scan_matches_stepwise(rng):
     # T=40 wraps both steady-scan circular buffers (mel tail: 10 slots,
     # feature ring: 34 rows), covering the phase-cursor arithmetic
