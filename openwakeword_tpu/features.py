@@ -302,6 +302,13 @@ class AudioFeatures():
         L = self.raw_data_buffer.shape[0]
         block = config.CHUNK_SAMPLES
         look = config.MEL_LOOKBACK_SAMPLES
+        if n_ready > L:
+            # a single push larger than the 10 s raw ring: the oldest ready
+            # samples already fell out of the buffer, so only the blocks
+            # still present can be processed (negative starts would wrap
+            # Python slices and compute mel over giant bogus windows). A
+            # >10 s push thus behaves like feeding only its last 10 s.
+            n_ready = (L // block) * block
         starts = L - n_ready + block * np.arange(n_ready // block)
         parts = []
         while starts.size and starts[0] < look:

@@ -109,8 +109,11 @@ class Model():
                     self.custom_verifier_models[mdl_name] = pickle.load(
                         open(custom_verifier_models[mdl_name], 'rb'))
 
-        if len(self.custom_verifier_models) < len(custom_verifier_models):
-            unmatched = sorted(set(custom_verifier_models) - set(self.models))
+        # blank entries ({'name': ''} / None from config templates) count as
+        # "no verifier", matching the load loop's falsy skip above
+        provided_verifiers = {k for k, v in (custom_verifier_models or {}).items() if v}
+        if len(self.custom_verifier_models) < len(provided_verifiers):
+            unmatched = sorted(provided_verifiers - set(self.models))
             raise ValueError(
                 f"custom_verifier_models keys {unmatched} do not name any loaded "
                 f"base model (loaded: {sorted(self.models)}); key every verifier "
@@ -318,26 +321,29 @@ class Model():
             patience, threshold, debounce_time)
         if use_patience or use_debounce:
             h = config.PREDICTION_BUFFER_MAX
-
-            def _history(buffers):
-                hist = np.zeros((L, h), dtype=np.float32)
-                for i, lbl in enumerate(self._labels):
-                    past = np.fromiter(buffers[lbl], dtype=np.float32)
-                    if past.size:
-                        hist[i, -past.size:] = past
-                return hist
-
             parents = [self.get_parent_model_from_label(lbl) for lbl in self._labels]
             threshold_vec = np.array([threshold.get(p, np.inf) for p in parents],
                                      dtype=np.float32)
             if use_patience:
+                # a patience'd model whose threshold is missing would compare
+                # against inf and zero its scores FOREVER with no error; the
+                # reference surfaces this misconfiguration as a KeyError
+                # (reference model.py:346-352) — match that loudness
+                missing = sorted({p for p in parents
+                                  if patience.get(p, 0) > 0 and p not in threshold})
+                if missing:
+                    raise ValueError(
+                        f"patience is set for {missing} but threshold has no "
+                        "entry for them; the patience filter needs a per-model "
+                        "threshold")
                 # patience reads the RAW score history (gating.patience_filter
                 # docs; the reported buffer would deadlock the filter)
                 patience_vec = np.array([patience.get(p, 0) for p in parents])
-                scores = gating.patience_filter(np, scores, self._raw_history(h),
-                                                patience_vec, threshold_vec)
+                scores = gating.patience_filter(
+                    np, scores, self._score_history(self.raw_score_buffer, h),
+                    patience_vec, threshold_vec)
             else:
-                history = _history(self.prediction_buffer)
+                history = self._score_history(self.prediction_buffer, h)
                 frame_seconds = max(n_prepared, 1) / self.preprocessor.sr
                 n_frames = int(np.ceil(debounce_time / frame_seconds))
                 active = np.array([p in threshold for p in parents])
@@ -349,10 +355,13 @@ class Model():
             self.prediction_buffer[lbl].append(float(s))
         return scores
 
-    def _raw_history(self, h: int) -> np.ndarray:
+    def _score_history(self, buffers, h: int) -> np.ndarray:
+        """Zero-padded (labels, h) history matrix from a per-label deque dict
+        (used for both the raw patience history and the reported debounce
+        history — one layout, one implementation)."""
         hist = np.zeros((len(self._labels), h), dtype=np.float32)
         for i, lbl in enumerate(self._labels):
-            past = np.fromiter(self.raw_score_buffer[lbl], dtype=np.float32)
+            past = np.fromiter(buffers[lbl], dtype=np.float32)
             if past.size:
                 hist[i, -past.size:] = past
         return hist

@@ -50,11 +50,16 @@ class ChunkAccumulator:
         zeros (the engine expects raw int16-range values, reference
         utils.py:194-199).
         """
+        if isinstance(x, list):
+            x = np.asarray(x, dtype=self._dtype)
         x = np.asarray(x)
-        if np.issubdtype(x.dtype, np.floating) and self._dtype == np.int16:
+        if self._dtype == np.int16 and x.dtype != np.int16:
+            # same contract as the batch paths' _check_pcm (features.py):
+            # float PCM would truncate to zeros, and wider integer PCM
+            # (int32 WAVs) would silently wrap mod 65536 under astype
             raise ValueError(
                 f"Expected 16-bit PCM audio (int16), got dtype {x.dtype}; "
-                "scale float audio to int16 range and cast before pushing")
+                "scale/convert to int16 range and cast before pushing")
         x = x.astype(self._dtype, copy=True).reshape(-1)
         buf = np.concatenate([self._pending, x]) if self._pending.size else x
         n_ready = (buf.shape[0] // self.frame_samples) * self.frame_samples

@@ -66,6 +66,13 @@ class VAD():
         is accepted for API parity."""
         apply_fn, self.params, self._min_samples = load_vad_apply(model_path, params)
         self._step = jax.jit(apply_fn)
+        # vad_net provably ignores the sub-hop tail of a frame (it steps once
+        # per full 256-sample STFT frame at hop 112), so tail chunks can be
+        # truncated to the step boundary: identical numerics, and the set of
+        # distinct jit input shapes stays bounded (one per step count)
+        # instead of one fresh XLA compile per distinct clip-tail length.
+        # Imported ONNX graphs make no such promise — leave their tails alone.
+        self._tail_quantum = vad_net.HOP if apply_fn is vad_net.apply else None
 
         self.prediction_buffer: deque = deque(maxlen=config.VAD_BUFFER_MAX)
         self.sample_rate = np.array(config.SAMPLE_RATE).astype(np.int64)
@@ -96,6 +103,11 @@ class VAD():
             chunk = (x[i:i + frame_size] / 32767).astype(np.float32)
             if chunk.shape[0] < self._min_samples:
                 chunk = np.pad(chunk, (0, self._min_samples - chunk.shape[0]))
+            elif self._tail_quantum and chunk.shape[0] < frame_size:
+                q = self._tail_quantum
+                keep = self._min_samples + (
+                    (chunk.shape[0] - self._min_samples) // q) * q
+                chunk = chunk[:keep]
             score, h, c = self._step(self.params, jnp.asarray(chunk[None]), h, c)
             scores.append(float(score[0]))
         self._h, self._c = np.asarray(h), np.asarray(c)
