@@ -21,6 +21,10 @@ def _read_wav(path: str) -> np.ndarray:
         if f.getsampwidth() != 2:
             raise ValueError(f"{path}: only 16-bit PCM WAV is supported "
                              f"(got {8 * f.getsampwidth()}-bit)")
+        if f.getframerate() != config.SAMPLE_RATE:
+            raise ValueError(
+                f"{path}: expected {config.SAMPLE_RATE} Hz audio, got "
+                f"{f.getframerate()} Hz — resample before bulk prediction")
         pcm = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
         ch = f.getnchannels()
         return pcm.reshape(-1, ch)[:, 0] if ch > 1 else pcm
@@ -56,15 +60,19 @@ def bulk_predict(file_paths: List[str],
         return out
 
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
+    from openwakeword_tpu.utils.args import accepted_kwargs
 
     # One engine for the whole run (heads load and programs build once);
     # short final batches are zero-padded to the engine's stream capacity.
+    # Kwargs are filtered by the engine's real signature (like the generic
+    # path above) — a hand-maintained allowlist silently dropped options
+    # such as precision/incremental.
     n_streams = min(batch_size, max(1, len(file_paths)))
-    engine = MultiStreamEngine(wakeword_models=list(wakeword_models),
-                               n_streams=n_streams, **{
-                                   k: v for k, v in kwargs.items()
-                                   if k in ("vad_threshold", "patience", "threshold",
-                                            "debounce_time", "mesh", "rng_seed")})
+    engine_init = accepted_kwargs(MultiStreamEngine.__init__)
+    engine = MultiStreamEngine(
+        wakeword_models=list(wakeword_models), n_streams=n_streams,
+        **{k: v for k, v in kwargs.items()
+           if k in engine_init and k not in ("wakeword_models", "n_streams")})
 
     results: Dict[str, list] = {}
     for i in range(0, len(file_paths), n_streams):

@@ -21,6 +21,8 @@ zeroing, and the VAD gate over scores 0.4-0.56 s back.
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +36,17 @@ from openwakeword_tpu.models import vad_net
 from openwakeword_tpu.ops import melspec as melspec_ops
 
 MEL_RING = config.EMB_WINDOW_FRAMES          # 76 frames (chunk=1280 => k=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _seed_embeddings(emb_params, noise, F):
+    """Embeddings of a noise clip for feature-ring seeding (reference
+    utils.py:169 seeds the feature buffer with 4 s of random noise)."""
+    spec = melspec_ops.melspectrogram(noise, top_db=config.MEL_TOP_DB)
+    n_windows = (spec.shape[0] - 76) // 8 + 1
+    wins = jnp.stack([spec[i * 8:i * 8 + 76] for i in range(n_windows)])
+    emb = embedding_model.apply_folded(emb_params, wins)                # (W, 96)
+    return emb[-F:, :]
 VAD_RING = 7                                 # enough for the [-7:-4] gate window
 
 
@@ -211,12 +224,28 @@ class MultiStreamEngine:
         n_labels = len(self.labels)
         self._patience_vec = np.zeros(n_labels, dtype=np.int32)
         self._threshold_vec = np.full(n_labels, np.inf, dtype=np.float32)
-        self._debounce_frames = int(np.ceil(debounce_time / 0.08)) if debounce_time > 0 else 0
+        # cap at the history depth like the host Model (model.py): an uncapped
+        # window would slice history[h - n:] with n > h, silently SHRINKING
+        # the debounce window via a negative start
+        self._debounce_frames = min(
+            int(np.ceil(debounce_time / 0.08)),
+            config.PREDICTION_BUFFER_MAX) if debounce_time > 0 else 0
         for start, end, name, n_cls, mapping in label_head_slices:
             if threshold and name in threshold:
                 self._threshold_vec[start:end] = threshold[name]
             if patience and name in patience:
                 self._patience_vec[start:end] = patience[name]
+        if patience:
+            # a patience'd model whose threshold is missing would compare
+            # against inf and zero its scores FOREVER with no error (host
+            # Model raises the same way, model.py)
+            missing = sorted(m for m, p in patience.items()
+                             if p > 0 and (not threshold or m not in threshold))
+            if missing:
+                raise ValueError(
+                    f"patience is set for {missing} but threshold has no "
+                    "entry for them; the patience filter needs a per-model "
+                    "threshold")
         self._use_patience = bool(patience)
         self._use_debounce = debounce_time > 0
         # per-label recycle vector for masked (packetized) stepping: binary
@@ -264,6 +293,7 @@ class MultiStreamEngine:
 
         # ---- state ----
         self._rng_seed = rng_seed
+        self._seed_ring_cache: Dict[tuple, jnp.ndarray] = {}
         self.state = self.init_state(self.n_streams)
         if mesh is not None:
             self.shard(mesh)
@@ -288,15 +318,16 @@ class MultiStreamEngine:
         n_samples = max(n_samples, (need_mel_rows + 4) * 160)
         noise = rng.integers(-1000, 1000, n_samples).astype(np.float32)
 
-        @jax.jit
-        def _seed(emb_params, noise):
-            spec = melspec_ops.melspectrogram(noise, top_db=config.MEL_TOP_DB)  # (397, 32)
-            n_windows = (spec.shape[0] - 76) // 8 + 1
-            wins = jnp.stack([spec[i * 8:i * 8 + 76] for i in range(n_windows)])  # (W, 76, 32)
-            emb = embedding_model.apply_folded(emb_params, wins)                  # (W, 96)
-            return emb[-F:, :]
-
-        seed_ring = _seed(self.params["embedding"], jnp.asarray(noise))
+        # memoized per (seed, F): repeated reset()/init_state calls (e.g.
+        # predict_clips batches) must not retrace the seeding CNN — a fresh
+        # @jax.jit closure per call would recompile every time (jit caches
+        # by function identity)
+        cache_key = (seed, F, n_samples)
+        seed_ring = self._seed_ring_cache.get(cache_key)
+        if seed_ring is None:
+            seed_ring = _seed_embeddings(self.params["embedding"],
+                                         jnp.asarray(noise), F)
+            self._seed_ring_cache[cache_key] = seed_ring
         feat_ring = jnp.broadcast_to(seed_ring[None], (n_streams, F, config.EMB_DIM))
         feat_ring = jnp.array(feat_ring)  # materialize (broadcast views can't be donated)
         S = n_streams

@@ -44,13 +44,30 @@ from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
 class StreamServer:
     def __init__(self, wakeword_models=(), capacity: int = 256,
-                 threshold: float = 0.5, engine: Optional[MultiStreamEngine] = None,
-                 queue_frames: int = 16, **engine_kwargs):
+                 threshold=0.5, engine: Optional[MultiStreamEngine] = None,
+                 queue_frames: int = 16, warm_compile: bool = False,
+                 **engine_kwargs):
+        """``threshold`` sets the activation-extraction cutoff: a float for
+        all labels, or a per-model dict ({model_name: cutoff}; labels of
+        models without an entry never activate). A dict is also forwarded
+        to the engine (its patience/debounce filters key thresholds the
+        same way), so ``StreamServer(..., debounce_time=0.5,
+        threshold={'alexa': 0.5})`` works as one coherent setting."""
+        if isinstance(threshold, dict) and engine is None \
+                and "threshold" not in engine_kwargs:
+            engine_kwargs["threshold"] = threshold
         self.engine = engine or MultiStreamEngine(
             wakeword_models=wakeword_models, n_streams=capacity, **engine_kwargs)
         self.capacity = self.engine.n_streams
-        self.threshold = threshold
         self.labels = self.engine.labels
+        if isinstance(threshold, dict):
+            per_label = np.full(len(self.labels), np.inf, np.float32)
+            for start, end, name, _n_cls, _map in self.engine._label_slices:
+                if name in threshold:
+                    per_label[start:end] = threshold[name]
+            self.threshold = per_label      # broadcasts in step()'s compare
+        else:
+            self.threshold = float(threshold)
 
         C, F = self.capacity, config.CHUNK_SAMPLES
         self.queue_frames = int(queue_frames)
@@ -89,6 +106,8 @@ class StreamServer:
         # build/load the native copy library now, not inside a serving tick
         # (a lazy first-use g++ compile would blow the 80 ms budget)
         ingest.warm()
+        if warm_compile:
+            self.warm()
         #: frames dropped because a slot's queue overflowed (clients pushing
         #: faster than the server ticks); the queue's oldest frames are
         #: dropped first. A zero-copy staged packet is exempt: it was
@@ -317,6 +336,22 @@ class StreamServer:
         self._check_active(sid)
         return int(self._q_len[sid]) + int(self._staged_mask[sid])
 
+    def warm(self) -> None:
+        """Compile both serving step programs now.
+
+        The masked and staged step programs otherwise jit on first use, and
+        a first-use XLA compile inside a live tick (seconds locally, minutes
+        over a device tunnel) stalls every stream — the same rationale as
+        the eager ``ingest.warm()`` in ``__init__``, at much larger stakes.
+        Safe on live state: an all-invalid mask / all-padding id vector
+        advances no slot (scores are recycled, state values unchanged).
+        Call once before serving traffic (or construct with
+        ``warm_compile=True``).
+        """
+        zeros = np.zeros((self.capacity, config.CHUNK_SAMPLES), np.int16)
+        self.engine.predict_masked(zeros, np.zeros(self.capacity, bool))
+        self.engine.predict_packets(zeros, np.full(self.capacity, -1, np.int64))
+
     def step(self) -> np.ndarray:
         """One serving tick: advance every slot holding a complete frame
         (staged packets and/or queued frames); starved and inactive slots
@@ -427,11 +462,14 @@ class StreamServer:
     @staticmethod
     def _check_pcm(pcm: np.ndarray) -> np.ndarray:
         pcm = np.asarray(pcm)
-        if np.issubdtype(pcm.dtype, np.floating):
+        if pcm.dtype != np.int16:
+            # float PCM would truncate to zeros, wider integer PCM (24/32-bit
+            # decodes) would silently wrap mod 65536 under astype — both are
+            # mis-scaled client input that must fail loudly
             raise ValueError(
                 f"Expected 16-bit PCM audio (int16), got dtype {pcm.dtype}; "
-                "scale float audio to int16 range and cast before pushing")
-        return pcm.astype(np.int16, copy=False)
+                "scale/convert to int16 range and cast before pushing")
+        return pcm
 
     def _reset_slot(self, sid: int):
         """Re-initialize one slot's on-device state row (jitted scatter)."""
