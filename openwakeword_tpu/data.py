@@ -42,6 +42,12 @@ def read_audio(path: str) -> np.ndarray:
     if path.lower().endswith(".wav"):
         with wave.open(path, "rb") as f:
             n_ch = f.getnchannels()
+            width, rate = f.getsampwidth(), f.getframerate()
+            if width != 2 or rate != 16000:
+                # np.frombuffer would silently reinterpret 24/32-bit bytes,
+                # and a 44.1 kHz stream framed as 16 kHz is 2.75x slowed —
+                # route non-conforming WAVs through the resampling decoder
+                return _decode_with_ffmpeg(path)
             data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
         if n_ch > 1:
             data = data.reshape(-1, n_ch)[:, 0]
@@ -211,8 +217,10 @@ def filter_audio_paths(target_dirs: List[str], min_length_secs: float,
         elif duration_method == "header":
             dir_durations = [get_clip_duration(p) for p in dir_paths]
         else:
-            paths.extend(dir_paths)
-            continue
+            # a typo'd method must not silently disable filtering and return
+            # paths without matching durations entries
+            raise ValueError(f"Unknown duration_method '{duration_method}'; "
+                             "expected 'size' or 'header'")
         for p, dur in zip(dir_paths, dir_durations):
             if min_length_secs <= dur <= max_length_secs:
                 paths.append(p)
@@ -496,28 +504,35 @@ def augment_clips(clip_paths: List[str],
                   lambda k, v: A.tanh_distortion(k, v, 0.0001, 0.10), x)
         x = maybe("PitchShift", lambda k, v: A.pitch_shift(k, v, -3, 3), x,
                   per_example=False)
-        x = maybe("BandStopFilter", lambda k, v: A.band_stop(k, v), x,
-                  per_example=False)
+        # band-stop / colored-noise / background-noise draw independently per
+        # clip like the reference's per-example modes (the ops already draw
+        # per-example parameters; only pitch shift and RIR are per-batch)
+        x = maybe("BandStopFilter", lambda k, v: A.band_stop(k, v), x)
 
         def colored(k, v):
             k1, k2, k3 = fftc.host_split(k, 3)
             decay = jax.random.uniform(k1, (B,), minval=-1.0, maxval=2.0)
             noise = A.colored_noise(k2, v.shape, decay)
             return A.add_noise_at_snr(k3, v, noise, 10, 30)
-        x = maybe("AddColoredNoise", colored, x, per_example=False)
+        x = maybe("AddColoredNoise", colored, x)
 
         if background_clip_paths:
             def bg_mix(k, v):
                 picks = rng.choice(len(background_clip_paths), B)
+                uniq = {int(j): None for j in picks}
+                decoded = _read_audio_many(
+                    [background_clip_paths[j] for j in uniq])
+                for j, aud in zip(uniq, decoded):
+                    uniq[j] = aud
                 bgs = []
                 for j in picks:
-                    bg = read_audio(background_clip_paths[j])
+                    bg = uniq[int(j)]
                     if bg.shape[0] < total_length:
                         bg = np.tile(bg, int(np.ceil(total_length / bg.shape[0])))
                     r = rng.integers(0, max(1, bg.shape[0] - total_length + 1))
                     bgs.append(bg[r:r + total_length])
                 return A.add_noise_at_snr(k, v, jnp.asarray(np.vstack(bgs)), -10, 15)
-            x = maybe("AddBackgroundNoise", bg_mix, x, per_example=False)
+            x = maybe("AddBackgroundNoise", bg_mix, x)
 
         x = maybe("Gain", lambda k, v: A.gain(k, v, -18, 0), x)
 
@@ -579,11 +594,16 @@ class mmap_batch_generator:
             if self.data_counter[label] >= self.shapes[label][0]:
                 self.data_counter[label] = 0
             x = self.data[label][self.data_counter[label]:self.data_counter[label] + n]
-            self.data_counter[label] += x.shape[0]
+            n_read = x.shape[0]                  # pre-transform row count
+            self.data_counter[label] += n_read
             if self.data_transform_funcs.get(label):
                 x = self.data_transform_funcs[label](x)
             if self.label_files.get(label, None):
-                y_batch = self.labels[label][self.data_counter[label] - x.shape[0]:
+                # label rows correspond to INPUT rows; a transform that
+                # changes the row count must remap them in its
+                # label_transform (slicing by the post-transform count would
+                # silently misalign labels)
+                y_batch = self.labels[label][self.data_counter[label] - n_read:
                                              self.data_counter[label]]
             else:
                 y_batch = [label] * x.shape[0]

@@ -53,17 +53,33 @@ def score_files(file_paths: Sequence[str], wakeword_models: Sequence[str],
     return out
 
 
-def false_accepts_per_hour(negative_scores: np.ndarray, threshold: float,
+def _as_streams(negative_scores) -> list:
+    """Normalize to a list of per-file 1-D score streams. Event grouping
+    must not suppress across file boundaries (an activation at the end of
+    file A and another at the start of file B are two events), so callers
+    pass per-file streams; a single 1-D array is treated as one stream."""
+    if isinstance(negative_scores, np.ndarray) and negative_scores.ndim == 1:
+        return [negative_scores]
+    return [np.asarray(s) for s in negative_scores]
+
+
+def false_accepts_per_hour(negative_scores, threshold: float,
                            grouping_window: int = 50,
                            frame_seconds: float = 0.08) -> float:
-    """Distinct false-activation events per hour on a negative score stream
-    (the DipCo-style FAR metric; hours derived from the frame count)."""
-    scores = np.asarray(negative_scores)
-    if scores.size == 0:
+    """Distinct false-activation events per hour on a negative corpus
+    (the DipCo-style FAR metric; hours derived from the frame count).
+    ``negative_scores``: one 1-D score stream or a sequence of per-file
+    streams (events are counted per file, so the grouping window never
+    suppresses across file boundaries)."""
+    streams = _as_streams(negative_scores)
+    total = sum(s.size for s in streams)
+    if total == 0:
         return 0.0
-    hours = scores.size * frame_seconds / 3600.0
-    return get_false_positives(scores, threshold=threshold,
-                               grouping_window=grouping_window) / hours
+    hours = total * frame_seconds / 3600.0
+    events = sum(get_false_positives(s, threshold=threshold,
+                                     grouping_window=grouping_window)
+                 for s in streams if s.size)
+    return events / hours
 
 
 def false_reject_rate(positive_clip_scores: Sequence[np.ndarray],
@@ -79,7 +95,7 @@ def false_reject_rate(positive_clip_scores: Sequence[np.ndarray],
     return float(np.mean(maxima < threshold))
 
 
-def far_tar_curve(negative_scores: np.ndarray,
+def far_tar_curve(negative_scores,
                   positive_clip_scores: Sequence[np.ndarray],
                   thresholds: Optional[Sequence[float]] = None,
                   grouping_window: int = 50,
@@ -87,9 +103,9 @@ def far_tar_curve(negative_scores: np.ndarray,
     """The published FAR/hr vs TAR trade-off curve.
 
     Args:
-        negative_scores: one concatenated per-frame score stream from the
-            negative corpus (order within a file matters for event grouping;
-            concatenate per-file streams).
+        negative_scores: per-frame score stream(s) from the negative corpus —
+            a sequence of per-file arrays (preferred: event grouping then
+            never suppresses across file boundaries) or one 1-D array.
         positive_clip_scores: per-clip score arrays from the positive set.
         thresholds: sweep points (default: 50 points in [0.01, 0.99] — denser
             than the reference's 25 for a smoother published curve).
@@ -134,19 +150,21 @@ def evaluate_model(wakeword_model: str,
                       padding=0, **kwargs)
     pos = score_files(positive_files, [wakeword_model], label=label,
                       padding=padding, **kwargs)
-    neg_stream = (np.concatenate([neg[p] for p in negative_files])
-                  if negative_files else np.zeros(0, np.float32))
+    # per-file streams: the 4 s activation-grouping window must not
+    # suppress an event at the start of one file because another file
+    # ended with an activation
+    neg_streams = [neg[p] for p in negative_files]
     pos_clips = [pos[p] for p in positive_files]
 
-    curve = far_tar_curve(neg_stream, pos_clips, thresholds=thresholds)
+    curve = far_tar_curve(neg_streams, pos_clips, thresholds=thresholds)
     maxima = np.array([np.max(c) if c.size else 0.0 for c in pos_clips]) \
         if pos_clips else np.zeros(0)
     rejected = [p for p, mx in zip(positive_files, maxima) if mx < threshold]
     return {
         "threshold": threshold,
-        "far_per_hour": false_accepts_per_hour(neg_stream, threshold),
+        "far_per_hour": false_accepts_per_hour(neg_streams, threshold),
         "frr": false_reject_rate(pos_clips, threshold),
-        "negative_hours": neg_stream.size * 0.08 / 3600.0,
+        "negative_hours": sum(s.size for s in neg_streams) * 0.08 / 3600.0,
         "n_positive_clips": len(pos_clips),
         "rejected_clips": rejected,
         "curve": curve,

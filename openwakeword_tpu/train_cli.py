@@ -211,6 +211,11 @@ def main(argv=None):
 
         # Validation sets
         X_val_fp = None
+        # one 80 ms model frame per feature row; the FP/hr denominator is
+        # the REAL duration of whatever set is supplied, not the published
+        # 11.3 h default (an 1 h set judged against 11.3 would under-report
+        # FP/hr 11x and suppress the negative-weight doubling)
+        val_set_hrs = 11.3
         fp_path = config.get("false_positive_validation_data_path")
         if fp_path and os.path.exists(fp_path):
             fp_feats = np.load(fp_path)
@@ -221,10 +226,16 @@ def main(argv=None):
             if fp_feats.shape[0] > input_shape[0]:
                 # zero-copy stride-1 windows: the dense list-comprehension form
                 # allocates ~16x the source array (~3 GB for the recommended
-                # 11 h validation set)
+                # 11 h validation set). Chunk into bounded batches so each
+                # validation forward transfers/copies a slice, never the
+                # whole window view at once.
                 windows = np.lib.stride_tricks.sliding_window_view(
                     fp_feats, input_shape[0], axis=0)[:-1].transpose(0, 2, 1)
-                X_val_fp = [(windows, np.zeros(windows.shape[0], np.float32))]
+                chunk = 8192
+                X_val_fp = [(windows[i:i + chunk],
+                             np.zeros(min(chunk, windows.shape[0] - i), np.float32))
+                            for i in range(0, windows.shape[0], chunk)]
+                val_set_hrs = fp_feats.shape[0] * 0.08 / 3600.0
             else:
                 logging.warning(
                     "false-positive validation features are shorter than one "
@@ -235,6 +246,9 @@ def main(argv=None):
         X_val_neg = np.load(os.path.join(feature_save_dir, "negative_features_test.npy"))
         labels = np.hstack((np.ones(X_val_pos.shape[0]), np.zeros(X_val_neg.shape[0]))).astype(np.float32)
         X_val = [(np.vstack((X_val_pos, X_val_neg)), labels)]
+        if X_val_fp is None:
+            # falling back to the balanced val set: its duration, not 11.3 h
+            val_set_hrs = labels.shape[0] * input_shape[0] * 0.08 / 3600.0
 
         best_model = trainer.auto_train(
             X_train=batch_generator,
@@ -242,7 +256,8 @@ def main(argv=None):
             false_positive_val_data=X_val_fp or X_val,
             steps=config["steps"],
             max_negative_weight=config.get("max_negative_weight", 1000),
-            target_fp_per_hour=config.get("target_false_positives_per_hour", 0.2))
+            target_fp_per_hour=config.get("target_false_positives_per_hour", 0.2),
+            val_set_hrs=val_set_hrs)
 
         trainer.save_model(os.path.join(config["output_dir"], config["model_name"] + ".npz"),
                            model=best_model)

@@ -444,8 +444,13 @@ class HeadTrainer:
                 tp = fn = 0
                 for data_val in positive_test_clips:
                     x_val = np.asarray(data_val[0], np.float32)
-                    windows = np.concatenate([x_val[:, i:i + self.input_shape[0]]
-                                              for i in range(0, x_val.shape[1] - self.input_shape[0], 1)])
+                    F = self.input_shape[0]
+                    if x_val.shape[1] < F:
+                        continue          # too short to hold one window
+                    # inclusive end so a clip with exactly F frames yields
+                    # its one window instead of crashing np.concatenate
+                    windows = np.concatenate([x_val[:, i:i + F]
+                                              for i in range(0, x_val.shape[1] - F + 1)])
                     preds = self.forward(windows, params={"__meta__": self.meta, **params})
                     if np.any(preds >= 0.5):
                         tp += 1
@@ -454,15 +459,22 @@ class HeadTrainer:
                 self.history["positive_test_clips_recall"].append(tp / max(tp + fn, 1))
 
             if run_val and X_val is not None:
+                # aggregate over ALL val batches (weighted by batch size);
+                # an empty val sequence records nothing instead of crashing
+                accs, recalls, n_exam = [], [], []
+                val_fp = 0
                 for data_val in X_val:
                     x_val, y_val = np.asarray(data_val[0], np.float32), np.asarray(data_val[1])
                     preds = self.forward(x_val, params={"__meta__": self.meta, **params})
-                    val_recall = self.recall(preds, y_val)
-                    val_acc = self.accuracy(preds, y_val)
-                    val_fp = self.fp(preds, y_val)
-                self.history["val_accuracy"].append(val_acc)
-                self.history["val_recall"].append(val_recall)
-                self.history["val_n_fp"].append(val_fp)
+                    recalls.append(self.recall(preds, y_val))
+                    accs.append(self.accuracy(preds, y_val))
+                    val_fp += self.fp(preds, y_val)
+                    n_exam.append(len(y_val))
+                if n_exam:
+                    w = np.asarray(n_exam, np.float64) / sum(n_exam)
+                    self.history["val_accuracy"].append(float(np.dot(w, accs)))
+                    self.history["val_recall"].append(float(np.dot(w, recalls)))
+                    self.history["val_n_fp"].append(val_fp)
 
             if run_val and self.history["val_n_fp"]:
                 if self.history["val_n_fp"][-1] <= np.percentile(self.history["val_n_fp"], 50) and \
@@ -561,26 +573,42 @@ class HeadTrainer:
             if models:
                 combined = self.average_models(models=models)
 
-        # Final combined-model validation report (train.py:345-364)
+        # Final combined-model validation report (train.py:345-364),
+        # aggregated over ALL val batches (not just the last one)
         if X_val is not None:
+            preds_all, y_all = [], []
             for batch in X_val:
-                preds = self.forward(np.asarray(batch[0], np.float32), params=combined)
-                y = np.asarray(batch[1])
-            logging.info("Final Model Accuracy: %s | Recall: %s",
-                         self.accuracy(preds, y), self.recall(preds, y))
+                preds_all.append(self.forward(np.asarray(batch[0], np.float32),
+                                              params=combined))
+                y_all.append(np.asarray(batch[1]))
+            if y_all:
+                preds = np.concatenate(preds_all)
+                y = np.concatenate(y_all)
+                logging.info("Final Model Accuracy: %s | Recall: %s",
+                             self.accuracy(preds, y), self.recall(preds, y))
         return combined
 
     # -- prediction / persistence ----------------------------------------
 
     def predict_on_features(self, features: np.ndarray, model=None) -> np.ndarray:
-        """Sliding 16-frame windows, step 1 (80 ms), per clip (train.py:368-396)."""
+        """Sliding 16-frame windows, step 1 (80 ms), per clip (train.py:368-396).
+
+        Deliberate fix of a reference off-by-one: the final valid window
+        (start = frames - n_in) is included, so a clip with exactly n_in
+        frames scores instead of crashing np.stack on an empty list."""
         features = np.asarray(features, np.float32)
         if features.ndim < 3:
             features = features[None]
         n_in = self.input_shape[0]
         out = []
         for clip in features:
-            windows = np.stack([clip[i:i + n_in] for i in range(0, clip.shape[0] - n_in, 1)])
+            if clip.shape[0] < n_in:
+                raise ValueError(
+                    f"Clip has {clip.shape[0]} feature frames; the head needs "
+                    f"at least {n_in} for one window")
+            # inclusive end: a clip with exactly n_in frames is one window
+            windows = np.stack([clip[i:i + n_in]
+                                for i in range(0, clip.shape[0] - n_in + 1)])
             out.append(self.forward(windows, params=model)[None])
         return np.vstack(out)
 

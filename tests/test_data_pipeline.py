@@ -260,6 +260,35 @@ class TestReviewRegressions:
         assert gen.n_per_class["expand"] == 10
         assert gen.n_per_class["plain"] == 30
 
+    def test_mmap_labels_track_input_rows_under_expanding_transform(
+            self, tmp_path, rng):
+        """Label files index INPUT rows; a row-count-changing data transform
+        must not shift which label rows are sliced (they are remapped by the
+        label transform, not by the post-transform count)."""
+        import openwakeword_tpu.data as D
+        p = str(tmp_path / "x.npy")
+        lp = str(tmp_path / "y.npy")
+        data = np.arange(40, dtype=np.float32).reshape(40, 1, 1)
+        np.save(p, np.tile(data, (1, 16, 96)))
+        np.save(lp, np.arange(40, dtype=np.float32))    # label == row index
+        doubler = lambda x: np.concatenate([x, x])
+        gen = D.mmap_batch_generator(
+            {"c": p}, label_files={"c": lp}, n_per_class={"c": 4},
+            data_transform_funcs={"c": doubler},
+            label_transform_funcs={"c": lambda y: np.concatenate([y, y])})
+        x1, y1 = next(gen)
+        np.testing.assert_array_equal(np.sort(np.unique(y1)), [0, 1, 2, 3])
+        x2, y2 = next(gen)
+        # second batch continues at input row 4 (pre-transform counter)
+        np.testing.assert_array_equal(np.sort(np.unique(y2)), [4, 5, 6, 7])
+        # labels still describe their rows after the transform
+        np.testing.assert_array_equal(x2[:, 0, 0], y2)
+
+    def test_filter_audio_paths_rejects_unknown_method(self, tmp_path):
+        import openwakeword_tpu.data as D
+        with pytest.raises(ValueError, match="duration_method"):
+            D.filter_audio_paths([str(tmp_path)], 0, 10, duration_method="sizes")
+
     def test_reverberate_batched_rirs(self, rng):
         """Per-example (B, L) RIRs align each row to its own direct path
         (round-3 review: the flattened argmax applied one wrong shift)."""

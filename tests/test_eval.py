@@ -51,6 +51,22 @@ class TestFalseAcceptsPerHour:
         scores[0] = 1.0
         assert E.false_accepts_per_hour(scores, 0.5) == pytest.approx(1.0)
 
+    def test_no_grouping_across_file_boundaries(self):
+        """An activation at the end of file A and one at the start of file
+        B are TWO events; concatenation would let the 4 s grouping window
+        suppress B's."""
+        a = np.zeros(100)
+        a[-1] = 1.0
+        b = np.zeros(350)
+        b[0] = 1.0
+        # per-file streams: 2 events over 1 h worth of frames
+        total_h = (a.size + b.size) * 0.08 / 3600.0
+        assert E.false_accepts_per_hour([a, b], 0.5) == \
+            pytest.approx(2 / total_h)
+        # the concatenated form shows the boundary-suppression bias
+        assert E.false_accepts_per_hour(np.concatenate([a, b]), 0.5) == \
+            pytest.approx(1 / total_h)
+
 
 class TestFalseRejectRate:
     def test_per_clip_max_rule(self):

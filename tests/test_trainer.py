@@ -87,7 +87,12 @@ def test_predict_on_features_sliding_windows(rng):
     clips = rng.normal(0, 1, (2, 30, 96)).astype(np.float32)
     preds = t.predict_on_features(clips)
     assert preds.shape[0] == 2
-    assert preds.shape[1] == 30 - 16  # step-1 sliding windows
+    # step-1 sliding windows, INCLUDING the final valid window (start =
+    # frames - 16; the reference's range excludes it — documented fix)
+    assert preds.shape[1] == 30 - 16 + 1
+    # a clip with exactly one window's worth of frames scores one window
+    one = t.predict_on_features(rng.normal(0, 1, (1, 16, 96)).astype(np.float32))
+    assert one.shape[:2] == (1, 1)
 
 
 def test_mesh_data_parallel_matches_single_device(rng):
