@@ -22,6 +22,8 @@ zeroing, and the VAD gate over scores 0.4-0.56 s back.
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import functools
+import os
+import pickle
 
 import numpy as np
 import jax
@@ -90,6 +92,12 @@ class MultiStreamEngine:
     Gating options (vad_threshold / patience / threshold / debounce_time) are
     engine-static: they compile into the fused step. Per-call overrides, which
     the single-stream Model supports, would force retraces at 50k-stream scale.
+
+    ``custom_verifier_models`` maps a loaded model name to its speaker-specific
+    verifier (a pickle path, a trained sklearn pipeline, or an already-folded
+    ``(w, b)`` pair); the second stage fuses into the on-device step as one
+    stacked affine+sigmoid over the feature window (host counterpart:
+    Model._apply_verifiers; reference model.py:319-328).
     """
 
     def __init__(self,
@@ -99,6 +107,8 @@ class MultiStreamEngine:
                  patience: Optional[Dict[str, int]] = None,
                  threshold: Optional[Dict[str, float]] = None,
                  debounce_time: float = 0.0,
+                 custom_verifier_models: Optional[Dict[str, object]] = None,
+                 custom_verifier_threshold: float = 0.1,
                  embedding_params=None,
                  vad_params=None,
                  mesh: Optional[Mesh] = None,
@@ -256,6 +266,56 @@ class MultiStreamEngine:
             if n_cls == 1:
                 self._recycle_mask[start:end] = 1.0
 
+        # ---- fused verifier second stage ----
+        # Speaker-specific verifiers (reference model.py:319-328) run fully
+        # on device: each trained scaler+logistic-regression pipeline folds
+        # into one affine form (custom_verifier_model.fold_verifier), stacked
+        # per label into a single (L, F*96) matmul applied wherever the base
+        # score reaches custom_verifier_threshold. The host Model runs the
+        # same second stage through sklearn, one stream at a time; here it
+        # costs one tiny einsum across all streams.
+        self.custom_verifier_threshold = float(custom_verifier_threshold)
+        # falsy entries mean "no verifier" (host Model load-loop contract)
+        provided_verifiers = {k: v for k, v in (custom_verifier_models or {}).items() if v}
+        self._use_verifiers = bool(provided_verifiers)
+        if self._use_verifiers:
+            from openwakeword_tpu.custom_verifier_model import fold_verifier
+            unmatched = sorted(set(provided_verifiers) - set(self.model_names))
+            if unmatched:
+                raise ValueError(
+                    f"custom_verifier_models keys {unmatched} do not name any "
+                    f"loaded base model (loaded: {sorted(self.model_names)}); "
+                    "key every verifier by the model it verifies")
+            F = self.max_head_frames
+            frames_of = {name: int(meta["input_frames"])
+                         for name, meta, _ in self._head_metas}
+            ver_w = np.zeros((n_labels, F * config.EMB_DIM), dtype=np.float32)
+            ver_b = np.zeros(n_labels, dtype=np.float32)
+            self._verifier_mask = np.zeros(n_labels, dtype=bool)
+            for start, end, name, n_cls, mapping in label_head_slices:
+                spec = provided_verifiers.get(name)
+                if not spec:
+                    continue
+                if isinstance(spec, (tuple, list)) and len(spec) == 2:
+                    w, b = np.asarray(spec[0], np.float32), np.float32(spec[1])
+                else:
+                    if isinstance(spec, (str, os.PathLike)):
+                        with open(spec, "rb") as f:
+                            spec = pickle.load(f)
+                    w, b = fold_verifier(spec)
+                fh = frames_of[name]
+                if w.shape != (fh * config.EMB_DIM,):
+                    raise ValueError(
+                        f"verifier for '{name}' covers {w.shape[0] // config.EMB_DIM} "
+                        f"feature frames but the head reads {fh}; retrain the "
+                        "verifier on the head's own feature windows")
+                # heads shorter than the widest read the TRAILING fh frames
+                # of the shared feature ring; zero leading coefficients make
+                # the full-ring flatten equivalent to the head's own window
+                ver_w[start:end, (F - fh) * config.EMB_DIM:] = w
+                ver_b[start:end] = b
+                self._verifier_mask[start:end] = True
+
         # ---- shared frontend params ----
         if embedding_params is None:
             from openwakeword_tpu.features import _load_embedding_params
@@ -286,6 +346,12 @@ class MultiStreamEngine:
             self.params = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16) if getattr(a, "ndim", 0) >= 2 else a,
                 self.params)
+        if self._use_verifiers:
+            # added after the bf16 cast: verifier coefficients stay f32 (the
+            # second stage replaces the final score — quantizing it would add
+            # drift to exactly the decisions it exists to sharpen)
+            self.params["verifier"] = {"w": jnp.asarray(ver_w),
+                                       "b": jnp.asarray(ver_b)}
 
         # ---- compiled programs ----
         self._step_fn = jax.jit(self._build_step(), donate_argnums=(1,))
@@ -467,6 +533,10 @@ class MultiStreamEngine:
                     "fast": jax.lax.Precision.DEFAULT,
                     "bf16": None}[self._stage_modes["mel"]]
         use_patience, use_debounce = self._use_patience, self._use_debounce
+        use_verifiers = self._use_verifiers
+        if use_verifiers:
+            verifier_mask = jnp.asarray(self._verifier_mask)
+            verifier_threshold = self.custom_verifier_threshold
         patience_vec = jnp.asarray(self._patience_vec)
         threshold_vec = jnp.asarray(self._threshold_vec)
         debounce_frames = self._debounce_frames
@@ -559,6 +629,27 @@ class MultiStreamEngine:
             if masked:
                 recycled = state["score_hist"][:, :, -1] * recycle_mask
                 scores = jnp.where(valid[:, None], scores, recycled)
+
+            if use_verifiers:
+                # Second-stage speaker verification (host contract:
+                # model.py._apply_verifiers, reference model.py:319-328):
+                # every label at or above the verifier threshold — including
+                # a recycled score on a starved masked slot, exactly as the
+                # host re-verifies recycle ticks — is replaced by its parent
+                # model's folded verifier applied to the same feature window
+                # the head saw (a starved slot's window stays frozen).
+                ver_ring = feat_ring
+                if masked:
+                    v = valid[:, None, None]
+                    ver_ring = jnp.where(v, feat_ring, state["feat_ring"])
+                wflat = ver_ring.astype(jnp.float32).reshape(ver_ring.shape[0], -1)
+                ver_scores = jax.nn.sigmoid(
+                    jnp.einsum("sf,lf->sl", wflat, params["verifier"]["w"],
+                               precision=jax.lax.Precision.HIGHEST)
+                    + params["verifier"]["b"])
+                scores = jnp.where(verifier_mask[None, :]
+                                   & (scores >= verifier_threshold),
+                                   ver_scores, scores)
 
             # Shared warm-up / patience / debounce post-processing (gating.py;
             # the host Model runs the same functions with numpy)

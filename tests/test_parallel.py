@@ -302,3 +302,81 @@ class TestReviewRegressions:
                                    np.array([True, False]))
             s2 = e2.predict(chunk[None])
             np.testing.assert_allclose(s1[0], s2[0], atol=1e-6, err_msg=f"frame {t}")
+
+
+class TestFusedVerifier:
+    """The verifier second stage fused into the on-device step must match
+    the host Model's sklearn path (reference model.py:319-328 contract)."""
+
+    @pytest.fixture(scope="class")
+    def verifier_pipeline(self):
+        from openwakeword_tpu.custom_verifier_model import train_verifier_model
+        rng = np.random.default_rng(7)
+        X = rng.normal(0, 1, (40, 16, 96)).astype(np.float32)
+        y = (rng.random(40) > 0.5).astype(int)
+        return train_verifier_model(X, y)
+
+    def test_matches_host_model(self, audio, verifier_pipeline, tmp_path_factory):
+        import pickle
+        path = str(tmp_path_factory.mktemp("ver") / "alexa_verifier.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(verifier_pipeline, f)
+        eng = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0,
+                                custom_verifier_models={"alexa": path},
+                                custom_verifier_threshold=0.0)
+        ref = oww.Model(wakeword_models=["alexa"],
+                        custom_verifier_models={"alexa": path},
+                        custom_verifier_threshold=0.0)
+        for t in range(12):
+            chunks = audio[:, t * 1280:(t + 1) * 1280]
+            es = eng.predict(chunks)
+            rs = ref.predict(chunks[0])
+            assert abs(es[0, 0] - rs["alexa"]) < 1e-5, f"frame {t}"
+
+    def test_pipeline_and_folded_forms_agree(self, audio, verifier_pipeline):
+        from openwakeword_tpu.custom_verifier_model import fold_verifier
+        e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1, rng_seed=0,
+                               custom_verifier_models={"alexa": verifier_pipeline},
+                               custom_verifier_threshold=0.0)
+        e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1, rng_seed=0,
+                               custom_verifier_models={"alexa": fold_verifier(verifier_pipeline)},
+                               custom_verifier_threshold=0.0)
+        for t in range(6):
+            chunk = audio[:1, t * 1280:(t + 1) * 1280]
+            np.testing.assert_allclose(e1.predict(chunk), e2.predict(chunk), atol=0)
+
+    def test_unreachable_threshold_is_inert(self, audio, verifier_pipeline):
+        base = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1, rng_seed=0)
+        gated = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1, rng_seed=0,
+                                  custom_verifier_models={"alexa": verifier_pipeline},
+                                  custom_verifier_threshold=1.1)
+        for t in range(6):
+            chunk = audio[:1, t * 1280:(t + 1) * 1280]
+            np.testing.assert_allclose(base.predict(chunk), gated.predict(chunk),
+                                       atol=1e-7)
+
+    def test_bad_key_raises(self, verifier_pipeline):
+        with pytest.raises(ValueError, match="do not name"):
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                              custom_verifier_models={"nope": verifier_pipeline})
+
+    def test_window_size_mismatch_raises(self, verifier_pipeline):
+        # the timer head reads 34 feature frames; a verifier trained on 16
+        # would silently mis-score without the shape guard
+        with pytest.raises(ValueError, match="feature frames"):
+            MultiStreamEngine(wakeword_models=["timer"], n_streams=1,
+                              custom_verifier_models={"timer": verifier_pipeline})
+
+    def test_masked_step_verifies_like_plain(self, audio, verifier_pipeline):
+        """A pool with one permanently-starved slot: the active slot's
+        verified scores must match a plain verified engine."""
+        kw = dict(custom_verifier_models={"alexa": verifier_pipeline},
+                  custom_verifier_threshold=0.0)
+        e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0, **kw)
+        e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1, rng_seed=0, **kw)
+        for t in range(6):
+            chunk = audio[0, t * 1280:(t + 1) * 1280]
+            s1 = e1.predict_masked(np.stack([chunk, np.zeros(1280, np.int16)]),
+                                   np.array([True, False]))
+            s2 = e2.predict(chunk[None])
+            np.testing.assert_allclose(s1[0], s2[0], atol=1e-6, err_msg=f"frame {t}")
