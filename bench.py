@@ -46,6 +46,7 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
         use_pallas_melspec=(None if "BENCH_PALLAS" not in os.environ
                             else os.environ["BENCH_PALLAS"] == "1"),
         precision=os.environ.get("BENCH_PRECISION", "high"),
+        enable_noise_suppression=os.environ.get("BENCH_NS", "0") == "1",
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "2")))
     # drive the engine's real multi-frame program (the predict_frames path),
     # reduced to a scalar for the sync fetch

@@ -142,8 +142,16 @@ class Model():
         # Noise suppression (native C++ spectral-subtraction module; the
         # reference binds SpeexDSP here, model.py:200-205)
         if enable_speex_noise_suppression:
-            from openwakeword_tpu.ns import NoiseSuppression
-            self.speex_ns = NoiseSuppression(frame_size=160, sample_rate=16000)
+            from openwakeword_tpu.ns import JaxNoiseSuppression, NoiseSuppression
+            try:
+                self.speex_ns = NoiseSuppression(frame_size=160, sample_rate=16000)
+            except (ImportError, OSError, RuntimeError) as e:
+                # hosts without a C++ toolchain fall back to the XLA
+                # implementation of the same suppressor (<=1 LSB difference)
+                logging.warning(
+                    "native noise-suppression library unavailable (%s); "
+                    "falling back to the XLA suppressor (ops.ns_jax)", e)
+                self.speex_ns = JaxNoiseSuppression()
         else:
             self.speex_ns = None
 

@@ -71,3 +71,42 @@ class NoiseSuppression:
                 self._state = None
         except Exception:
             pass
+
+
+class JaxNoiseSuppression:
+    """Drop-in fallback when the native library cannot build (no compiler on
+    the host): the same suppressor as batched XLA ops (ops.ns_jax, <=1 int16
+    LSB vs native), run one stream at a time behind the ``process_frames``
+    interface the Model consumes. The multi-stream engine uses ops.ns_jax
+    directly inside its fused step."""
+
+    def __init__(self, frame_size: int = 160, sample_rate: int = 16000):
+        from openwakeword_tpu.ops import ns_jax
+        if frame_size != ns_jax.FRAME or sample_rate != 16000:
+            raise ValueError("JaxNoiseSuppression supports the 160-sample "
+                             "16 kHz frame contract only")
+        import jax
+        self.frame_size = frame_size
+        self._ns_jax = ns_jax
+        self._state = ns_jax.init_state(1)
+        self._step = jax.jit(ns_jax.step)   # fixed (1, 160) shape: no retraces
+
+    def process(self, frame: np.ndarray) -> np.ndarray:
+        frame = np.ascontiguousarray(frame, dtype=np.int16)
+        self._state, out = self._step(self._state,
+                                      frame.astype(np.float32)[None])
+        return np.asarray(out[0]).astype(np.int16)
+
+    def process_frames(self, x: np.ndarray) -> np.ndarray:
+        """Suppress an arbitrary-length int16 buffer frame by frame; the
+        sub-frame tail passes through (native process_frames contract)."""
+        x = np.ascontiguousarray(x, dtype=np.int16)
+        out = np.empty_like(x)
+        fs = self.frame_size
+        for i in range(0, x.shape[0], fs):
+            chunk = x[i:i + fs]
+            if chunk.shape[0] == fs:
+                out[i:i + fs] = self.process(chunk)
+            else:
+                out[i:i + chunk.shape[0]] = chunk
+        return out

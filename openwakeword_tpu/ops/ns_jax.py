@@ -1,0 +1,122 @@
+"""Batched on-device noise suppression for the multi-stream engine.
+
+Same algorithm and numerics as the native host-side suppressor
+(native/ns.cpp — itself the TPU build's equivalent of the SpeexDSP
+preprocessor the reference binds, reference model.py:200-205, 481-504):
+50%-overlap sqrt-Hann analysis/synthesis, per-bin smoothed power,
+minimum-statistics noise-floor tracking, Wiener-style gain with a spectral
+floor, overlap-add resynthesis — but expressed as batched XLA ops with a
+leading stream axis, so suppression runs inside the fused engine step for
+every stream at once instead of one 10 ms frame at a time on the host.
+The DFT is a table matmul (W=320, K=161): exactly the MXU-friendly shape
+the mel frontend already uses.
+
+Per-stream state: previous input frame, synthesis overlap tail, smoothed
+PSD, tracked noise floor, and a frame counter (drives the 20-frame warmup
+adaptation). All fixed-shape; carried in the engine's StreamState pytree.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+FRAME = 160          # 10 ms at 16 kHz (native ns.cpp frame contract)
+WIN = 2 * FRAME      # 50% overlap analysis window
+BINS = FRAME + 1     # real-DFT bins
+
+NOISE_RISE = 1.0020  # slow multiplicative noise-floor rise (~ +0.9 dB/s)
+GAIN_FLOOR = 0.18    # max attenuation ~ -15 dB
+OVER_SUB = 1.4       # over-subtraction factor
+PSD_ALPHA = 0.82     # power smoothing
+WARMUP_FRAMES = 20   # fast initial noise adaptation window
+
+
+def _tables():
+    """sqrt-Hann window and DFT cos/sin tables, identical to the native
+    library's (ns.cpp owwns_create). Returned as numpy constants (embedded
+    into each jitted program at trace time — a cached jnp array populated
+    inside a trace would leak that trace's tracers)."""
+    n = np.arange(WIN)
+    window = np.sqrt(0.5 - 0.5 * np.cos(2.0 * np.pi * n / WIN)).astype(np.float32)
+    k = np.arange(BINS)
+    ang = 2.0 * np.pi * np.outer(n, k) / WIN                  # (WIN, BINS)
+    return (window,
+            np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32))
+
+
+_WINDOW, _COS_TAB, _SIN_TAB = _tables()
+
+
+def init_state(n_streams: int):
+    """Fresh per-stream suppressor state (ns.cpp owwns_create init values)."""
+    S = n_streams
+    return {
+        "prev_in": jnp.zeros((S, FRAME), jnp.float32),
+        "overlap": jnp.zeros((S, FRAME), jnp.float32),
+        "psd": jnp.zeros((S, BINS), jnp.float32),
+        "noise": jnp.full((S, BINS), 1e6, jnp.float32),   # start high, adapt down
+        "frames_seen": jnp.zeros((S,), jnp.int32),
+    }
+
+
+def step(state, frame, precision=jax.lax.Precision.HIGHEST):
+    """Suppress one (S, 160) float32 frame of int16-range PCM.
+
+    Returns (state', (S, 160) suppressed samples, rounded and clipped to the
+    int16 grid like the native path's output short cast).
+    """
+    window, cos_tab, sin_tab = _WINDOW, _COS_TAB, _SIN_TAB
+
+    buf = jnp.concatenate([state["prev_in"] * window[:FRAME],
+                           frame * window[FRAME:]], axis=-1)        # (S, 320)
+    re = jnp.dot(buf, cos_tab, precision=precision)                 # (S, 161)
+    im = -jnp.dot(buf, sin_tab, precision=precision)
+
+    frames_seen = state["frames_seen"] + 1
+    warmup = (frames_seen <= WARMUP_FRAMES)[:, None]                # (S, 1)
+
+    p = re * re + im * im
+    psd = PSD_ALPHA * state["psd"] + (1.0 - PSD_ALPHA) * p
+    noise_warm = jnp.minimum(0.7 * state["noise"] + 0.3 * psd, psd)
+    noise_run = jnp.where(psd < state["noise"], psd, state["noise"] * NOISE_RISE)
+    noise = jnp.where(warmup, noise_warm, noise_run)
+
+    g = jnp.where(psd > 1e-12, (psd - OVER_SUB * noise) / psd, 0.0)
+    g = jnp.clip(g, GAIN_FLOOR, 1.0)
+    re = re * g
+    im = im * g
+
+    # inverse real DFT with conjugate-symmetry weights (1 at DC/Nyquist)
+    wk = jnp.concatenate([jnp.ones(1), jnp.full(BINS - 2, 2.0), jnp.ones(1)]
+                         ).astype(jnp.float32)
+    synth = (jnp.dot(re * wk, cos_tab.T, precision=precision)
+             - jnp.dot(im * wk, sin_tab.T, precision=precision))    # (S, 320)
+    synth = synth * (window / WIN)
+
+    out = jnp.clip(jnp.round(synth[:, :FRAME] + state["overlap"]),
+                   -32768.0, 32767.0)
+    new_state = {
+        "prev_in": frame,
+        "overlap": synth[:, FRAME:],
+        "psd": psd,
+        "noise": noise,
+        "frames_seen": frames_seen,
+    }
+    return new_state, out
+
+
+def process_chunk(state, chunk, precision=jax.lax.Precision.HIGHEST):
+    """Suppress a (S, k*160) chunk frame by frame (the engine's 1280-sample
+    step = 8 suppressor frames). Returns (state', suppressed chunk)."""
+    S, n = chunk.shape
+    if n % FRAME:
+        raise ValueError(f"NS chunk length {n} is not a multiple of {FRAME}")
+    frames = chunk.reshape(S, n // FRAME, FRAME)
+
+    def body(st, fr):
+        st, out = step(st, fr, precision=precision)
+        return st, out
+
+    state, outs = jax.lax.scan(body, state, jnp.swapaxes(frames, 0, 1))
+    return state, jnp.swapaxes(outs, 0, 1).reshape(S, n)

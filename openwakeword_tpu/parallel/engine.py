@@ -36,6 +36,7 @@ from openwakeword_tpu.models import embedding_stream
 from openwakeword_tpu.models import heads as heads_lib
 from openwakeword_tpu.models import vad_net
 from openwakeword_tpu.ops import melspec as melspec_ops
+from openwakeword_tpu.ops import ns_jax
 
 MEL_RING = config.EMB_WINDOW_FRAMES          # 76 frames (chunk=1280 => k=1)
 
@@ -109,6 +110,7 @@ class MultiStreamEngine:
                  debounce_time: float = 0.0,
                  custom_verifier_models: Optional[Dict[str, object]] = None,
                  custom_verifier_threshold: float = 0.1,
+                 enable_noise_suppression: bool = False,
                  embedding_params=None,
                  vad_params=None,
                  mesh: Optional[Mesh] = None,
@@ -121,6 +123,14 @@ class MultiStreamEngine:
 
         self.n_streams = int(n_streams)
         self.vad_threshold = float(vad_threshold)
+        # on-device batched noise suppression (ops.ns_jax): same algorithm
+        # and 1-LSB-level numerics as the native host-side suppressor the
+        # single-stream Model binds (Model(enable_speex_noise_suppression=
+        # True) -> native/ns.cpp), but fused into the step so suppression
+        # scales with the stream axis instead of running 10 ms frames one at
+        # a time on the host. The VAD still hears the RAW audio (host
+        # contract: Model.predict suppresses the preprocessor input only).
+        self.enable_noise_suppression = bool(enable_noise_suppression)
         self.mesh = mesh
         # incremental: stream the embedding CNN with per-layer activation
         # caches (~8x fewer FLOPs, bit-identical scores -- embedding_stream);
@@ -437,6 +447,10 @@ class MultiStreamEngine:
             state["vad_h"] = jnp.zeros((S, config.VAD_STATE_LAYERS, config.VAD_STATE_DIM), jnp.float32)
             state["vad_c"] = jnp.zeros((S, config.VAD_STATE_LAYERS, config.VAD_STATE_DIM), jnp.float32)
             state["vad_ring"] = jnp.full((S, VAD_RING), -1.0, jnp.float32)
+        if self.enable_noise_suppression:
+            # suppressor state stays f32 even in bf16 mode: the PSD / noise
+            # floor span ~12 orders of magnitude and feed a ratio
+            state["ns"] = ns_jax.init_state(S)
         return state
 
     def reset(self):
@@ -533,6 +547,7 @@ class MultiStreamEngine:
                     "fast": jax.lax.Precision.DEFAULT,
                     "bf16": None}[self._stage_modes["mel"]]
         use_patience, use_debounce = self._use_patience, self._use_debounce
+        ns_on = self.enable_noise_suppression
         use_verifiers = self._use_verifiers
         if use_verifiers:
             verifier_mask = jnp.asarray(self._verifier_mask)
@@ -546,6 +561,9 @@ class MultiStreamEngine:
             """(params, state, (S, 1280) float32 raw PCM[, (S,) bool]) ->
             (state', (S, L) scores)."""
             chunk = chunk.astype(jnp.float32)
+            raw_chunk = chunk   # the VAD hears unsuppressed audio (host contract)
+            if ns_on:
+                ns_state, chunk = ns_jax.process_chunk(state["ns"], chunk)
             window = jnp.concatenate([state["pcm_tail"], chunk], axis=-1)     # (S, 1760)
             if use_pallas:
                 from openwakeword_tpu.ops.melspec_pallas import melspectrogram_pallas
@@ -671,6 +689,8 @@ class MultiStreamEngine:
                 "frames_seen": state["frames_seen"] + 1,
                 "ticks": state["ticks"] + 1,
             }
+            if ns_on:
+                new_state["ns"] = ns_state
             if use_patience:
                 raw_push = raw_scores
                 if masked:
@@ -701,6 +721,11 @@ class MultiStreamEngine:
                 if incremental:
                     new_state["conv_caches"] = jax.tree.map(
                         keep, new_state["conv_caches"], state["conv_caches"])
+                if ns_on:
+                    # a starved slot heard no audio: its suppressor state
+                    # (noise floor, overlap tail, frame counter) stays frozen
+                    new_state["ns"] = jax.tree.map(
+                        keep, new_state["ns"], state["ns"])
 
             if vad_on:
                 # reference VAD call path: two 640-sample chunks per 80 ms
@@ -710,8 +735,8 @@ class MultiStreamEngine:
                 # chunk is unseen (vad_net.py framing contract)
                 h = jnp.swapaxes(state["vad_h"], 0, 1)                         # (2, S, 64)
                 c = jnp.swapaxes(state["vad_c"], 0, 1)
-                s1, h, c = vad_apply(params["vad"], chunk[:, 0:640] / 32767.0, h, c)
-                s2, h, c = vad_apply(params["vad"], chunk[:, 640:1280] / 32767.0, h, c)
+                s1, h, c = vad_apply(params["vad"], raw_chunk[:, 0:640] / 32767.0, h, c)
+                s2, h, c = vad_apply(params["vad"], raw_chunk[:, 640:1280] / 32767.0, h, c)
                 vad_score = (s1 + s2) / 2.0
                 vad_ring = jnp.concatenate([state["vad_ring"][:, 1:], vad_score[:, None]], axis=-1)
                 new_state["vad_h"] = jnp.swapaxes(h, 0, 1)

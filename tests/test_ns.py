@@ -50,3 +50,57 @@ def test_model_integration(rng):
         pytest.skip(f"native NS unavailable: {e}")
     out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
     assert 0 <= out["alexa"] <= 1
+
+
+def test_jax_ns_matches_native(ns, rng):
+    """The batched on-device suppressor (ops.ns_jax) must reproduce the
+    native library sample-for-sample (same tables, same state recursions;
+    only float summation order differs -> at most 1 int16 LSB). A FRESH
+    native instance is required: the module fixture's noise floor has
+    already adapted to earlier tests' audio."""
+    import jax
+    from openwakeword_tpu.ns import NoiseSuppression
+    from openwakeword_tpu.ops import ns_jax
+    ns = NoiseSuppression()
+    n = 16000 * 2
+    t = np.arange(n) / 16000
+    x = (rng.normal(0, 800, n)
+         + 6000 * np.sin(2 * np.pi * 500 * t) * (np.sin(2 * np.pi * 1.2 * t) > 0.4)
+         ).clip(-32768, 32767).astype(np.int16)
+    y_native = ns.process_frames(x)
+    state = ns_jax.init_state(1)
+    state, y = jax.jit(ns_jax.process_chunk)(state, x.astype(np.float32)[None])
+    y_jax = np.asarray(y[0]).astype(np.int16)
+    d = np.abs(y_native.astype(np.int32) - y_jax.astype(np.int32))
+    assert d.max() <= 1, f"max deviation {d.max()} LSB"
+    assert (d == 0).mean() > 0.95
+
+
+def test_jax_fallback_class_matches_native(ns, rng):
+    """JaxNoiseSuppression (host fallback) behind the process_frames
+    interface must track a fresh native instance."""
+    from openwakeword_tpu.ns import JaxNoiseSuppression, NoiseSuppression
+    native = NoiseSuppression()
+    fallback = JaxNoiseSuppression()
+    x = rng.integers(-8000, 8000, 160 * 30 + 90).astype(np.int16)
+    y_native = native.process_frames(x)
+    y_jax = fallback.process_frames(x)
+    d = np.abs(y_native.astype(np.int32) - y_jax.astype(np.int32))
+    assert d.max() <= 1
+    np.testing.assert_array_equal(y_jax[160 * 30:], x[160 * 30:])  # tail passthrough
+
+
+def test_model_uses_fallback_when_native_unavailable(rng, monkeypatch):
+    """Model(enable_speex_noise_suppression=True) must still work when the
+    native library cannot load."""
+    import openwakeword_tpu as oww
+    from openwakeword_tpu import ns as ns_mod
+
+    def boom(*a, **k):
+        raise OSError("no compiler on this host")
+    monkeypatch.setattr(ns_mod, "_load_lib", boom)
+    m = oww.Model(wakeword_models=["alexa"], enable_speex_noise_suppression=True)
+    from openwakeword_tpu.ns import JaxNoiseSuppression
+    assert isinstance(m.speex_ns, JaxNoiseSuppression)
+    out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+    assert 0 <= out["alexa"] <= 1

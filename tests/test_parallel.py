@@ -380,3 +380,66 @@ class TestFusedVerifier:
                                    np.array([True, False]))
             s2 = e2.predict(chunk[None])
             np.testing.assert_allclose(s1[0], s2[0], atol=1e-6, err_msg=f"frame {t}")
+
+
+class TestEngineNoiseSuppression:
+    """On-device NS (ops.ns_jax) fused into the engine step."""
+
+    def test_equals_pre_suppressed_feed(self, audio):
+        """engine(enable_noise_suppression=True) on raw audio must score
+        identically to a plain engine fed host-suppressed audio (same
+        ns_jax program, so bit-equal modulo nothing)."""
+        import jax
+        from openwakeword_tpu.ops import ns_jax
+        e_ns = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                 rng_seed=0, enable_noise_suppression=True)
+        e_plain = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                    rng_seed=0)
+        ns_state = ns_jax.init_state(2)
+        proc = jax.jit(ns_jax.process_chunk)
+        for t in range(8):
+            chunk = audio[:, t * 1280:(t + 1) * 1280]
+            s1 = e_ns.predict(chunk)
+            ns_state, supp = proc(ns_state, chunk.astype(np.float32))
+            s2 = e_plain.predict(np.asarray(supp).astype(np.int16))
+            np.testing.assert_allclose(s1, s2, atol=1e-7, err_msg=f"frame {t}")
+
+    def test_vad_hears_raw_audio(self, audio):
+        """The VAD gate must read the unsuppressed audio (host Model
+        contract: predict() suppresses only the preprocessor input)."""
+        e_ns = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                 rng_seed=0, vad_threshold=0.5,
+                                 enable_noise_suppression=True)
+        e_raw = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                  rng_seed=0, vad_threshold=0.5)
+        for t in range(4):
+            chunk = audio[:, t * 1280:(t + 1) * 1280]
+            e_ns.predict(chunk)
+            e_raw.predict(chunk)
+        np.testing.assert_allclose(np.asarray(e_ns.state["vad_ring"]),
+                                   np.asarray(e_raw.state["vad_ring"]),
+                                   atol=1e-7)
+
+    def test_masked_starved_slot_freezes_ns_state(self, audio):
+        e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                               rng_seed=0, enable_noise_suppression=True)
+        e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                               rng_seed=0, enable_noise_suppression=True)
+        for t in range(6):
+            chunk = audio[0, t * 1280:(t + 1) * 1280]
+            s1 = e1.predict_masked(np.stack([chunk, np.zeros(1280, np.int16)]),
+                                   np.array([True, False]))
+            s2 = e2.predict(chunk[None])
+            np.testing.assert_allclose(s1[0], s2[0], atol=1e-6, err_msg=f"frame {t}")
+        # the starved slot's suppressor never advanced
+        assert int(np.asarray(e1.state["ns"]["frames_seen"])[1]) == 0
+
+    def test_predict_clips_with_ns(self, test_clips):
+        import wave
+        with wave.open(test_clips["alexa"], "rb") as f:
+            data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+        engine = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                   rng_seed=0, enable_noise_suppression=True)
+        scores = engine.predict_clips(np.stack([data, data]))
+        assert np.all((scores >= 0) & (scores <= 1))
+        np.testing.assert_allclose(scores[:, 0, 0], scores[:, 1, 0], atol=1e-6)
