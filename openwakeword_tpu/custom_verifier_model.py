@@ -16,39 +16,36 @@ engine via ``fold_verifier``.
 
 import os
 import pickle
-import wave
-from collections import defaultdict
 from typing import List, Union
 
 import numpy as np
 
 
-def _read_wav(path: str) -> np.ndarray:
-    with wave.open(path, mode="rb") as f:
-        return np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
-
-
 def get_reference_clip_features(reference_clip, oww_model, model_name: str,
                                 threshold: float = 0.5, N: int = 3, **kwargs) -> np.ndarray:
-    """Run a clip through the engine N times with random <=1280-sample start
-    offsets, harvesting the (F, 96) feature window behind every frame whose
-    score clears ``threshold``. Returns (n_hits, F, 96)."""
-    positive_data = defaultdict(list)
-    for _ in range(N):
-        dat = _read_wav(reference_clip) if isinstance(reference_clip, str) else reference_clip
-        if N != 1:
-            dat = dat[np.random.randint(0, 1280):]
-        step_size = 1280
-        for i in range(0, dat.shape[0] - step_size, step_size):
-            predictions = oww_model.predict(dat[i:i + step_size], **kwargs)
-            if predictions[model_name] >= threshold:
-                features = oww_model.preprocessor.get_features(oww_model.model_inputs[model_name])
-                positive_data[model_name].append(features)
+    """Harvest verifier-training windows from one reference clip.
 
-    if len(positive_data[model_name]) == 0:
-        positive_data[model_name].append(
-            np.empty((0, oww_model.model_inputs[model_name], 96)))
-    return np.vstack(positive_data[model_name])
+    Streams the clip through ``oww_model`` ``N`` times — each pass trimmed
+    at the start by a random sub-frame offset so the 80 ms window grid lands
+    differently — and collects the feature window behind every frame whose
+    ``model_name`` score clears ``threshold``. Mining contract per the
+    reference (custom_verifier_model.py:60-88); implemented over the
+    engine's shared ``_stream_chunks`` streaming helper.
+
+    Returns float32 ``(n_hits, F, 96)`` where F is the head's input frame
+    count; n_hits may be 0.
+    """
+    pcm = oww_model._read_pcm(reference_clip)
+    n_frames = int(oww_model.model_inputs[model_name])
+    hits: List[np.ndarray] = []
+    for _ in range(N):
+        trimmed = pcm[np.random.randint(0, 1280):] if N != 1 else pcm
+        for _, scores in oww_model._stream_chunks(trimmed, **kwargs):
+            if scores[model_name] >= threshold:
+                hits.append(oww_model.preprocessor.get_features(n_frames)[0])
+    if not hits:
+        return np.empty((0, n_frames, 96), dtype=np.float32)
+    return np.stack(hits).astype(np.float32)
 
 
 def flatten_features(x):

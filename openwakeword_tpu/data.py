@@ -168,17 +168,19 @@ def estimate_clip_duration(audio_files: List[str], sizes: List[int]) -> List[flo
 
 
 def estimate_mp3_duration(fpath: str) -> float:
-    """MP3 duration from metadata + file size for 16 kHz streams (reference
-    data.py:233-264 formula, including its hard-coded conversion factors)."""
-    conversion_factors = {1: 0.000333318208471784, 2: 0.000333318208471784 / 2}
+    """MP3 duration for 16 kHz mono/stereo streams (reference data.py:233-264
+    contract: 0.0 for non-16 kHz or unreadable files). Computed exactly from
+    the parsed headers via ``audio_meta.probe`` — the reference's hard-coded
+    size→seconds factors are a lossy approximation of the same quantity with
+    no score-parity role, so they are not reproduced here."""
     try:
         from openwakeword_tpu.utils.audio_meta import probe
         md = probe(fpath)
     except ValueError:
         return 0.0
-    if md.sample_rate != 16000 or md.channels not in conversion_factors:
+    if md.sample_rate != 16000 or md.channels not in (1, 2):
         return 0.0
-    return os.path.getsize(fpath) * conversion_factors[md.channels]
+    return md.duration
 
 
 def get_clip_duration(clip: str) -> float:
@@ -392,9 +394,20 @@ def mix_clips_batch(
                     A.mix_at_snr(noise, mixed_batch[rows], sub_snrs),
                     np.float32)
 
-        if rirs and np.random.random() <= rir_probability:
-            rir = read_audio(random.choice(rirs))
-            mixed_batch = np.asarray(A.reverberate(jnp.asarray(mixed_batch), jnp.asarray(rir)))
+        if rirs:
+            # Reverb application and RIR choice are drawn independently per
+            # clip (the reference draws once per batch, data.py:465-470,
+            # correlating the augmentation across all clips in a batch);
+            # rows sharing a chosen RIR are reverberated as one device call,
+            # like the colored-noise family batching above.
+            sel = np.random.random(mixed_batch.shape[0]) <= rir_probability
+            choice = np.random.randint(0, len(rirs), mixed_batch.shape[0])
+            for r in np.unique(choice[sel]):
+                rows = np.where(sel & (choice == r))[0]
+                rir = read_audio(rirs[r])
+                mixed_batch[rows] = np.asarray(
+                    A.reverberate(jnp.asarray(mixed_batch[rows]),
+                                  jnp.asarray(rir)), np.float32)
 
         if volume_augmentation:
             volume_levels = np.random.uniform(0.02, 1.0, mixed_batch.shape[0])

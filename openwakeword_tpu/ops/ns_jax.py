@@ -73,7 +73,10 @@ def step(state, frame, precision=jax.lax.Precision.HIGHEST):
     re = jnp.dot(buf, cos_tab, precision=precision)                 # (S, 161)
     im = -jnp.dot(buf, sin_tab, precision=precision)
 
-    frames_seen = state["frames_seen"] + 1
+    # Clamp once past warmup: an int32 counter would wrap negative after
+    # ~2^31 frames (~248 days of continuous audio) and re-trigger the
+    # warmup branch, dropping the tracked noise floor on long-lived streams.
+    frames_seen = jnp.minimum(state["frames_seen"] + 1, WARMUP_FRAMES + 1)
     warmup = (frames_seen <= WARMUP_FRAMES)[:, None]                # (S, 1)
 
     p = re * re + im * im

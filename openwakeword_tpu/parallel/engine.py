@@ -357,10 +357,13 @@ class MultiStreamEngine:
                 lambda a: a.astype(jnp.bfloat16) if getattr(a, "ndim", 0) >= 2 else a,
                 self.params)
         if self._use_verifiers:
-            # added after the bf16 cast: verifier coefficients stay f32 (the
-            # second stage replaces the final score — quantizing it would add
-            # drift to exactly the decisions it exists to sharpen)
-            self.params["verifier"] = {"w": jnp.asarray(ver_w),
+            # Coefficients match the feature-ring dtype so the fused einsum
+            # consumes both operands natively (bf16 inputs would otherwise
+            # force a full (S, F*96) f32 promotion of the ring every step);
+            # accumulation stays f32 via preferred_element_type, and in bf16
+            # mode the ring's own quantization dominates any weight rounding.
+            ver_dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
+            self.params["verifier"] = {"w": jnp.asarray(ver_w, ver_dtype),
                                        "b": jnp.asarray(ver_b)}
 
         # ---- compiled programs ----
@@ -660,10 +663,14 @@ class MultiStreamEngine:
                 if masked:
                     v = valid[:, None, None]
                     ver_ring = jnp.where(v, feat_ring, state["feat_ring"])
-                wflat = ver_ring.astype(jnp.float32).reshape(ver_ring.shape[0], -1)
+                # Feed the ring at its stored dtype (bf16 in low-precision
+                # mode) and accumulate in f32 — avoids materializing a full
+                # (S, F*96) f32 transient at 50k-stream scale.
+                wflat = ver_ring.reshape(ver_ring.shape[0], -1)
                 ver_scores = jax.nn.sigmoid(
                     jnp.einsum("sf,lf->sl", wflat, params["verifier"]["w"],
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
                     + params["verifier"]["b"])
                 scores = jnp.where(verifier_mask[None, :]
                                    & (scores >= verifier_threshold),

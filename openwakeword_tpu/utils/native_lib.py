@@ -19,8 +19,9 @@ NATIVE_DIR = os.path.join(
 def build_and_load(so_name: str, source_name: str) -> ctypes.CDLL:
     """Load ``native/<so_name>``, building it first if only sources exist.
 
-    Raises ImportError when neither the library nor its sources are
-    available; any make/compiler failure propagates as CalledProcessError.
+    Raises ImportError when the library cannot be produced — missing
+    sources, missing ``make``, or a failing compiler — so callers can treat
+    "no native library" as one condition and fall back uniformly.
     """
     lib_path = os.path.join(NATIVE_DIR, so_name)
     if not os.path.exists(lib_path):
@@ -28,6 +29,12 @@ def build_and_load(so_name: str, source_name: str) -> ctypes.CDLL:
             raise ImportError(
                 f"Native library not found at {lib_path} and its sources "
                 "are unavailable to build it.")
-        subprocess.run(["make", "-C", NATIVE_DIR, so_name], check=True,
-                       capture_output=True)
+        try:
+            subprocess.run(["make", "-C", NATIVE_DIR, so_name], check=True,
+                           capture_output=True)
+        except (subprocess.CalledProcessError, OSError) as e:
+            detail = getattr(e, "stderr", b"") or b""
+            raise ImportError(
+                f"Building {so_name} failed (no working C++ toolchain?): "
+                f"{e} {detail.decode(errors='replace')[-400:]}") from e
     return ctypes.CDLL(lib_path)

@@ -137,8 +137,13 @@ class TestDurationEstimation:
     def test_estimate_mp3_duration(self, tmp_path):
         p = make_mp3(str(tmp_path / "m.mp3"), n_frames=50)
         d = D.estimate_mp3_duration(p)
-        # the reference's hard-coded conversion factor, size-proportional
-        assert d == pytest.approx(os.path.getsize(p) * 0.000333318208471784)
+        # exact header-derived duration: 50 MPEG-2 layer-III frames of 576
+        # samples at 16 kHz
+        assert d == pytest.approx(50 * 576 / 16000, rel=1e-6)
+
+    def test_estimate_mp3_duration_rejects_other_rates(self, tmp_path):
+        p = make_wav(str(tmp_path / "w.wav"), seconds=1.0, sr=8000)
+        assert D.estimate_mp3_duration(p) == 0.0
 
     def test_get_clip_duration_flac(self, tmp_path):
         p = make_flac(str(tmp_path / "f.flac"), total_samples=32000)

@@ -88,6 +88,38 @@ class TestMixing:
         assert seq_labels.shape == (batch.shape[0], int(np.ceil((32000 - 12400) / 1280)))
         assert bgs.shape == (batch.shape[0], 32000)
 
+    def test_mix_clips_batch_rir_draws_are_per_clip(self, tmp_path, rng):
+        """Reverb must be drawn independently per clip: within ONE batch some
+        rows carry the echo RIR and some do not (a per-batch draw — the
+        reference's behavior — makes every row identical in this respect)."""
+        lag = 800
+        fg_paths = []
+        for i in range(48):
+            p = str(tmp_path / f"fg{i}.wav")
+            D.write_audio(p, rng.uniform(-0.5, 0.5, 32000).astype(np.float32))
+            fg_paths.append(p)
+        bg = str(tmp_path / "bg.wav")
+        D.write_audio(bg, rng.uniform(-0.005, 0.005, 40000).astype(np.float32))
+        identity = np.zeros(4000, np.float32); identity[0] = 1.0
+        echo = np.zeros(4000, np.float32); echo[0] = 1.0; echo[lag] = 0.9
+        rir_i = str(tmp_path / "rir_identity.wav")
+        rir_e = str(tmp_path / "rir_echo.wav")
+        D.write_audio(rir_i, identity)
+        D.write_audio(rir_e, echo)
+
+        gen = D.mix_clips_batch(fg_paths, [bg], combined_size=32000,
+                                batch_size=48, snr_low=30, snr_high=30,
+                                rirs=[rir_i, rir_e], rir_probability=0.5,
+                                volume_augmentation=False, seed=11)
+        batch, _, _ = next(gen)
+        y = batch.astype(np.float64)
+        # normalized lag-`lag` autocorrelation: ~0.5 for echoed white noise
+        # (1 + 0.9-delayed copy), ~0 otherwise
+        c = (np.einsum("bt,bt->b", y[:, lag:], y[:, :-lag])
+             / np.einsum("bt,bt->b", y, y))
+        assert (c > 0.25).any(), "no clip in the batch got the echo RIR"
+        assert (c < 0.25).any(), "every clip in the batch was reverberated identically"
+
     def test_frame_labels(self):
         lbl = D.get_frame_labels(32000, 2000, 10000)
         assert lbl.shape == (int(np.ceil((32000 - 12400) / 1280)),)

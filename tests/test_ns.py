@@ -104,3 +104,33 @@ def test_model_uses_fallback_when_native_unavailable(rng, monkeypatch):
     assert isinstance(m.speex_ns, JaxNoiseSuppression)
     out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
     assert 0 <= out["alexa"] <= 1
+
+
+def test_model_falls_back_when_make_fails(rng, monkeypatch, tmp_path):
+    """The 'host has make but g++ fails' scenario: build_and_load must turn
+    the compiler failure into ImportError so Model still falls back."""
+    import subprocess
+
+    import openwakeword_tpu as oww
+    from openwakeword_tpu import ns as ns_mod
+    from openwakeword_tpu.ns import JaxNoiseSuppression
+    from openwakeword_tpu.utils import native_lib
+
+    # point the loader at a dir that has the source but no .so, with a make
+    # that always fails; drop the process-wide lib cache so the build runs
+    (tmp_path / "ns.cpp").write_text("// present so the build path is taken")
+    monkeypatch.setattr(native_lib, "NATIVE_DIR", str(tmp_path))
+    monkeypatch.setattr(ns_mod, "_lib", None)
+
+    def failing_run(*a, **k):
+        raise subprocess.CalledProcessError(
+            1, a[0], stderr=b"g++: fatal error: no such compiler")
+    monkeypatch.setattr(native_lib.subprocess, "run", failing_run)
+
+    with pytest.raises(ImportError, match="toolchain"):
+        native_lib.build_and_load("libowwns.so", "ns.cpp")
+
+    m = oww.Model(wakeword_models=["alexa"], enable_speex_noise_suppression=True)
+    assert isinstance(m.speex_ns, JaxNoiseSuppression)
+    out = m.predict(rng.integers(-1000, 1000, 1280).astype(np.int16))
+    assert 0 <= out["alexa"] <= 1
