@@ -58,7 +58,7 @@ class _TfliteBuilder:
     # -- graph building --------------------------------------------------
 
     def add_tensor(self, shape, name: str, data: np.ndarray = None,
-                   ttype: int = 0) -> int:
+                   ttype: int = 0, is_variable: bool = False) -> int:
         buf_idx = 0
         if data is not None:
             self.buffers.append(self._buffer(np.ascontiguousarray(data).tobytes()))
@@ -71,6 +71,8 @@ class _TfliteBuilder:
         b.PrependInt8Slot(1, ttype, 0)
         b.PrependUint32Slot(2, buf_idx, 0)
         b.PrependUOffsetTRelativeSlot(3, name_off, 0)
+        if is_variable:
+            b.PrependBoolSlot(5, True, False)
         self.tensors.append(b.EndObject())
         return len(self.tensors) - 1
 
@@ -99,10 +101,14 @@ class _TfliteBuilder:
     OPT_TRANSPOSE = 26
     OPT_STRIDED_SLICE = 32
     OPT_SQUARED_DIFFERENCE = 76
+    OPT_CONCATENATION = 10
+    OPT_UNIDIRECTIONAL_SEQUENCE_LSTM = 71
+    OPT_REVERSE_V2 = 81
 
-    # Padding enum: SAME=0, VALID=1; ActivationFunctionType: NONE=0, RELU=1
+    # Padding enum: SAME=0, VALID=1
     PAD_SAME, PAD_VALID = 0, 1
-    ACT_NONE, ACT_RELU = 0, 1
+    # ActivationFunctionType: NONE=0, RELU=1, TANH=4
+    ACT_NONE, ACT_RELU, ACT_TANH = 0, 1, 4
 
     def _conv2d_options(self, padding: int, stride_h: int, stride_w: int,
                         activation: int = 0):
@@ -157,6 +163,22 @@ class _TfliteBuilder:
         b.PrependBoolSlot(0, keep_dims, False)
         return b.EndObject()
 
+    def _concatenation_options(self, axis: int):
+        b = self.b
+        b.StartObject(2)
+        b.PrependInt32Slot(0, axis, 0)
+        return b.EndObject()
+
+    def _uni_lstm_options(self, time_major: bool = False):
+        # UnidirectionalSequenceLSTMOptions: fused activation TANH (the
+        # standard float LSTM), no cell/proj clip, batch-major layout
+        b = self.b
+        b.StartObject(6)
+        b.PrependInt8Slot(0, self.ACT_TANH, 0)
+        if time_major:
+            b.PrependBoolSlot(3, True, False)
+        return b.EndObject()
+
     def add_op(self, code: int, inputs, outputs, options_type: int = 0,
                options=None):
         """LiteRT requires the builtin-options union on ops that declare one
@@ -202,10 +224,124 @@ class _TfliteBuilder:
         return bytes(b.Output())
 
 
+def _export_rnn_head_tflite(params: Dict, path: str, output_name: str):
+    """Write an rnn head (2-layer bidirectional LSTM -> Linear -> sigmoid,
+    reference train.py:84-96) as a .tflite file.
+
+    Each direction becomes one float UNIDIRECTIONAL_SEQUENCE_LSTM op
+    (batch-major, fused TANH, variable h/c state tensors); the backward
+    direction is REVERSE_V2-wrapped on the time axis before and after its
+    LSTM so the concatenated (1, T, 2H) output matches torch/JAX
+    bidirectional semantics. Gate tensors are per-gate (H, I) slices of the
+    native torch-order (I, 4H) weights — TFLite's input/forget/cell/output
+    order coincides with torch's i, f, g, o — and the per-gate bias carries
+    b_ih + b_hh (the forward pass only ever consumes their sum).
+    """
+    meta = params["__meta__"]
+    frames = int(meta["input_frames"])
+    n_classes = int(meta["n_classes"])
+
+    tb = _TfliteBuilder()
+    x = tb.add_tensor([1, frames, 96], "input")
+    cur, ch = x, 96
+    layer = 0
+    while f"lstm{layer}_fwd" in params:
+        hidden = int(np.asarray(params[f"lstm{layer}_fwd"]["w_hh"]).shape[0])
+        outs = []
+        for tag in ("fwd", "bwd"):
+            p = params[f"lstm{layer}_{tag}"]
+            src = cur
+            if tag == "bwd":
+                axis = tb.add_tensor([1], f"l{layer}_rev_axis",
+                                     np.asarray([1], np.int32), ttype=2)
+                rev = tb.add_tensor([1, frames, ch], f"l{layer}_rev_in")
+                tb.add_op(TL.OP_REVERSE_V2, [cur, axis], [rev],
+                          tb.OPT_REVERSE_V2, tb._empty_options(1))
+                src = rev
+            w_ih = np.asarray(p["w_ih"], np.float32)        # (I, 4H)
+            w_hh = np.asarray(p["w_hh"], np.float32)        # (H, 4H)
+            bias = (np.asarray(p["b_ih"], np.float32)
+                    + np.asarray(p["b_hh"], np.float32))    # (4H,)
+            ins = [src]
+            for g in range(4):
+                wg = np.ascontiguousarray(w_ih[:, g * hidden:(g + 1) * hidden].T)
+                ins.append(tb.add_tensor(list(wg.shape), f"l{layer}_{tag}_i2g{g}", wg))
+            for g in range(4):
+                wg = np.ascontiguousarray(w_hh[:, g * hidden:(g + 1) * hidden].T)
+                ins.append(tb.add_tensor(list(wg.shape), f"l{layer}_{tag}_r2g{g}", wg))
+            ins += [-1, -1, -1]                             # peephole weights
+            for g in range(4):
+                bg = np.ascontiguousarray(bias[g * hidden:(g + 1) * hidden])
+                ins.append(tb.add_tensor([hidden], f"l{layer}_{tag}_bias{g}", bg))
+            ins += [-1, -1]                                 # projection w/b
+            ins.append(tb.add_tensor([1, hidden], f"l{layer}_{tag}_h_state",
+                                     is_variable=True))
+            ins.append(tb.add_tensor([1, hidden], f"l{layer}_{tag}_c_state",
+                                     is_variable=True))
+            ins += [-1, -1, -1, -1]                         # layer-norm coeffs
+            out = tb.add_tensor([1, frames, hidden], f"l{layer}_{tag}_lstm")
+            tb.add_op(TL.OP_UNIDIRECTIONAL_SEQUENCE_LSTM, ins, [out],
+                      tb.OPT_UNIDIRECTIONAL_SEQUENCE_LSTM,
+                      tb._uni_lstm_options())
+            if tag == "bwd":
+                axis2 = tb.add_tensor([1], f"l{layer}_unrev_axis",
+                                      np.asarray([1], np.int32), ttype=2)
+                unrev = tb.add_tensor([1, frames, hidden], f"l{layer}_bwd_aligned")
+                tb.add_op(TL.OP_REVERSE_V2, [out, axis2], [unrev],
+                          tb.OPT_REVERSE_V2, tb._empty_options(1))
+                out = unrev
+            outs.append(out)
+        ch = 2 * hidden
+        cat = tb.add_tensor([1, frames, ch], f"l{layer}_bilstm")
+        tb.add_op(TL.OP_CONCATENATION, outs, [cat],
+                  tb.OPT_CONCATENATION, tb._concatenation_options(2))
+        cur = cat
+        layer += 1
+
+    begin = tb.add_tensor([3], "last_begin",
+                          np.asarray([0, frames - 1, 0], np.int32), ttype=2)
+    end = tb.add_tensor([3], "last_end",
+                        np.asarray([1, frames, ch], np.int32), ttype=2)
+    strd = tb.add_tensor([3], "last_strides",
+                         np.asarray([1, 1, 1], np.int32), ttype=2)
+    last3 = tb.add_tensor([1, 1, ch], "last_step")
+    tb.add_op(TL.OP_STRIDED_SLICE, [cur, begin, end, strd], [last3],
+              tb.OPT_STRIDED_SLICE, tb._strided_slice_options())
+    shape_c = tb.add_tensor([2], "last_shape",
+                            np.asarray([1, ch], np.int32), ttype=2)
+    last = tb.add_tensor([1, ch], "last")
+    tb.add_op(TL.OP_RESHAPE, [last3, shape_c], [last],
+              tb.OPT_RESHAPE, tb._reshape_options([1, ch]))
+
+    w = np.asarray(params["out"]["w"], np.float32).T        # (out, in)
+    wi = tb.add_tensor(list(w.shape), "out_w", w)
+    bi = tb.add_tensor([w.shape[0]], "out_b",
+                       np.asarray(params["out"]["b"], np.float32))
+    logits = tb.add_tensor([1, n_classes], "logits")
+    tb.add_op(TL.OP_FULLY_CONNECTED, [last, wi, bi], [logits],
+              tb.OPT_FULLY_CONNECTED, tb._empty_options(4))
+    if n_classes == 1:
+        final = tb.add_tensor([1, 1], output_name)
+        tb.add_op(TL.OP_LOGISTIC, [logits], [final])
+    else:
+        if meta.get("relu_logits", True):
+            r = tb.add_tensor([1, n_classes], "relu_logits")
+            tb.add_op(TL.OP_RELU, [logits], [r])
+            logits = r
+        final = tb.add_tensor([1, n_classes], output_name)
+        tb.add_op(TL.OP_SOFTMAX, [logits], [final],
+                  tb.OPT_SOFTMAX, tb._softmax_options(1.0))
+    data = tb.finish([x], [final])
+    with open(path, "wb") as f:
+        f.write(data)
+
+
 def export_head_tflite(params: Dict, path: str, output_name: str = "output"):
-    """Write a dnn/mlp head as a .tflite file."""
+    """Write a dnn/mlp/rnn head as a .tflite file."""
     meta = params["__meta__"]
     model_type = meta["model_type"]
+    if model_type == "rnn":
+        return _export_rnn_head_tflite(params, path, output_name)
     if model_type not in ("dnn", "mlp"):
         raise NotImplementedError(f"TFLite export for '{model_type}' heads is unsupported")
     frames = int(meta["input_frames"])

@@ -96,6 +96,7 @@ OP_MAX_POOL_2D, OP_MUL, OP_RELU, OP_RESHAPE, OP_SOFTMAX = 17, 18, 19, 22, 25
 OP_PAD, OP_MAXIMUM, OP_MINIMUM, OP_MEAN = 34, 55, 57, 40
 OP_SQUARED_DIFFERENCE, OP_RSQRT, OP_SUB, OP_SQRT, OP_DIV = 99, 76, 41, 75, 42
 OP_STRIDED_SLICE, OP_LOG, OP_REDUCE_MAX = 45, 73, 82
+OP_CONCATENATION, OP_UNIDIRECTIONAL_SEQUENCE_LSTM, OP_REVERSE_V2 = 2, 44, 105
 
 
 def load_tflite(path: str) -> Dict:
@@ -225,11 +226,108 @@ def import_embedding_tflite(path: str, model: Dict = None) -> Dict:
     return params
 
 
+def _extract_rnn_head_tflite(path: str, model: Dict) -> Tuple[Dict, Dict]:
+    """rnn-family head (stacked bidirectional LSTM -> Linear -> sigmoid,
+    reference train.py:84-96) from its UNIDIRECTIONAL_SEQUENCE_LSTM TFLite
+    form: one forward LSTM per layer plus one REVERSE_V2-wrapped LSTM for
+    the backward direction. Gate weights arrive as four (H, I) tensors per
+    op in TFLite's input/forget/cell/output order (== torch's i, f, g, o);
+    the single per-gate bias maps to ``b_ih`` with ``b_hh`` zeroed (the
+    forward pass only ever consumes their sum)."""
+    produced_by = {}
+    for op in model["operators"]:
+        for t in op["outputs"]:
+            produced_by[t] = op
+
+    def gate_block(idxs, transpose):
+        mats = []
+        for i in idxs:
+            m = _const(model, i)
+            if m is None:
+                raise ValueError(f"{path}: LSTM gate tensor {i} has no "
+                                 "constant data")
+            m = np.asarray(m, np.float32)
+            mats.append(m.T if transpose else m)
+        return np.concatenate(mats, axis=-1)
+
+    lstm_groups: List[Tuple[str, Dict]] = []
+    for op in model["operators"]:
+        if op["opcode"] != OP_UNIDIRECTIONAL_SEQUENCE_LSTM:
+            continue
+        ins = op["inputs"]
+        producer = produced_by.get(ins[0])
+        direction = ("bwd" if producer is not None
+                     and producer["opcode"] == OP_REVERSE_V2 else "fwd")
+        lstm_groups.append((direction, {
+            "w_ih": gate_block(ins[1:5], transpose=True),     # (I, 4H)
+            "w_hh": gate_block(ins[5:9], transpose=True),     # (H, 4H)
+            "b_ih": gate_block(ins[12:16], transpose=False),  # (4H,)
+        }))
+    if len(lstm_groups) % 2 != 0:
+        raise ValueError(f"{path}: rnn head has {len(lstm_groups)} LSTM ops; "
+                         "the rnn family pairs one forward + one backward "
+                         "LSTM per layer")
+    n_layers = len(lstm_groups) // 2
+    if n_layers != 2:
+        raise ValueError(f"{path}: rnn head has {n_layers} LSTM layers; the "
+                         "rnn family is 2 stacked bidirectional layers "
+                         "(reference train.py:84-96)")
+    params: Dict = {}
+    hidden = int(lstm_groups[0][1]["w_hh"].shape[0])
+    for layer in range(n_layers):
+        pair = dict(lstm_groups[2 * layer:2 * layer + 2])
+        if set(pair) != {"fwd", "bwd"}:
+            raise ValueError(f"{path}: rnn head layer {layer} is not one "
+                             "forward + one backward LSTM")
+        for tag, grp in pair.items():
+            params[f"lstm{layer}_{tag}"] = {
+                "w_ih": grp["w_ih"], "w_hh": grp["w_hh"],
+                "b_ih": grp["b_ih"],
+                "b_hh": np.zeros_like(grp["b_ih"]),
+            }
+
+    fcs = [op for op in model["operators"] if op["opcode"] == OP_FULLY_CONNECTED]
+    if len(fcs) != 1:
+        raise ValueError(f"{path}: rnn head has {len(fcs)} FULLY_CONNECTED "
+                         "ops; expected one output projection")
+    w = _const(model, fcs[0]["inputs"][1])
+    b = _const(model, fcs[0]["inputs"][2]) if len(fcs[0]["inputs"]) > 2 else None
+    if w is None:
+        raise ValueError(f"{path}: rnn output projection has no constant weights")
+    w = np.asarray(w, np.float32).T
+    params["out"] = {"w": w,
+                     "b": (np.asarray(b, np.float32) if b is not None
+                           else np.zeros(w.shape[-1], np.float32))}
+
+    in_shape = model["tensors"][model["inputs"][0]]["shape"]
+    if len(in_shape) != 3 or in_shape[2] % 96 != 0:
+        raise ValueError(f"{path}: rnn head input shape {in_shape} is not "
+                         "(1, frames, 96)")
+    n_classes = int(w.shape[-1])
+    ops = [o["opcode"] for o in model["operators"]]
+    params["__meta__"] = {
+        "model_type": "rnn",
+        "input_frames": int(in_shape[1]),
+        "n_classes": n_classes,
+        "layer_dim": hidden,
+        "n_blocks": n_layers,
+    }
+    if n_classes > 1:
+        params["__meta__"]["relu_logits"] = (
+            OP_RELU in ops and OP_SOFTMAX in ops)
+    out_names = [model["tensors"][i]["name"] for i in model["outputs"]]
+    return params, {"kind": "head", "output_names": out_names}
+
+
 def import_head_tflite(path: str, model: Dict = None) -> Tuple[Dict, Dict]:
     """*_v0.1.tflite head -> (params, meta). FULLY_CONNECTED layers in
     execution order; decomposed-LayerNorm gamma/beta detected as the vector
-    MUL/ADD constants that follow each normalization core."""
+    MUL/ADD constants that follow each normalization core. rnn-family heads
+    (UNIDIRECTIONAL_SEQUENCE_LSTM graphs) route to the LSTM extractor."""
     model = model or load_tflite(path)
+    if any(o["opcode"] == OP_UNIDIRECTIONAL_SEQUENCE_LSTM
+           for o in model["operators"]):
+        return _extract_rnn_head_tflite(path, model)
     linears: List[Dict] = []
     lns: List[Dict] = []
     pending_gamma = None
@@ -312,7 +410,7 @@ def import_tflite_model(path: str) -> Tuple[str, Dict, Dict]:
         raise ValueError("The melspectrogram frontend is analytic in this "
                          "framework; no import needed "
                          "(openwakeword_tpu.ops.melspec).")
-    if OP_FULLY_CONNECTED in ops:
+    if OP_FULLY_CONNECTED in ops or OP_UNIDIRECTIONAL_SEQUENCE_LSTM in ops:
         params, meta = import_head_tflite(path, model)
         return "head", params, meta
     raise NotImplementedError(f"TFLite import: unrecognized graph in {path}")

@@ -267,18 +267,13 @@ def main(argv=None):
                              os.path.join(config["output_dir"], config["model_name"] + ".onnx"),
                              output_name=config["model_name"])
         if args.convert_to_tflite:
-            if best_model["__meta__"]["model_type"] in ("dnn", "mlp"):
-                from openwakeword_tpu.io.tflite_export import export_head_tflite
-                export_head_tflite(best_model,
-                                   os.path.join(config["output_dir"], config["model_name"] + ".tflite"),
-                                   output_name=config["model_name"])
-            else:
-                # a whole training run must not die on the optional last
-                # stage; rnn heads have no TFLite writer (flatbuffer LSTM)
-                logging.warning(
-                    "Skipping --convert_to_tflite: '%s' heads have no TFLite "
-                    "export (the .npz and .onnx outputs are unaffected)",
-                    best_model["__meta__"]["model_type"])
+            # every trainable family exports (dnn/mlp FC chains, rnn via
+            # UNIDIRECTIONAL_SEQUENCE_LSTM), matching reference
+            # train.py:574-593's convert-anything contract
+            from openwakeword_tpu.io.tflite_export import export_head_tflite
+            export_head_tflite(best_model,
+                               os.path.join(config["output_dir"], config["model_name"] + ".tflite"),
+                               output_name=config["model_name"])
         logging.info("Training complete; model saved to %s",
                      os.path.join(config["output_dir"], config["model_name"] + ".npz"))
 

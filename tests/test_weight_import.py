@@ -316,7 +316,8 @@ class TestRealArtifactParity:
 
 
 class TestTfliteExport:
-    @pytest.mark.parametrize("spec", [("dnn", 16, 1, 64, 1), ("mlp", 34, 7, 128, 1)])
+    @pytest.mark.parametrize("spec", [("dnn", 16, 1, 64, 1), ("mlp", 34, 7, 128, 1),
+                                      ("rnn", 16, 1, 64, 1), ("rnn", 12, 3, 64, 1)])
     def test_export_import_round_trip(self, tmp_path, spec):
         from openwakeword_tpu.io.tflite_export import export_head_tflite
         from openwakeword_tpu.io.tflite_import import import_head_tflite
@@ -330,6 +331,31 @@ class TestTfliteExport:
         x = jnp.asarray(np.random.default_rng(8).normal(0, 1, (3, frames, 96)), jnp.float32)
         np.testing.assert_allclose(np.asarray(heads.apply(p, x)),
                                    np.asarray(heads.apply(p2, x)), atol=1e-6)
+
+    def test_rnn_weights_round_trip_exact(self, tmp_path):
+        """The gate re-slicing through per-gate TFLite tensors must lose no
+        bits; b_ih comes back as the b_ih+b_hh sum (the only form the
+        forward pass consumes) with b_hh zeroed."""
+        from openwakeword_tpu.io.tflite_export import export_head_tflite
+        from openwakeword_tpu.io.tflite_import import import_head_tflite
+        p = jax.device_get(heads.init_params(jax.random.PRNGKey(5), "rnn", 16, 1))
+        # non-trivial biases so the b_ih+b_hh fold is actually exercised
+        for k in p:
+            if k.startswith("lstm"):
+                p[k]["b_ih"] = np.random.default_rng(1).normal(0, 0.2, p[k]["b_ih"].shape).astype(np.float32)
+                p[k]["b_hh"] = np.random.default_rng(2).normal(0, 0.2, p[k]["b_hh"].shape).astype(np.float32)
+        path = str(tmp_path / "r.tflite")
+        export_head_tflite(p, path)
+        p2, _ = import_head_tflite(path)
+        for k in p:
+            if not k.startswith("lstm"):
+                continue
+            np.testing.assert_array_equal(np.asarray(p[k]["w_ih"], np.float32), p2[k]["w_ih"])
+            np.testing.assert_array_equal(np.asarray(p[k]["w_hh"], np.float32), p2[k]["w_hh"])
+            np.testing.assert_array_equal(
+                np.asarray(p[k]["b_ih"]) + np.asarray(p[k]["b_hh"]), p2[k]["b_ih"])
+            assert (p2[k]["b_hh"] == 0).all()
+        np.testing.assert_array_equal(np.asarray(p["out"]["w"], np.float32), p2["out"]["w"])
 
     def test_onnx_to_tflite_conversion(self, tmp_path):
         from openwakeword_tpu.io.tflite_export import convert_onnx_to_tflite
@@ -437,7 +463,7 @@ class TestRoundTripProperty:
         from openwakeword_tpu.io.tflite_import import import_head_tflite
 
         rng = np.random.default_rng(seed)
-        mt = ["dnn", "mlp"][seed % 2]
+        mt = ["dnn", "mlp", "rnn"][seed % 3]
         frames = int(rng.integers(4, 40))
         ncls = int(rng.choice([1, 2, 5, 7]))
         dim = int(rng.choice([8, 16, 48, 96, 160]))
