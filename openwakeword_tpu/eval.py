@@ -33,16 +33,36 @@ from openwakeword_tpu.metrics import get_false_positives
 
 def score_files(file_paths: Sequence[str], wakeword_models: Sequence[str],
                 label: Optional[str] = None, padding: int = 1,
-                batch_size: int = 1024, **kwargs) -> Dict[str, np.ndarray]:
+                batch_size: int = 1024,
+                segment_seconds: Optional[float] = None,
+                **kwargs) -> Dict[str, np.ndarray]:
     """Score WAV files through the batched engine.
+
+    With ``segment_seconds`` set, files stream through the engine in
+    bounded windows with carried state (fixed memory regardless of file
+    length — required for multi-hour negative corpora like the reference's
+    ~5.5 h DipCo set); scores match the one-shot path to < 1e-6 (same
+    frames and carried state; only XLA fusion-order rounding differs).
 
     Returns {path: (n_frames,) float array} of per-frame scores for
     ``label`` (default: the first label of the first model).
     """
+    out: Dict[str, np.ndarray] = {}
+    if segment_seconds is not None:
+        from openwakeword_tpu.parallel.bulk import bulk_predict_streaming
+        mats, labels = bulk_predict_streaming(
+            list(file_paths), wakeword_models=list(wakeword_models),
+            padding=padding, batch_size=min(batch_size, 64),
+            segment_seconds=segment_seconds, **kwargs)
+        if label is not None and label not in labels:
+            raise KeyError(label)
+        col = labels.index(label) if label is not None else 0
+        for path, mat in mats.items():
+            out[path] = np.ascontiguousarray(mat[:, col])
+        return out
     from openwakeword_tpu.parallel.bulk import bulk_predict
     preds = bulk_predict(list(file_paths), wakeword_models=list(wakeword_models),
                          padding=padding, batch_size=batch_size, **kwargs)
-    out: Dict[str, np.ndarray] = {}
     for path, frames in preds.items():
         if not frames:
             out[path] = np.zeros(0, np.float32)
@@ -131,6 +151,7 @@ def evaluate_model(wakeword_model: str,
                    threshold: float = 0.5,
                    padding: int = 2,
                    thresholds: Optional[Sequence[float]] = None,
+                   segment_seconds: Optional[float] = 60.0,
                    **kwargs) -> Dict:
     """End-to-end evaluation: scores both corpora through the engine and
     reports the headline numbers plus the full curve.
@@ -142,12 +163,16 @@ def evaluate_model(wakeword_model: str,
     only (it exists so short utterances fill the scoring windows);
     negatives are always scored unpadded so the FAR/hr denominator equals
     the real corpus duration. With no positive files, ``frr`` is NaN.
+
+    ``segment_seconds`` (default 60) streams the negative corpus through
+    the engine in bounded windows, so multi-hour recordings evaluate under
+    a fixed memory budget; pass None to force the one-shot batch path.
     """
     # negatives are scored UNPADDED: padding silence would count toward the
     # FAR denominator (negative_hours) without being part of the corpus,
     # systematically under-reporting false accepts per hour
     neg = score_files(negative_files, [wakeword_model], label=label,
-                      padding=0, **kwargs)
+                      padding=0, segment_seconds=segment_seconds, **kwargs)
     pos = score_files(positive_files, [wakeword_model], label=label,
                       padding=padding, **kwargs)
     # per-file streams: the 4 s activation-grouping window must not

@@ -30,6 +30,118 @@ def _read_wav(path: str) -> np.ndarray:
         return pcm.reshape(-1, ch)[:, 0] if ch > 1 else pcm
 
 
+class _StreamingWavReader:
+    """Incremental 16-bit 16 kHz WAV reader with virtual silence padding.
+
+    Yields the same sample stream ``predict_clips`` scores — ``padding``
+    seconds of zeros, the file (channel 0), zeros to the end of the last
+    full frame — but never holds more than one requested span in memory,
+    so multi-hour corpora (the reference's ~5.5 h DipCo FAR methodology,
+    reference README.md:178) score under a fixed memory budget.
+    """
+
+    def __init__(self, path: str, padding_samples: int = 0):
+        self.path = path
+        self._f = wave.open(path, mode="rb")
+        if self._f.getsampwidth() != 2:
+            self._f.close()
+            raise ValueError(f"{path}: only 16-bit PCM WAV is supported "
+                             f"(got {8 * self._f.getsampwidth()}-bit)")
+        if self._f.getframerate() != config.SAMPLE_RATE:
+            self._f.close()
+            raise ValueError(
+                f"{path}: expected {config.SAMPLE_RATE} Hz audio, got "
+                f"{self._f.getframerate()} Hz — resample before bulk prediction")
+        self._channels = self._f.getnchannels()
+        self.n_samples = self._f.getnframes()
+        self._lead = int(padding_samples)
+        # reference predict_clip frame count over the padded stream
+        padded = self.n_samples + 2 * int(padding_samples)
+        self.total_frames = max(0, -(-(padded - config.CHUNK_SAMPLES)
+                                     // config.CHUNK_SAMPLES))
+
+    def read(self, n: int) -> np.ndarray:
+        """Next ``n`` samples of the padded stream (zeros past the end)."""
+        out = np.zeros(n, np.int16)
+        pos = min(self._lead, n)
+        self._lead -= pos
+        if pos < n:
+            raw = self._f.readframes(n - pos)
+            if raw:
+                pcm = np.frombuffer(raw, dtype=np.int16)
+                if self._channels > 1:
+                    pcm = pcm.reshape(-1, self._channels)[:, 0]
+                out[pos:pos + pcm.shape[0]] = pcm
+        return out
+
+    def close(self):
+        self._f.close()
+
+
+def bulk_predict_streaming(file_paths: List[str],
+                           wakeword_models: Sequence[str],
+                           batch_size: int = 64,
+                           segment_seconds: float = 60.0,
+                           padding: int = 1,
+                           **kwargs):
+    """Score WAV files of ANY length under a fixed memory budget.
+
+    The one-shot ``bulk_predict`` zero-pads every clip in a batch to the
+    longest and materializes all frames at once — fine for clip corpora,
+    an OOM (and a quarter-million-frame compile) for multi-hour negative
+    recordings. This path decodes each file in ``segment_seconds`` windows
+    and advances the engine with carried state, so peak memory is
+    O(batch_size x segment) regardless of file length, and every segment
+    reuses one compiled scan program. The scan carry IS the engine state
+    and frames align to the same 1280-sample grid, so scores match the
+    one-shot path exactly up to XLA fusion-order rounding (different scan
+    lengths compile to different fusions; observed |delta| < 1e-7).
+
+    Returns:
+        ({path: (T_i, n_labels) float32 score matrix}, labels)
+    """
+    from openwakeword_tpu.parallel.engine import MultiStreamEngine
+    from openwakeword_tpu.utils.args import accepted_kwargs
+
+    n_streams = min(batch_size, max(1, len(file_paths)))
+    engine_init = accepted_kwargs(MultiStreamEngine.__init__)
+    engine = MultiStreamEngine(
+        wakeword_models=list(wakeword_models), n_streams=n_streams,
+        **{k: v for k, v in kwargs.items()
+           if k in engine_init and k not in ("wakeword_models", "n_streams")})
+    seg_frames = max(1, int(round(segment_seconds
+                                  * config.SAMPLE_RATE / config.CHUNK_SAMPLES)))
+
+    results: Dict[str, np.ndarray] = {}
+    n_labels = len(engine.labels)
+    for i in range(0, len(file_paths), n_streams):
+        batch_paths = file_paths[i:i + n_streams]
+        readers = [_StreamingWavReader(p, config.SAMPLE_RATE * padding)
+                   for p in batch_paths]
+        totals = [r.total_frames for r in readers]
+        t_max = max(totals, default=0)
+        collected: List[List[np.ndarray]] = [[] for _ in batch_paths]
+        engine.reset()
+        done = 0
+        while done < t_max:
+            t = min(seg_frames, t_max - done)
+            frames = np.zeros((t, n_streams, config.CHUNK_SAMPLES), np.int16)
+            for j, r in enumerate(readers):
+                frames[:, j, :] = r.read(
+                    t * config.CHUNK_SAMPLES).reshape(t, config.CHUNK_SAMPLES)
+            scores = engine.predict_frames(frames)          # (t, S, L)
+            for j, total in enumerate(totals):
+                k = min(max(total - done, 0), t)
+                if k:
+                    collected[j].append(np.asarray(scores[:k, j], np.float32))
+            done += t
+        for j, path in enumerate(batch_paths):
+            readers[j].close()
+            results[path] = (np.concatenate(collected[j]) if collected[j]
+                             else np.zeros((0, n_labels), np.float32))
+    return results, list(engine.labels)
+
+
 def bulk_predict(file_paths: List[str],
                  wakeword_models: Sequence[str],
                  prediction_function: str = "predict_clip",

@@ -139,3 +139,58 @@ class TestEndToEnd:
         assert p in scored and scored[p].ndim == 1
         with pytest.raises(KeyError):
             E.score_files([p], ["alexa"], label="not_a_label")
+        with pytest.raises(KeyError):
+            E.score_files([p], ["alexa"], label="not_a_label",
+                          segment_seconds=1.0)
+
+
+class TestSegmentedStreaming:
+    """Bounded-memory scorer for multi-hour files (the reference's ~5.5 h
+    DipCo FAR methodology, reference README.md:178)."""
+
+    def test_streaming_scores_match_one_shot(self, tmp_path, rng):
+        """Tiny segments (5 frames) across mixed-length files must produce
+        the one-shot batch path's scores (the scan carry IS the engine
+        state; the only divergence is XLA fusion-order rounding between
+        the different scan-length programs, observed ~3e-8)."""
+        from openwakeword_tpu.data import write_audio
+        files = []
+        for i, n in enumerate([16000, 24000, 7000]):
+            p = str(tmp_path / f"clip_{i}.wav")
+            write_audio(p, rng.integers(-4000, 4000, n).astype(np.int16))
+            files.append(p)
+        one_shot = E.score_files(files, ["alexa"], label="alexa", padding=1)
+        streamed = E.score_files(files, ["alexa"], label="alexa", padding=1,
+                                 segment_seconds=0.4)
+        for p in files:
+            assert one_shot[p].shape == streamed[p].shape
+            np.testing.assert_allclose(one_shot[p], streamed[p], atol=1e-6)
+
+    def test_one_hour_negative_under_memory_budget(self, tmp_path, rng):
+        """evaluate_model scores a 1 h negative WAV under a fixed RSS
+        budget; the one-shot path would materialize the whole file as f32
+        scan input (>=330 MB at S=1, OOM at batch scale)."""
+        import resource
+        import wave as wave_mod
+
+        path = str(tmp_path / "negative_1h.wav")
+        minutes = 60
+        with wave_mod.open(path, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            for _ in range(minutes):   # write in 1-min chunks: bounded too
+                f.writeframes(rng.integers(-300, 300, 16000 * 60)
+                              .astype(np.int16).tobytes())
+
+        rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        report = E.evaluate_model("alexa", [path], [], threshold=0.5,
+                                  segment_seconds=60.0)
+        rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        # ru_maxrss is in KiB on Linux; generous 250 MB budget — far below
+        # what materializing the hour would need, far above segment needs
+        assert rss_after - rss_before < 250 * 1024, (
+            f"RSS grew {(rss_after - rss_before) / 1024:.0f} MB")
+        assert report["negative_hours"] == pytest.approx(1.0, rel=1e-3)
+        assert report["far_per_hour"] >= 0.0
+        assert np.isnan(report["frr"])   # no positive clips given
