@@ -134,6 +134,64 @@ def train_vad(speech_clips: Sequence[np.ndarray],
     return params
 
 
+def score_sequences(params: Dict, x: np.ndarray) -> np.ndarray:
+    """Score (N, T, 480) frame sequences -> (N, T) speech probabilities,
+    carrying the recurrent state across each sequence (fresh state per
+    sequence, exactly like a stream that just connected)."""
+    @jax.jit
+    def run(p, xb):
+        B = xb.shape[0]
+        h = jnp.zeros((vad_net.LAYERS, B, vad_net.HIDDEN))
+        c = jnp.zeros((vad_net.LAYERS, B, vad_net.HIDDEN))
+
+        def body(carry, xt):
+            h, c = carry
+            score, h, c = vad_net.apply(p, xt, h, c)
+            return (h, c), score
+
+        (_, _), scores = jax.lax.scan(body, (h, c), jnp.swapaxes(xb, 0, 1))
+        return jnp.swapaxes(scores, 0, 1)
+
+    return np.asarray(run(params, jnp.asarray(x, jnp.float32)))
+
+
+def evaluate_vad(params: Dict,
+                 speech_clips: Sequence[np.ndarray],
+                 n_sequences: int = 512,
+                 seq_frames: int = 20,
+                 seed: int = 1234,
+                 thresholds: Sequence[float] = None) -> Dict:
+    """Frame-level FAR/FRR curve for a VAD checkpoint on a held-out
+    synthetic+noise set.
+
+    Builds an evaluation set with the same generator as training but a
+    disjoint seed (fresh crops, gains, SNRs, and noise draws), scores it
+    with carried per-sequence state, and sweeps the gate threshold:
+
+      * FAR = fraction of non-speech frames scored >= gate (noise, silence,
+        and the silent frames inside speech sequences)
+      * FRR = fraction of speech frames scored < gate
+
+    This quantifies how the home-trained substitute's gating compares to a
+    stated budget (the reference gates on Silero scores, reference
+    vad.py:54-130; docs/vad_quality.md publishes the bundled checkpoint's
+    curve). Returns {"thresholds", "far", "frr", plus counts}.
+    """
+    if thresholds is None:
+        thresholds = np.linspace(0.05, 0.95, 19)
+    thresholds = np.asarray(thresholds, np.float64)
+    x, y = build_training_sequences(speech_clips, n_sequences=n_sequences,
+                                    seq_frames=seq_frames, seed=seed)
+    scores = score_sequences(params, x).reshape(-1)
+    labels = y.reshape(-1).astype(bool)
+    pos, neg = scores[labels], scores[~labels]
+    far = np.array([(neg >= t).mean() if neg.size else 0.0 for t in thresholds])
+    frr = np.array([(pos < t).mean() if pos.size else float("nan")
+                    for t in thresholds])
+    return {"thresholds": thresholds, "far": far, "frr": frr,
+            "n_speech_frames": int(pos.size), "n_nonspeech_frames": int(neg.size)}
+
+
 def make_default_vad_checkpoint(output_path: str,
                                 speech_wavs: List[str],
                                 steps: int = 600,

@@ -351,6 +351,28 @@ class TestTrainedVAD:
         assert s_noise < 0.3
         assert s_silence < 0.1
 
+    def test_bundled_vad_far_frr_budget(self, test_clips):
+        """The published quality budget (docs/vad_quality.md): FRR <= 5% and
+        FAR <= 2% at the 0.5 gate on a held-out synthetic+noise set. A
+        regressed VAD retrain must not ship silently."""
+        import os
+        from openwakeword_tpu import registry
+        path = registry.VAD_MODELS["silero_vad"]["model_path"]
+        if not os.path.exists(path):
+            pytest.skip("bundled VAD checkpoint not present")
+        from openwakeword_tpu.data import read_audio
+        from openwakeword_tpu.io.loaders import load_model_file
+        from openwakeword_tpu.training import vad as VT
+        kind, params, _ = load_model_file(path)
+        if kind != "vad":
+            pytest.skip("bundled VAD is not a native vad_net checkpoint "
+                        "(real Silero weights installed)")
+        speech = [read_audio(p) for p in test_clips.values()]
+        rep = VT.evaluate_vad(params, speech, n_sequences=256, seed=987)
+        i = int(np.argmin(np.abs(rep["thresholds"] - 0.5)))
+        assert rep["frr"][i] <= 0.05, f"FRR@0.5 {rep['frr'][i]:.3f} over budget"
+        assert rep["far"][i] <= 0.02, f"FAR@0.5 {rep['far'][i]:.3f} over budget"
+
 
 class TestRealWeightAccuracy:
     """Accuracy tests on the bundled clips (reference test_models.py:151-215).
