@@ -40,14 +40,28 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
-    engine = MultiStreamEngine(
-        wakeword_models=[], n_streams=n_streams,
+    engine_kwargs = dict(
+        wakeword_models=[],
         incremental=os.environ.get("BENCH_INCREMENTAL", "1") == "1",
         use_pallas_melspec=(None if "BENCH_PALLAS" not in os.environ
                             else os.environ["BENCH_PALLAS"] == "1"),
         precision=os.environ.get("BENCH_PRECISION", "high"),
         enable_noise_suppression=os.environ.get("BENCH_NS", "0") == "1",
+        vad_threshold=float(os.environ.get("BENCH_VAD", "0")),
+        embedding=os.environ.get("BENCH_EMBEDDING", "default"),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "2")))
+    if os.environ.get("BENCH_VERIFIER", "0") == "1":
+        # fully-loaded config: a folded verifier on every model (same
+        # device work as real speaker verifiers — one stacked affine over
+        # the feature ring gated by the base scores)
+        probe = MultiStreamEngine(n_streams=1, **engine_kwargs)
+        vrng = np.random.default_rng(7)
+        engine_kwargs["custom_verifier_models"] = {
+            name: (vrng.normal(0, 0.01, int(meta["input_frames"]) * 96)
+                   .astype(np.float32), np.float32(0.0))
+            for name, meta, _ in probe._head_metas}
+        del probe
+    engine = MultiStreamEngine(n_streams=n_streams, **engine_kwargs)
     # drive the engine's real multi-frame program (the predict_frames path),
     # reduced to a scalar for the sync fetch
     scan = engine._build_scan()
@@ -128,6 +142,13 @@ def _child_main():
             "bench_streams": n_streams,
             "bench_frames": n_frames,
             "wall_s": round(wall, 4),
+            "config": {
+                "precision": os.environ.get("BENCH_PRECISION", "high"),
+                "ns": os.environ.get("BENCH_NS", "0") == "1",
+                "vad_threshold": float(os.environ.get("BENCH_VAD", "0")),
+                "verifier": os.environ.get("BENCH_VERIFIER", "0") == "1",
+                "embedding": os.environ.get("BENCH_EMBEDDING", "default"),
+            },
         },
     }
     print(json.dumps(result))

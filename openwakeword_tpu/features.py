@@ -38,21 +38,37 @@ _melspec_jit = jax.jit(lambda x, top_db: melspec_ops.melspectrogram(x, top_db=to
                        static_argnums=1)
 _embed_folded_jit = jax.jit(embedding_model.apply_folded)
 _embed_raw_jit = jax.jit(embedding_model.apply)
+from openwakeword_tpu.models import embedding_student as _embedding_student  # noqa: E402
+_embed_student_jit = jax.jit(_embedding_student.apply)
 
 
-def _load_embedding_params(embedding_model_path: str = "", rng_seed: int = 42):
-    """Resolve embedding CNN params: explicit checkpoint path, the bundled
+def _load_embedding_params(embedding_model_path: str = "", rng_seed: int = 42,
+                           embedding: str = "default"):
+    """Resolve embedding params: explicit checkpoint path, the bundled
     registry artifact, or (with a warning) a deterministic random init so the
-    full pipeline stays runnable in artifact-less environments."""
+    full pipeline stays runnable in artifact-less environments.
+
+    ``embedding='student'`` resolves the TPU-shaped distilled network
+    (models/embedding_student.py) instead of the faithful CNN; its
+    checkpoint is produced locally by training/distill.py.
+    """
     import os
     from openwakeword_tpu import registry
-    path = embedding_model_path or registry.FEATURE_MODELS["embedding"]["model_path"]
+    reg_key = "embedding_student" if embedding == "student" else "embedding"
+    path = embedding_model_path or registry.FEATURE_MODELS[reg_key]["model_path"]
     if path and os.path.exists(path):
         from openwakeword_tpu.io.loaders import load_model_file
         kind, params, _ = load_model_file(path)
-        if kind not in ("embedding", "unknown"):
+        if kind not in ("embedding", "embedding_student", "unknown"):
             raise ValueError(f"Checkpoint at {path} is a '{kind}' model, expected an embedding model")
         return params
+    if embedding == "student":
+        from openwakeword_tpu.models import embedding_student
+        logging.warning(
+            "No student-embedding checkpoint found at '%s'; falling back to a "
+            "deterministic random initialization. Distill one against the "
+            "installed teacher with openwakeword_tpu.training.distill.", path)
+        return embedding_student.init_params(jax.random.PRNGKey(rng_seed))
     logging.warning(
         "No speech-embedding checkpoint found at '%s'; falling back to a deterministic "
         "random initialization. Scores will not match pretrained models -- import real "
@@ -102,21 +118,34 @@ class AudioFeatures():
                  inference_framework: str = "jax",
                  device: str = "",
                  embedding_params=None,
+                 embedding: str = "default",
                  fold_embedding_batchnorm: bool = True,
                  rng_seed: int = 0):
         """Args mirror the reference's constructor; ``ncpu``/``device`` are
         accepted for API compatibility (XLA owns threading/placement here).
         ``melspec_model_path`` is accepted but unused: the mel frontend is an
-        analytic JAX program, not a learned artifact."""
+        analytic JAX program, not a learned artifact. ``embedding='student'``
+        swaps in the TPU-shaped distilled network (same (76,32)->96
+        contract; models/embedding_student.py)."""
         if inference_framework not in ("jax", "tflite", "onnx"):
             raise ValueError(f"Unknown inference_framework '{inference_framework}'")
+        if embedding not in ("default", "student"):
+            raise ValueError(f"embedding must be 'default' or 'student', got {embedding!r}")
         self.sr = sr
         self._np_rng = np.random.default_rng(rng_seed)
 
         if embedding_params is None:
-            embedding_params = _load_embedding_params(embedding_model_path)
+            embedding_params = _load_embedding_params(embedding_model_path,
+                                                      embedding=embedding)
         self._embedding_params_raw = embedding_params
-        if fold_embedding_batchnorm or embedding_model.is_folded(embedding_params):
+        if _embedding_student.is_student(embedding_params):
+            self._embedding_params = embedding_params
+            self._embed_fn = _embed_student_jit
+        elif embedding == "student":
+            raise ValueError("embedding='student' but embedding_params is a "
+                             "faithful-CNN pytree; pass student params or omit "
+                             "embedding_params to load/init the student network")
+        elif fold_embedding_batchnorm or embedding_model.is_folded(embedding_params):
             self._embedding_params = embedding_model.ensure_folded(embedding_params)
             self._embed_fn = _embed_folded_jit
         else:

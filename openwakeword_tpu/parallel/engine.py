@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from openwakeword_tpu import config, gating, registry
 from openwakeword_tpu.models import embedding as embedding_model
 from openwakeword_tpu.models import embedding_stream
+from openwakeword_tpu.models import embedding_student
 from openwakeword_tpu.models import heads as heads_lib
 from openwakeword_tpu.models import vad_net
 from openwakeword_tpu.ops import melspec as melspec_ops
@@ -41,14 +42,18 @@ from openwakeword_tpu.ops import ns_jax
 MEL_RING = config.EMB_WINDOW_FRAMES          # 76 frames (chunk=1280 => k=1)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _seed_embeddings(emb_params, noise, F):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _seed_embeddings(emb_params, noise, F, emb_apply=None):
     """Embeddings of a noise clip for feature-ring seeding (reference
-    utils.py:169 seeds the feature buffer with 4 s of random noise)."""
+    utils.py:169 seeds the feature buffer with 4 s of random noise).
+    ``emb_apply`` selects the embedding forward (faithful CNN default;
+    the student network passes its own apply)."""
+    if emb_apply is None:
+        emb_apply = embedding_model.apply_folded
     spec = melspec_ops.melspectrogram(noise, top_db=config.MEL_TOP_DB)
     n_windows = (spec.shape[0] - 76) // 8 + 1
     wins = jnp.stack([spec[i * 8:i * 8 + 76] for i in range(n_windows)])
-    emb = embedding_model.apply_folded(emb_params, wins)                # (W, 96)
+    emb = emb_apply(emb_params, wins)                                   # (W, 96)
     return emb[-F:, :]
 VAD_RING = 7                                 # enough for the [-7:-4] gate window
 
@@ -112,6 +117,7 @@ class MultiStreamEngine:
                  custom_verifier_threshold: float = 0.1,
                  enable_noise_suppression: bool = False,
                  embedding_params=None,
+                 embedding: str = "default",
                  vad_params=None,
                  mesh: Optional[Mesh] = None,
                  rng_seed: int = 0,
@@ -327,10 +333,31 @@ class MultiStreamEngine:
                 self._verifier_mask[start:end] = True
 
         # ---- shared frontend params ----
+        # ``embedding``: "default" = the faithful speech_embedding CNN (with
+        # the cached incremental evaluator); "student" = the TPU-shaped
+        # distilled network (models/embedding_student.py) — same (76,32)->96
+        # contract, 3 MXU-dense matmuls instead of 27 small convolutions.
+        if embedding not in ("default", "student"):
+            raise ValueError(f"embedding must be 'default' or 'student', got {embedding!r}")
         if embedding_params is None:
             from openwakeword_tpu.features import _load_embedding_params
-            embedding_params = _load_embedding_params()
-        emb_folded = embedding_model.ensure_folded(embedding_params)
+            embedding_params = _load_embedding_params(embedding=embedding)
+        if embedding_student.is_student(embedding_params):
+            self.embedding = "student"
+            self._emb_apply = embedding_student.apply
+            self._emb_init_caches = embedding_student.init_caches
+            self._emb_step = embedding_student.step
+            emb_folded = embedding_params          # no BN to fold
+        else:
+            if embedding == "student":
+                raise ValueError("embedding='student' but embedding_params is a "
+                                 "faithful-CNN pytree; pass student params or omit "
+                                 "embedding_params to load/init the student network")
+            self.embedding = "default"
+            self._emb_apply = embedding_model.apply_folded
+            self._emb_init_caches = embedding_stream.init_caches
+            self._emb_step = embedding_stream.step
+            emb_folded = embedding_model.ensure_folded(embedding_params)
 
         self._vad_apply = vad_net.apply
         if self.vad_threshold > 0:
@@ -405,7 +432,7 @@ class MultiStreamEngine:
         seed_ring = self._seed_ring_cache.get(cache_key)
         if seed_ring is None:
             seed_ring = _seed_embeddings(self.params["embedding"],
-                                         jnp.asarray(noise), F)
+                                         jnp.asarray(noise), F, self._emb_apply)
             self._seed_ring_cache[cache_key] = seed_ring
         feat_ring = jnp.broadcast_to(seed_ring[None], (n_streams, F, config.EMB_DIM))
         feat_ring = jnp.array(feat_ring)  # materialize (broadcast views can't be donated)
@@ -432,7 +459,7 @@ class MultiStreamEngine:
             # OOMed at 50k streams (the full-window CNN materialized ~21 GB
             # of intermediates for values that were about to be discarded).
             cache_shapes, _ = jax.eval_shape(
-                embedding_stream.init_caches,
+                self._emb_init_caches,
                 self.params["embedding"], state["mel_ring"])
             state["conv_caches"] = jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
@@ -550,6 +577,8 @@ class MultiStreamEngine:
                     "fast": jax.lax.Precision.DEFAULT,
                     "bf16": None}[self._stage_modes["mel"]]
         use_patience, use_debounce = self._use_patience, self._use_debounce
+        emb_apply, emb_init_caches, emb_step = (
+            self._emb_apply, self._emb_init_caches, self._emb_step)
         ns_on = self.enable_noise_suppression
         use_verifiers = self._use_verifiers
         if use_verifiers:
@@ -610,20 +639,20 @@ class MultiStreamEngine:
                 any_first = jnp.any(is_first & valid) if masked else jnp.any(is_first)
 
                 def prime(_):
-                    return embedding_stream.init_caches(params["embedding"], mel_ring,
-                                                        precision=mm_prec)
+                    return emb_init_caches(params["embedding"], mel_ring,
+                                           precision=mm_prec)
 
                 def stream(_):
-                    return embedding_stream.step(params["embedding"],
-                                                 state["conv_caches"], mel,
-                                                 precision=mm_prec)
+                    return emb_step(params["embedding"],
+                                    state["conv_caches"], mel,
+                                    precision=mm_prec)
 
                 conv_caches, emb = jax.lax.cond(any_first, prime, stream, None)
                 conv_caches = jax.tree.map(
                     lambda a, ref: a.astype(ref.dtype), conv_caches, state["conv_caches"])
             else:
-                emb = embedding_model.apply_folded(params["embedding"], mel_ring,
-                                                   precision=mm_prec)          # (S, 96)
+                emb = emb_apply(params["embedding"], mel_ring,
+                                precision=mm_prec)                             # (S, 96)
             feat_ring = jnp.concatenate(
                 [state["feat_ring"][:, 1:],
                  emb[:, None, :].astype(state["feat_ring"].dtype)], axis=1)

@@ -24,6 +24,13 @@ FEATURE_MODELS = {
         "model_path": "",
         "download_url": f"{_RELEASE}/melspectrogram.tflite",
     },
+    "embedding_student": {
+        # TPU-shaped distilled embedding (models/embedding_student.py);
+        # produced locally by training/distill.py against the installed
+        # teacher checkpoint — there is no upstream artifact to download.
+        "model_path": os.path.join(_RES, "embedding_student.npz"),
+        "download_url": "",
+    },
 }
 
 VAD_MODELS = {
