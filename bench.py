@@ -40,12 +40,17 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
+    # BENCH_PRECISION accepts a mode name or a per-stage JSON dict,
+    # e.g. '{"mel": "fast"}' (unset stages default to 'high')
+    precision = os.environ.get("BENCH_PRECISION", "high")
+    if precision.startswith("{"):
+        precision = json.loads(precision)
     engine_kwargs = dict(
         wakeword_models=[],
         incremental=os.environ.get("BENCH_INCREMENTAL", "1") == "1",
         use_pallas_melspec=(None if "BENCH_PALLAS" not in os.environ
                             else os.environ["BENCH_PALLAS"] == "1"),
-        precision=os.environ.get("BENCH_PRECISION", "high"),
+        precision=precision,
         enable_noise_suppression=os.environ.get("BENCH_NS", "0") == "1",
         vad_threshold=float(os.environ.get("BENCH_VAD", "0")),
         embedding=os.environ.get("BENCH_EMBEDDING", "default"),

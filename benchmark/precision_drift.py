@@ -39,6 +39,10 @@ def main():
     parser.add_argument("clips", nargs="*",
                         default=sorted(glob.glob("/root/reference/tests/data/*.wav")))
     parser.add_argument("--streams", type=int, default=64)
+    parser.add_argument("--embedding", choices=("default", "student"), default="default",
+                        help="measure drift within this embedding mode (the "
+                             "'highest' reference uses the same mode, so student "
+                             "drift is vs the student-exact pipeline, not the teacher)")
     args = parser.parse_args()
 
     import jax
@@ -58,13 +62,16 @@ def main():
                        for t in range(T)]).astype(np.int16)
 
     def run(**kw):
-        e = MultiStreamEngine(wakeword_models=[], n_streams=S, rng_seed=0, **kw)
+        e = MultiStreamEngine(wakeword_models=[], n_streams=S, rng_seed=0,
+                              embedding=args.embedding, **kw)
         return e.predict_frames(frames)
 
     ref = run(precision="highest", use_pallas_melspec=False)
     configs = [
         ("high, XLA mel", dict(precision="high", use_pallas_melspec=False)),
         ("high, Pallas mel", dict(precision="high", use_pallas_melspec=True)),
+        ("mel fast, rest high", dict(precision={"mel": "fast"}, use_pallas_melspec=False)),
+        ("mel fast, Pallas", dict(precision={"mel": "fast"}, use_pallas_melspec=True)),
         ("fast", dict(precision="fast", use_pallas_melspec=False)),
         ("bf16, XLA mel", dict(precision="bf16", use_pallas_melspec=False)),
         ("bf16, Pallas mel", dict(precision="bf16", use_pallas_melspec=True)),

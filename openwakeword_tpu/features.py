@@ -78,15 +78,21 @@ def _load_embedding_params(embedding_model_path: str = "", rng_seed: int = 42,
 
 def compute_features_from_generator(generator, n_total: int, clip_duration: int,
                                     output_file: str, device: str = "",
-                                    ncpu: int = 1):
+                                    ncpu: int = 1, embedding: str = "default",
+                                    embedding_params=None):
     """Stream a generator of (batch, samples) int16 audio through the batch
     embedding path into an on-disk memmapped .npy (supports datasets far
     larger than RAM), then trim trailing empty rows (reference
-    utils.py:542-601 contract)."""
+    utils.py:542-601 contract).
+
+    ``embedding='student'`` computes features with the TPU-shaped student
+    network instead of the faithful CNN — use it to train heads that will be
+    served by a student-mode engine (features from the two frontends are not
+    interchangeable)."""
     from numpy.lib.format import open_memmap
     from openwakeword_tpu.data import trim_mmap
 
-    F = AudioFeatures()
+    F = AudioFeatures(embedding=embedding, embedding_params=embedding_params)
     rows, cols = F.get_embedding_shape(clip_duration / F.sr)
     out = open_memmap(output_file, mode='w+', dtype=np.float32,
                       shape=(n_total, rows, cols))

@@ -79,6 +79,17 @@ class Model():
 
         for mdl_path, mdl_name in zip(wakeword_models, wakeword_model_names):
             params, meta = self._load_head(mdl_path, mdl_name)
+            # heads trained by train_cli record which feature frontend
+            # produced their training features; a frontend mismatch makes
+            # scores meaningless, so flag it loudly at load time
+            trained_on = meta.get("embedding")
+            if trained_on and trained_on != kwargs.get("embedding", "default"):
+                logging.warning(
+                    "Model '%s' was trained on the '%s' embedding frontend but "
+                    "this engine runs embedding='%s'; its scores will be "
+                    "unreliable. Construct the engine with embedding='%s'.",
+                    mdl_name, trained_on, kwargs.get("embedding", "default"),
+                    trained_on)
             head_meta = params["__meta__"]
             self.models[mdl_name] = params
             self.model_inputs[mdl_name] = int(head_meta["input_frames"])

@@ -22,6 +22,7 @@ zeroing, and the VAD gate over scores 0.4-0.56 s back.
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import functools
+import logging
 import os
 import pickle
 
@@ -72,9 +73,10 @@ def _as_device_pcm(chunks) -> jnp.ndarray:
         arr = arr.astype(np.float32, copy=False)
     return jnp.asarray(arr)
 
-def _resolve_heads(wakeword_models: Sequence[str]) -> List[Tuple[str, Dict, Dict]]:
-    """(name, params, class_mapping) per head, via the shared resolver +
-    Model loader."""
+def _resolve_heads(wakeword_models: Sequence[str]
+                   ) -> List[Tuple[str, Dict, Dict, Dict]]:
+    """(name, params, class_mapping, file_meta) per head, via the shared
+    resolver + Model loader."""
     from openwakeword_tpu.model import Model
     resolved, names = registry.resolve_wakeword_models(list(wakeword_models))
     out = []
@@ -87,7 +89,7 @@ def _resolve_heads(wakeword_models: Sequence[str]) -> List[Tuple[str, Dict, Dict
         else:
             mapping = {str(i): str(i) if int(params["__meta__"]["n_classes"]) > 1 else name
                        for i in range(int(params["__meta__"]["n_classes"]))}
-        out.append((name, params, mapping))
+        out.append((name, params, mapping, meta))
     return out
 
 
@@ -203,7 +205,10 @@ class MultiStreamEngine:
         head_params = {}
         self.labels: List[str] = []
         label_head_slices = []
-        for name, params, mapping in heads:
+        head_frontends = {}      # name -> embedding frontend the head was trained on
+        for name, params, mapping, file_meta in heads:
+            if file_meta.get("embedding"):
+                head_frontends[name] = file_meta["embedding"]
             meta = dict(params["__meta__"])
             head_params[name] = {k: v for k, v in params.items() if k != "__meta__"}
             n_cls = int(meta["n_classes"])
@@ -358,6 +363,16 @@ class MultiStreamEngine:
             self._emb_init_caches = embedding_stream.init_caches
             self._emb_step = embedding_stream.step
             emb_folded = embedding_model.ensure_folded(embedding_params)
+
+        # heads trained by train_cli record their feature frontend; a
+        # frontend mismatch makes scores meaningless — flag it at load time
+        for name, trained_on in head_frontends.items():
+            if trained_on != self.embedding:
+                logging.warning(
+                    "Model '%s' was trained on the '%s' embedding frontend but "
+                    "this engine runs embedding='%s'; its scores will be "
+                    "unreliable. Construct the engine with embedding='%s'.",
+                    name, trained_on, self.embedding, trained_on)
 
         self._vad_apply = vad_net.apply
         if self.vad_threshold > 0:

@@ -70,6 +70,16 @@ def main(argv=None):
 
     config = _load_config(args.training_config)
     config["output_dir"] = os.path.abspath(config["output_dir"])
+    # `embedding: student` trains the head on the TPU-shaped student
+    # frontend's features (models/embedding_student.py) so the exported model
+    # is served drift-free by a student-mode engine. Student features live in
+    # *.student.npy files — switching the key never silently reuses features
+    # computed with the other frontend.
+    embedding = config.get("embedding", "default")
+    if embedding not in ("default", "student"):
+        raise ValueError(f"config key 'embedding' must be 'default' or "
+                         f"'student', got {embedding!r}")
+    feat_suffix = ".student.npy" if embedding == "student" else ".npy"
     # optional `seed` config key: makes the whole pipeline (augmentation
     # draws, window-size sampling, trainer init) reproducible run-to-run
     seed = config.get("seed")
@@ -143,10 +153,10 @@ def main(argv=None):
 
     # ------------------------------------------------------------------
     if args.augment_clips:
-        split_outputs = ((positive_train, "positive_features_train.npy"),
-                         (negative_train, "negative_features_train.npy"),
-                         (positive_test, "positive_features_test.npy"),
-                         (negative_test, "negative_features_test.npy"))
+        split_outputs = ((positive_train, "positive_features_train" + feat_suffix),
+                         (negative_train, "negative_features_train" + feat_suffix),
+                         (positive_test, "positive_features_test" + feat_suffix),
+                         (negative_test, "negative_features_test" + feat_suffix))
         # resume-safe: features are computed into a .tmp name and renamed on
         # completion, and the skip check requires EVERY split to exist — a
         # crash mid-stage can therefore never leave a partial (zero-filled
@@ -169,7 +179,7 @@ def main(argv=None):
                 tmp_path = final_path + ".tmp.npy"
                 compute_features_from_generator(
                     gen, n_total=len(clips), clip_duration=config["total_length"],
-                    output_file=tmp_path)
+                    output_file=tmp_path, embedding=embedding)
                 os.replace(tmp_path, final_path)
         else:
             logging.warning("Features already exist; skipping augmentation "
@@ -177,7 +187,8 @@ def main(argv=None):
 
     # ------------------------------------------------------------------
     if args.train_model:
-        input_shape = np.load(os.path.join(feature_save_dir, "positive_features_test.npy"),
+        input_shape = np.load(os.path.join(feature_save_dir,
+                                           "positive_features_test" + feat_suffix),
                               mmap_mode="r").shape[1:]
         trainer = HeadTrainer(n_classes=1, input_shape=input_shape,
                               model_type=config.get("model_type", "dnn"),
@@ -194,14 +205,24 @@ def main(argv=None):
             return x
 
         feature_data_files = dict(config.get("feature_data_files", {}))
+        if embedding == "student" and (feature_data_files
+                                       or config.get("false_positive_validation_data_path")):
+            logging.warning(
+                "embedding: student — the pre-computed feature sets in "
+                "'feature_data_files' / 'false_positive_validation_data_path' "
+                "must themselves have been computed with the student frontend "
+                "(compute_features_from_generator(embedding='student')); "
+                "teacher-frontend features would poison training/validation")
         data_transforms = {key: reshape_negative for key in feature_data_files.keys()}
         label_transforms = {}
         for key in ["positive"] + list(feature_data_files.keys()) + ["adversarial_negative"]:
             label_transforms[key] = (lambda x: [1 for _ in x]) if key == "positive" \
                 else (lambda x: [0 for _ in x])
 
-        feature_data_files["positive"] = os.path.join(feature_save_dir, "positive_features_train.npy")
-        feature_data_files["adversarial_negative"] = os.path.join(feature_save_dir, "negative_features_train.npy")
+        feature_data_files["positive"] = os.path.join(
+            feature_save_dir, "positive_features_train" + feat_suffix)
+        feature_data_files["adversarial_negative"] = os.path.join(
+            feature_save_dir, "negative_features_train" + feat_suffix)
 
         batch_generator = mmap_batch_generator(
             feature_data_files,
@@ -242,8 +263,10 @@ def main(argv=None):
                     "model window (%d <= %d rows); skipping FP validation",
                     fp_feats.shape[0], input_shape[0])
 
-        X_val_pos = np.load(os.path.join(feature_save_dir, "positive_features_test.npy"))
-        X_val_neg = np.load(os.path.join(feature_save_dir, "negative_features_test.npy"))
+        X_val_pos = np.load(os.path.join(feature_save_dir,
+                                         "positive_features_test" + feat_suffix))
+        X_val_neg = np.load(os.path.join(feature_save_dir,
+                                         "negative_features_test" + feat_suffix))
         labels = np.hstack((np.ones(X_val_pos.shape[0]), np.zeros(X_val_neg.shape[0]))).astype(np.float32)
         X_val = [(np.vstack((X_val_pos, X_val_neg)), labels)]
         if X_val_fp is None:
@@ -260,7 +283,7 @@ def main(argv=None):
             val_set_hrs=val_set_hrs)
 
         trainer.save_model(os.path.join(config["output_dir"], config["model_name"] + ".npz"),
-                           model=best_model)
+                           model=best_model, meta={"embedding": embedding})
         if args.export_onnx:
             from openwakeword_tpu.io.onnx_export import export_head_onnx
             export_head_onnx(best_model,

@@ -618,9 +618,12 @@ class HeadTrainer:
         features = F.embed_clips(np.asarray(clips), batch_size=16)
         return self.predict_on_features(features, model=model)
 
-    def save_model(self, output_path: str, model=None):
+    def save_model(self, output_path: str, model=None, meta: dict = None):
+        """``meta`` rides the checkpoint's file-level metadata — e.g.
+        ``{"embedding": "student"}`` records which feature frontend the head
+        was trained on, so engines can warn on a frontend mismatch at load."""
         from openwakeword_tpu.io.checkpoints import save_checkpoint
-        save_checkpoint(output_path, "head", model or self.params)
+        save_checkpoint(output_path, "head", model or self.params, meta=meta)
 
     # -- mid-run checkpoint / resume (the reference keeps training state
     # in-memory only, train.py:555-567; this adds crash recovery) ----------

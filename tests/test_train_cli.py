@@ -98,3 +98,57 @@ def test_augment_train_export(training_setup, tmp_path, caplog):
     kind2, params2, _ = load_model_file(npz)
     np.testing.assert_allclose(np.asarray(heads.apply(params, jnp.asarray(x))),
                                np.asarray(heads.apply(params2, jnp.asarray(x))), atol=1e-6)
+
+
+def test_student_pipeline_trains_and_tags_frontend(training_setup, tmp_path, caplog):
+    """`embedding: student` runs the whole pipeline on student-frontend
+    features (suffixed files, tagged checkpoint) and engines warn on a
+    frontend mismatch at load (docs/student_embedding.md)."""
+    import logging
+    import yaml
+    from openwakeword_tpu.train_cli import main
+    cfg_path, cfg = training_setup
+    cfg = dict(cfg, embedding="student", model_name="tiny_student", steps=10)
+    # reuse the already-generated clip dirs under the original model dir
+    import shutil
+    src = os.path.join(cfg["output_dir"], "tiny_model")
+    dst = os.path.join(cfg["output_dir"], "tiny_student")
+    os.makedirs(dst, exist_ok=True)
+    for split in ("positive_train", "positive_test", "negative_train", "negative_test"):
+        if not os.path.exists(os.path.join(dst, split)):
+            shutil.copytree(os.path.join(src, split), os.path.join(dst, split))
+    cfg_path2 = str(tmp_path / "cfg_student.yml")
+    with open(cfg_path2, "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["--training_config", cfg_path2, "--augment_clips", "--train_model"])
+
+    # features landed in .student.npy files (never aliasing teacher features)
+    feats = np.load(os.path.join(dst, "positive_features_train.student.npy"))
+    assert feats.shape[0] == 8 and feats.shape[2] == 96
+    assert not os.path.exists(os.path.join(dst, "positive_features_train.npy"))
+
+    # the checkpoint records its frontend
+    npz = os.path.join(cfg["output_dir"], "tiny_student.npz")
+    from openwakeword_tpu.io.loaders import load_model_file
+    _, _, meta = load_model_file(npz)
+    assert meta.get("embedding") == "student"
+
+    import openwakeword_tpu as oww
+
+    # matched frontend: loads silently (no mismatch warning)
+    with caplog.at_level(logging.WARNING):
+        caplog.clear()
+        m = oww.Model(wakeword_models=[npz], embedding="student")
+        assert not any("embedding frontend" in r.message for r in caplog.records)
+        preds = m.predict(np.zeros(1280, np.int16))
+        assert "tiny_student" in preds
+
+        # mismatched frontend: loud warning from both engines
+        caplog.clear()
+        oww.Model(wakeword_models=[npz])
+        assert any("embedding frontend" in r.message for r in caplog.records)
+
+        caplog.clear()
+        from openwakeword_tpu.parallel.engine import MultiStreamEngine
+        MultiStreamEngine(wakeword_models=[npz], n_streams=2)
+        assert any("embedding frontend" in r.message for r in caplog.records)
