@@ -182,6 +182,11 @@ class MultiStreamEngine:
         # 'highest'/'high'/'fast') sets the MXU precision per stage, f32
         # storage throughout -- for trading per-stage speed against the
         # measured drift contribution of each stage.
+        # In student mode (embedding='student') the step is mel-bound and
+        # 'fast' is the recommended tier: 266,557 rt streams (1.54x student
+        # 'high') at only 1.27e-3 drift vs the student-exact pipeline --
+        # the mel DFT dominates 1-pass error, so 'fast' on all stages costs
+        # no more drift than {'mel': 'fast'} alone (PERF_NOTES.md round 4).
         _modes = ("highest", "high", "fast", "bf16")
         if isinstance(precision, dict):
             bad = set(precision) - {"mel", "cnn", "heads"}
