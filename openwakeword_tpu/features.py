@@ -79,7 +79,8 @@ def _load_embedding_params(embedding_model_path: str = "", rng_seed: int = 42,
 def compute_features_from_generator(generator, n_total: int, clip_duration: int,
                                     output_file: str, device: str = "",
                                     ncpu: int = 1, embedding: str = "default",
-                                    embedding_params=None):
+                                    embedding_params=None,
+                                    embedding_model_path: str = ""):
     """Stream a generator of (batch, samples) int16 audio through the batch
     embedding path into an on-disk memmapped .npy (supports datasets far
     larger than RAM), then trim trailing empty rows (reference
@@ -92,7 +93,8 @@ def compute_features_from_generator(generator, n_total: int, clip_duration: int,
     from numpy.lib.format import open_memmap
     from openwakeword_tpu.data import trim_mmap
 
-    F = AudioFeatures(embedding=embedding, embedding_params=embedding_params)
+    F = AudioFeatures(embedding=embedding, embedding_params=embedding_params,
+                      embedding_model_path=embedding_model_path)
     rows, cols = F.get_embedding_shape(clip_duration / F.sr)
     out = open_memmap(output_file, mode='w+', dtype=np.float32,
                       shape=(n_total, rows, cols))

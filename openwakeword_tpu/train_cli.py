@@ -60,6 +60,12 @@ def main(argv=None):
                         help="Run augmentation + feature pre-compute")
     parser.add_argument("--overwrite", action="store_true",
                         help="Recompute features even if they exist")
+    parser.add_argument("--distill_student", action="store_true",
+                        help="Distill the TPU-shaped student embedding against the "
+                             "installed teacher and save it to the registry path "
+                             "(prerequisite for embedding: student serving; "
+                             "skipped if a student checkpoint already exists "
+                             "unless --overwrite)")
     parser.add_argument("--train_model", action="store_true",
                         help="Train the classifier head (auto-train schedule)")
     parser.add_argument("--export_onnx", action="store_true",
@@ -135,6 +141,30 @@ def main(argv=None):
             _generate_clip_set(generate_samples, adversarial_texts, n_target, out_dir,
                                max(1, config["tts_batch_size"] // 7), noise)
 
+    # ------------------------------------------------------------------
+    # optional override of the registry's student-checkpoint location (used
+    # by both the distill stage and student-mode feature pre-compute; serve
+    # with Model(embedding="student", embedding_model_path=<same path>))
+    from openwakeword_tpu import registry
+    student_path = (config.get("student_checkpoint_path")
+                    or registry.FEATURE_MODELS["embedding_student"]["model_path"])
+
+    if args.distill_student:
+        if os.path.exists(student_path) and not args.overwrite:
+            logging.warning("Student checkpoint already exists at %s; skipping "
+                            "distillation (use --overwrite to redo)", student_path)
+        else:
+            from openwakeword_tpu.training.distill import distill_default_student
+            # mix the generated positive clips into the distillation data so
+            # the student is fit on the deployment's own speech distribution
+            speech_wavs = [str(i) for i in Path(positive_train).glob("*.wav")][:256]
+            _, report = distill_default_student(
+                student_path, speech_wavs=speech_wavs or None,
+                steps=int(config.get("distill_steps", 3000)),
+                batch_size=int(config.get("distill_batch_size", 256)),
+                seed=seed if seed is not None else 0)
+            logging.info("Student distilled (drift report: %s)", report)
+
     # Auto-size the training window: median positive duration + 750 ms,
     # min/snap 32000 samples (reference train.py:745-758)
     positive_clips = [str(i) for i in Path(positive_test).glob("*.wav")]
@@ -179,7 +209,9 @@ def main(argv=None):
                 tmp_path = final_path + ".tmp.npy"
                 compute_features_from_generator(
                     gen, n_total=len(clips), clip_duration=config["total_length"],
-                    output_file=tmp_path, embedding=embedding)
+                    output_file=tmp_path, embedding=embedding,
+                    embedding_model_path=(student_path if embedding == "student"
+                                          else ""))
                 os.replace(tmp_path, final_path)
         else:
             logging.warning("Features already exist; skipping augmentation "

@@ -108,7 +108,9 @@ def test_student_pipeline_trains_and_tags_frontend(training_setup, tmp_path, cap
     import yaml
     from openwakeword_tpu.train_cli import main
     cfg_path, cfg = training_setup
-    cfg = dict(cfg, embedding="student", model_name="tiny_student", steps=10)
+    cfg = dict(cfg, embedding="student", model_name="tiny_student", steps=10,
+               distill_steps=3, distill_batch_size=8,
+               student_checkpoint_path=str(tmp_path / "student.npz"))
     # reuse the already-generated clip dirs under the original model dir
     import shutil
     src = os.path.join(cfg["output_dir"], "tiny_model")
@@ -120,12 +122,29 @@ def test_student_pipeline_trains_and_tags_frontend(training_setup, tmp_path, cap
     cfg_path2 = str(tmp_path / "cfg_student.yml")
     with open(cfg_path2, "w") as f:
         yaml.safe_dump(cfg, f)
-    main(["--training_config", cfg_path2, "--augment_clips", "--train_model"])
+    main(["--training_config", cfg_path2, "--distill_student",
+          "--augment_clips", "--train_model"])
+
+    # the distill stage produced a student checkpoint at the override path
+    from openwakeword_tpu.io.loaders import load_model_file as _load
+    student_npz = str(tmp_path / "student.npz")
+    assert os.path.exists(student_npz)
+    skind, sparams, _ = _load(student_npz)
+    from openwakeword_tpu.models import embedding_student
+    assert embedding_student.is_student(sparams)
 
     # features landed in .student.npy files (never aliasing teacher features)
     feats = np.load(os.path.join(dst, "positive_features_train.student.npy"))
     assert feats.shape[0] == 8 and feats.shape[2] == 96
     assert not os.path.exists(os.path.join(dst, "positive_features_train.npy"))
+
+    # idempotency: a second distill invocation skips (checkpoint exists)
+    import logging as _logging
+    with caplog.at_level(_logging.WARNING):
+        caplog.clear()
+        main(["--training_config", cfg_path2, "--distill_student"])
+        assert any("skipping distillation" in r.message.lower()
+                   for r in caplog.records)
 
     # the checkpoint records its frontend
     npz = os.path.join(cfg["output_dir"], "tiny_student.npz")
@@ -135,10 +154,12 @@ def test_student_pipeline_trains_and_tags_frontend(training_setup, tmp_path, cap
 
     import openwakeword_tpu as oww
 
-    # matched frontend: loads silently (no mismatch warning)
+    # matched frontend: loads silently (no mismatch warning), serving with
+    # the same distilled student the features were computed with
     with caplog.at_level(logging.WARNING):
         caplog.clear()
-        m = oww.Model(wakeword_models=[npz], embedding="student")
+        m = oww.Model(wakeword_models=[npz], embedding="student",
+                      embedding_model_path=student_npz)
         assert not any("embedding frontend" in r.message for r in caplog.records)
         preds = m.predict(np.zeros(1280, np.int16))
         assert "tiny_student" in preds
