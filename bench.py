@@ -58,14 +58,17 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     if os.environ.get("BENCH_VERIFIER", "0") == "1":
         # fully-loaded config: a folded verifier on every model (same
         # device work as real speaker verifiers — one stacked affine over
-        # the feature ring gated by the base scores)
-        probe = MultiStreamEngine(n_streams=1, **engine_kwargs)
+        # the feature ring gated by the base scores); head metadata comes
+        # from the resolver directly — building a throwaway engine for it
+        # would pay full construction (head loads + init_state) twice
+        from openwakeword_tpu.parallel.engine import _resolve_heads
         vrng = np.random.default_rng(7)
         engine_kwargs["custom_verifier_models"] = {
-            name: (vrng.normal(0, 0.01, int(meta["input_frames"]) * 96)
-                   .astype(np.float32), np.float32(0.0))
-            for name, meta, _ in probe._head_metas}
-        del probe
+            name: (vrng.normal(
+                0, 0.01, int(params["__meta__"]["input_frames"]) * 96)
+                .astype(np.float32), np.float32(0.0))
+            for name, params, _, _ in _resolve_heads(
+                engine_kwargs["wakeword_models"])}
     engine = MultiStreamEngine(n_streams=n_streams, **engine_kwargs)
     # drive the engine's real multi-frame program (the predict_frames path),
     # reduced to a scalar for the sync fetch

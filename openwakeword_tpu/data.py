@@ -8,6 +8,7 @@ augmentation, reverberation) expressed as batched JAX programs
 transforms, and torchaudio replaced by stdlib WAV I/O.
 """
 
+import functools
 import itertools
 import logging
 import os
@@ -53,6 +54,14 @@ def read_audio(path: str) -> np.ndarray:
             data = data.reshape(-1, n_ch)[:, 0]
         return (data / 32768.0).astype(np.float32)
     return _decode_with_ffmpeg(path)
+
+
+@functools.lru_cache(maxsize=256)
+def _read_rir_cached(path: str) -> np.ndarray:
+    """Decoded impulse response, cached: mix_clips_batch re-draws from a
+    small fixed RIR set every batch of a many-thousand-batch training run.
+    Callers must not mutate the returned array."""
+    return read_audio(path)
 
 
 def _decode_with_ffmpeg(path: str, sr: int = 16000) -> np.ndarray:
@@ -404,7 +413,9 @@ def mix_clips_batch(
             choice = np.random.randint(0, len(rirs), mixed_batch.shape[0])
             for r in np.unique(choice[sel]):
                 rows = np.where(sel & (choice == r))[0]
-                rir = read_audio(rirs[r])
+                # RIRs are a small fixed set re-drawn every batch of a
+                # many-thousand-batch run — decode each file once
+                rir = _read_rir_cached(rirs[r])
                 mixed_batch[rows] = np.asarray(
                     A.reverberate(jnp.asarray(mixed_batch[rows]),
                                   jnp.asarray(rir)), np.float32)

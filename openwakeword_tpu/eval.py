@@ -24,6 +24,7 @@ XLA program), so a 12 GB corpus evaluates at engine throughput rather than
 ``ncpu`` host processes.
 """
 
+import logging
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -50,9 +51,21 @@ def score_files(file_paths: Sequence[str], wakeword_models: Sequence[str],
     out: Dict[str, np.ndarray] = {}
     if segment_seconds is not None:
         from openwakeword_tpu.parallel.bulk import bulk_predict_streaming
+        # the streaming path holds (streams x segment) decoded PCM on the
+        # host per step, so the stream count is capped at 64 to bound that
+        # buffer (64 x 60 s = ~118 MB int16); raise batch_size AND lower
+        # segment_seconds together to trade the two
+        seg_streams = min(batch_size, 64 if segment_seconds >= 30 else 256)
+        if seg_streams < batch_size:
+            logging.info(
+                "score_files: streaming path caps the engine at %d streams "
+                "(requested batch_size=%d) to bound host segment memory; "
+                "lower segment_seconds to raise the cap, or pass "
+                "segment_seconds=None for the one-shot batch path",
+                seg_streams, batch_size)
         mats, labels = bulk_predict_streaming(
             list(file_paths), wakeword_models=list(wakeword_models),
-            padding=padding, batch_size=min(batch_size, 64),
+            padding=padding, batch_size=seg_streams,
             segment_seconds=segment_seconds, **kwargs)
         if label is not None and label not in labels:
             raise KeyError(label)

@@ -146,7 +146,11 @@ class AudioFeatures():
             embedding_params = _load_embedding_params(embedding_model_path,
                                                       embedding=embedding)
         self._embedding_params_raw = embedding_params
+        # the RESOLVED frontend (params win over the kwarg: student params
+        # passed explicitly run the student network regardless of `embedding`)
+        self.embedding = "default"
         if _embedding_student.is_student(embedding_params):
+            self.embedding = "student"
             self._embedding_params = embedding_params
             self._embed_fn = _embed_student_jit
         elif embedding == "student":

@@ -76,20 +76,17 @@ class Model():
         self.class_mapping: Dict[str, Dict] = {}
         self.custom_verifier_models: Dict[str, object] = {}
         self.custom_verifier_threshold = custom_verifier_threshold
+        head_frontends: Dict[str, str] = {}        # name -> training frontend
 
         for mdl_path, mdl_name in zip(wakeword_models, wakeword_model_names):
             params, meta = self._load_head(mdl_path, mdl_name)
             # heads trained by train_cli record which feature frontend
-            # produced their training features; a frontend mismatch makes
-            # scores meaningless, so flag it loudly at load time
-            trained_on = meta.get("embedding")
-            if trained_on and trained_on != kwargs.get("embedding", "default"):
-                logging.warning(
-                    "Model '%s' was trained on the '%s' embedding frontend but "
-                    "this engine runs embedding='%s'; its scores will be "
-                    "unreliable. Construct the engine with embedding='%s'.",
-                    mdl_name, trained_on, kwargs.get("embedding", "default"),
-                    trained_on)
+            # produced their training features; checked against the RESOLVED
+            # frontend after the preprocessor is built (below) — the kwarg
+            # alone can't tell (student params may arrive via
+            # embedding_params/embedding_model_path)
+            if meta.get("embedding"):
+                head_frontends[mdl_name] = meta["embedding"]
             head_meta = params["__meta__"]
             self.models[mdl_name] = params
             self.model_inputs[mdl_name] = int(head_meta["input_frames"])
@@ -173,6 +170,17 @@ class Model():
             self.vad = VAD()
 
         self.preprocessor = AudioFeatures(**kwargs)
+
+        # a frontend mismatch makes scores meaningless — flag it loudly,
+        # against the frontend the preprocessor ACTUALLY resolved
+        for mdl_name, trained_on in head_frontends.items():
+            if trained_on != self.preprocessor.embedding:
+                logging.warning(
+                    "Model '%s' was trained on the '%s' embedding frontend but "
+                    "this engine runs embedding='%s'; its scores will be "
+                    "unreliable. Construct the engine with embedding='%s'.",
+                    mdl_name, trained_on, self.preprocessor.embedding,
+                    trained_on)
 
     # ------------------------------------------------------------------
 

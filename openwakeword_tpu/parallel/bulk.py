@@ -100,6 +100,57 @@ def bulk_predict_streaming(file_paths: List[str],
     Returns:
         ({path: (T_i, n_labels) float32 score matrix}, labels)
     """
+    engine, n_streams = _make_engine(file_paths, wakeword_models, batch_size,
+                                     kwargs)
+    seg_frames = max(1, int(round(segment_seconds
+                                  * config.SAMPLE_RATE / config.CHUNK_SAMPLES)))
+
+    results: Dict[str, np.ndarray] = {}
+    n_labels = len(engine.labels)
+    for i in range(0, len(file_paths), n_streams):
+        batch_paths = file_paths[i:i + n_streams]
+        readers: List[_StreamingWavReader] = []
+        try:
+            for p in batch_paths:
+                readers.append(
+                    _StreamingWavReader(p, config.SAMPLE_RATE * padding))
+            totals = [r.total_frames for r in readers]
+            t_max = max(totals, default=0)
+            collected: List[List[np.ndarray]] = [[] for _ in batch_paths]
+            engine.reset()
+            done = 0
+            while done < t_max:
+                # every segment is full-size (readers emit zeros past EOF and
+                # per-file totals truncate the output), so ONE compiled scan
+                # program covers the whole corpus — a data-dependent final
+                # length would recompile per distinct remainder, and tunnel
+                # compiles are minutes-slow (bench.py header)
+                frames = np.zeros((seg_frames, n_streams, config.CHUNK_SAMPLES),
+                                  np.int16)
+                for j, r in enumerate(readers):
+                    frames[:, j, :] = r.read(
+                        seg_frames * config.CHUNK_SAMPLES
+                    ).reshape(seg_frames, config.CHUNK_SAMPLES)
+                scores = engine.predict_frames(frames)      # (seg, S, L)
+                for j, total in enumerate(totals):
+                    k = min(max(total - done, 0), seg_frames)
+                    if k:
+                        collected[j].append(
+                            np.asarray(scores[:k, j], np.float32))
+                done += seg_frames
+            for j, path in enumerate(batch_paths):
+                results[path] = (np.concatenate(collected[j]) if collected[j]
+                                 else np.zeros((0, n_labels), np.float32))
+        finally:
+            for r in readers:
+                r.close()
+    return results, list(engine.labels)
+
+
+def _make_engine(file_paths, wakeword_models, batch_size, kwargs):
+    """One engine per bulk run, streams sized to the corpus, kwargs filtered
+    by the engine's REAL signature (a hand-maintained allowlist silently
+    dropped options such as precision/incremental)."""
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
     from openwakeword_tpu.utils.args import accepted_kwargs
 
@@ -109,37 +160,7 @@ def bulk_predict_streaming(file_paths: List[str],
         wakeword_models=list(wakeword_models), n_streams=n_streams,
         **{k: v for k, v in kwargs.items()
            if k in engine_init and k not in ("wakeword_models", "n_streams")})
-    seg_frames = max(1, int(round(segment_seconds
-                                  * config.SAMPLE_RATE / config.CHUNK_SAMPLES)))
-
-    results: Dict[str, np.ndarray] = {}
-    n_labels = len(engine.labels)
-    for i in range(0, len(file_paths), n_streams):
-        batch_paths = file_paths[i:i + n_streams]
-        readers = [_StreamingWavReader(p, config.SAMPLE_RATE * padding)
-                   for p in batch_paths]
-        totals = [r.total_frames for r in readers]
-        t_max = max(totals, default=0)
-        collected: List[List[np.ndarray]] = [[] for _ in batch_paths]
-        engine.reset()
-        done = 0
-        while done < t_max:
-            t = min(seg_frames, t_max - done)
-            frames = np.zeros((t, n_streams, config.CHUNK_SAMPLES), np.int16)
-            for j, r in enumerate(readers):
-                frames[:, j, :] = r.read(
-                    t * config.CHUNK_SAMPLES).reshape(t, config.CHUNK_SAMPLES)
-            scores = engine.predict_frames(frames)          # (t, S, L)
-            for j, total in enumerate(totals):
-                k = min(max(total - done, 0), t)
-                if k:
-                    collected[j].append(np.asarray(scores[:k, j], np.float32))
-            done += t
-        for j, path in enumerate(batch_paths):
-            readers[j].close()
-            results[path] = (np.concatenate(collected[j]) if collected[j]
-                             else np.zeros((0, n_labels), np.float32))
-    return results, list(engine.labels)
+    return engine, n_streams
 
 
 def bulk_predict(file_paths: List[str],
@@ -171,20 +192,10 @@ def bulk_predict(file_paths: List[str],
             m.reset()
         return out
 
-    from openwakeword_tpu.parallel.engine import MultiStreamEngine
-    from openwakeword_tpu.utils.args import accepted_kwargs
-
     # One engine for the whole run (heads load and programs build once);
     # short final batches are zero-padded to the engine's stream capacity.
-    # Kwargs are filtered by the engine's real signature (like the generic
-    # path above) — a hand-maintained allowlist silently dropped options
-    # such as precision/incremental.
-    n_streams = min(batch_size, max(1, len(file_paths)))
-    engine_init = accepted_kwargs(MultiStreamEngine.__init__)
-    engine = MultiStreamEngine(
-        wakeword_models=list(wakeword_models), n_streams=n_streams,
-        **{k: v for k, v in kwargs.items()
-           if k in engine_init and k not in ("wakeword_models", "n_streams")})
+    engine, n_streams = _make_engine(file_paths, wakeword_models, batch_size,
+                                     kwargs)
 
     results: Dict[str, list] = {}
     for i in range(0, len(file_paths), n_streams):
