@@ -255,6 +255,29 @@ def import_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
     linears, lns, tail = _extract_linears_and_lns(graph)
     if not linears:
         raise ValueError(f"No linear layers found in ONNX head graph at {path}")
+    # The order-based extraction is only sound for graphs that ARE a
+    # train.py family: (a) no ops outside the family vocabulary (an
+    # attention-pooled head, say, contains the same 3 linears an mlp does —
+    # rebuilding it as an mlp would score silently wrong), and (b) the
+    # linear dims must chain input->hidden->...->classes.
+    _family_ops = {
+        "Gemm", "MatMul", "Add", "Relu", "Sigmoid", "Softmax", "Reshape",
+        "Flatten", "Identity", "Constant", "Shape", "Gather", "Unsqueeze",
+        "Concat", "Cast", "Dropout",
+        # decomposed / single-op LayerNorm
+        "ReduceMean", "Sub", "Pow", "Sqrt", "Div", "Mul", "LayerNormalization",
+    }
+    extra = {n["op_type"] for n in graph["nodes"]} - _family_ops
+    if extra:
+        raise ValueError(
+            f"{path}: ops {sorted(extra)} are outside the dnn/mlp head "
+            "vocabulary — not a train.py family export")
+    for a, b in zip(linears, linears[1:]):
+        if a["w"].shape[-1] != b["w"].shape[0]:
+            raise ValueError(
+                f"{path}: linear layers do not chain "
+                f"({a['w'].shape} -> {b['w'].shape}); not a sequential "
+                "dnn/mlp head")
 
     n_in = linears[0]["w"].shape[0]
     if n_in % 96 != 0:
@@ -357,13 +380,48 @@ def import_vad_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
 
 # ---------------------------------------------------------------------------
 
+def import_graph_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
+    """Arbitrary-architecture ONNX classifier -> generic 'graph' head.
+
+    The reference serves ANY user-supplied .onnx through onnxruntime
+    (reference model.py:105-141 just builds an InferenceSession), not only
+    the dnn/mlp/rnn families its own train.py produces. Architectures the
+    order-based family extractors don't recognize compile through the
+    general ONNX->XLA compiler (io/onnx_graph.OnnxProgram) into one jittable
+    forward instead of being rejected.
+
+    The head contract is inferred from the graph I/O: one dynamic input
+    shaped (B, F, 96) or (B, F*96) embedding windows; the first output is
+    the score vector (the graph carries its own sigmoid/softmax tail, as
+    every exported head does). n_classes is measured by running the graph
+    once on zeros.
+    """
+    from openwakeword_tpu.io.graph_head import build_graph_head
+    from openwakeword_tpu.io.onnx_graph import OnnxProgram
+
+    if graph is None:
+        graph = op.load_onnx(path)["graph"]
+    prog = OnnxProgram(graph)
+    if len(prog.input_names) != 1:
+        raise ValueError(
+            f"{path}: generic head import needs exactly one dynamic input, "
+            f"got {prog.input_names} — stateful/multi-input graphs have no "
+            "standard wakeword-head calling convention")
+    info = next(i for i in graph["inputs"] if i["name"] == prog.input_names[0])
+    return build_graph_head(prog, info["shape"], path)
+
+
 def import_onnx_model(path: str) -> Tuple[str, Dict, Dict]:
     """Entry point used by io.loaders: (kind, params, meta)."""
     model = op.load_onnx(path)
     graph = model["graph"]
     kind = _classify(graph)
     if kind == "head":
-        params, meta = import_head_onnx(path, graph)
+        try:
+            params, meta = import_head_onnx(path, graph)
+        except ValueError:
+            # not one of the train.py families — compile the graph as-is
+            params, meta = import_graph_head_onnx(path, graph)
         return "head", params, meta
     if kind == "embedding":
         return "embedding", import_embedding_onnx(path, graph), {"kind": "embedding"}
@@ -373,4 +431,6 @@ def import_onnx_model(path: str) -> Tuple[str, Dict, Dict]:
     if kind == "melspectrogram":
         raise ValueError("The melspectrogram frontend is analytic in this framework; "
                          "no import needed (openwakeword_tpu.ops.melspec).")
-    raise NotImplementedError(f"ONNX import for model kind '{kind}' ({path}) is not supported yet")
+    # unrecognized family: fall back to the general compiler before giving up
+    params, meta = import_graph_head_onnx(path, graph)
+    return "head", params, meta

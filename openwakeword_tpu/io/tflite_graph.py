@@ -1,0 +1,391 @@
+"""General TFLite -> XLA executor: run an arbitrary .tflite graph as one
+jittable JAX function.
+
+The reference executes ANY user .tflite through the LiteRT interpreter
+(reference model.py:85-103 / utils.py:88-108 just construct an Interpreter
+around whatever file they are handed) — its own exports are dnn/mlp/rnn
+heads, but community models (e.g. microWakeWord-style depthwise-CNN
+streaming classifiers) are ordinary TFLite graphs too. This module is the
+TFLite twin of io.onnx_graph.OnnxProgram: the flatbuffer (parsed by
+io.tflite_import.load_tflite, a self-contained reader) compiles to a pure
+function over a float-params pytree, so imported graphs serve on TPU through
+the same engine paths as native heads.
+
+Float32 inference only (the artifact families this package targets are all
+float); quantized graphs raise a typed error naming the tensor.
+"""
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# BuiltinOperator codes (tensorflow/lite/schema/schema.fbs)
+_OP_ADD, _OP_AVERAGE_POOL_2D, _OP_CONCATENATION, _OP_CONV_2D = 0, 1, 2, 3
+_OP_DEPTHWISE_CONV_2D, _OP_FULLY_CONNECTED, _OP_LOGISTIC = 4, 9, 14
+_OP_MAX_POOL_2D, _OP_MUL, _OP_RELU, _OP_RELU6, _OP_RESHAPE = 17, 18, 19, 21, 22
+_OP_SOFTMAX, _OP_TANH, _OP_PAD, _OP_TRANSPOSE, _OP_MEAN = 25, 28, 34, 39, 40
+_OP_SUB, _OP_DIV, _OP_SQUEEZE, _OP_UNI_LSTM, _OP_STRIDED_SLICE = 41, 42, 43, 44, 45
+_OP_EXP, _OP_SPLIT, _OP_MAXIMUM, _OP_MINIMUM, _OP_PADV2 = 47, 49, 55, 57, 60
+_OP_SLICE, _OP_SUM, _OP_SQRT, _OP_RSQRT, _OP_LOG = 65, 74, 75, 76, 73
+_OP_SQUARED_DIFFERENCE, _OP_REDUCE_MAX, _OP_LEAKY_RELU = 99, 82, 98
+_OP_REVERSE_V2, _OP_NEG, _OP_ABS, _OP_PRELU = 105, 59, 101, 54
+_OP_HARD_SWISH, _OP_GELU = 117, 150
+
+_OP_NAMES = {
+    v: k[4:] for k, v in list(globals().items()) if k.startswith("_OP_")
+}
+
+
+def _fused(act: int, x):
+    """ActivationFunctionType: NONE=0 RELU=1 RELU_N1_TO_1=2 RELU6=3 TANH=4."""
+    if act == 0:
+        return x
+    if act == 1:
+        return jnp.maximum(x, 0.0)
+    if act == 2:
+        return jnp.clip(x, -1.0, 1.0)
+    if act == 3:
+        return jnp.clip(x, 0.0, 6.0)
+    if act == 4:
+        return jnp.tanh(x)
+    raise NotImplementedError(f"TFLite fused activation {act}")
+
+
+def _pad_mode(code: int) -> str:
+    return "SAME" if code == 0 else "VALID"
+
+
+def _static(v, what: str) -> np.ndarray:
+    if isinstance(v, jax.core.Tracer):
+        raise NotImplementedError(
+            f"TFLite executor: {what} must be a constant tensor")
+    return np.asarray(v)
+
+
+class TfliteProgram:
+    """A TFLite graph compiled to a pure JAX function.
+
+    Attributes:
+        params:       float const tensors ``{t<idx>_<name>: array}``.
+        input_names:  graph input tensor names (graph order).
+        output_names: graph output tensor names.
+
+    ``apply(params, inputs_dict)`` evaluates the graph (wrap in ``jax.jit``);
+    variable tensors (LSTM state) read as zeros sized by the runtime batch —
+    one call is one stateless evaluation, like a fresh LiteRT interpreter.
+    """
+
+    def __init__(self, model: Dict):
+        self._model = model
+        self._tensors = model["tensors"]
+        self.params: Dict[str, Any] = {}
+        self._param_key: Dict[int, str] = {}
+        self._static_vals: Dict[int, np.ndarray] = {}
+        self._input_idx: List[int] = list(model["inputs"])
+        self._output_idx: List[int] = list(model["outputs"])
+
+        for i, t in enumerate(self._tensors):
+            if t["data"] is None:
+                continue
+            if t["dtype"] == 0:                      # float32 -> trainable leaf
+                key = f"t{i}_" + (t["name"] or "const").replace("/", ".")[-40:]
+                self.params[key] = np.asarray(t["data"], np.float32)
+                self._param_key[i] = key
+            else:                                    # shapes/axes/indices
+                self._static_vals[i] = np.asarray(t["data"])
+
+        def _name(i):
+            return self._tensors[i]["name"] or f"tensor_{i}"
+        self.input_names = [_name(i) for i in self._input_idx]
+        self.output_names = [_name(i) for i in self._output_idx]
+
+        for i in self._input_idx + [
+                j for o in model["operators"] for j in o["inputs"] if j >= 0]:
+            t = self._tensors[i]
+            if t["dtype"] in (3, 9) and t["data"] is not None:
+                raise NotImplementedError(
+                    f"TFLite executor: tensor '{t['name']}' is quantized "
+                    f"(dtype {t['dtype']}); only float graphs execute — "
+                    "dequantize the model or import a float export")
+        unknown = sorted({o["opcode"] for o in model["operators"]}
+                         - set(_OP_NAMES))
+        if unknown:
+            raise NotImplementedError(
+                f"TFLite executor: unsupported builtin opcode(s) {unknown} "
+                f"(supported: {sorted(_OP_NAMES.values())})")
+
+    # ------------------------------------------------------------------
+
+    def apply(self, params: Dict, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        """Evaluate the graph. ``inputs`` maps input tensor names to arrays."""
+        missing = [n for n in self.input_names if n not in inputs]
+        if missing:
+            raise ValueError(f"TFLite program missing inputs: {missing}")
+        env: Dict[int, Any] = {}
+        for i, key in self._param_key.items():
+            env[i] = params[key]
+        env.update(self._static_vals)
+        for name, i in zip(self.input_names, self._input_idx):
+            env[i] = jnp.asarray(inputs[name])
+
+        for op in self._model["operators"]:
+            self._exec(op, env)
+        return {name: env[i]
+                for name, i in zip(self.output_names, self._output_idx)}
+
+    def __call__(self, params: Dict, *args):
+        out = self.apply(params, dict(zip(self.input_names, args)))
+        return tuple(out[n] for n in self.output_names)
+
+    # ------------------------------------------------------------------
+
+    def _val(self, env, idx, op, what="input"):
+        if idx < 0:
+            return None
+        if idx in env:
+            return env[idx]
+        t = self._tensors[idx]
+        if t["is_variable"]:
+            # variable tensors (LSTM h/c state) start zeroed; batch dim is
+            # resolved at runtime by the consuming op
+            return None
+        raise ValueError(
+            f"TFLite executor: {what} tensor {idx} ('{t['name']}') of "
+            f"{_OP_NAMES.get(op['opcode'], op['opcode'])} has no producer")
+
+    def _exec(self, op, env):
+        code = op["opcode"]
+        ins, outs = op["inputs"], op["outputs"]
+        opt = op.get("options")
+
+        def a(i, what="input"):
+            return self._val(env, ins[i] if i < len(ins) else -1, op, what)
+
+        def scalar_opt(field, fmt, default):
+            return opt.scalar(field, fmt, default) if opt is not None else default
+
+        if code in (_OP_ADD, _OP_SUB, _OP_MUL, _OP_DIV, _OP_MAXIMUM,
+                    _OP_MINIMUM, _OP_SQUARED_DIFFERENCE):
+            x, y = jnp.asarray(a(0)), jnp.asarray(a(1))
+            fn = {_OP_ADD: jnp.add, _OP_SUB: jnp.subtract,
+                  _OP_MUL: jnp.multiply, _OP_DIV: jnp.divide,
+                  _OP_MAXIMUM: jnp.maximum, _OP_MINIMUM: jnp.minimum,
+                  _OP_SQUARED_DIFFERENCE: lambda p, q: (p - q) ** 2}[code]
+            act = scalar_opt(0, "<b", 0) if code in (
+                _OP_ADD, _OP_SUB, _OP_MUL, _OP_DIV) else 0
+            env[outs[0]] = _fused(act, fn(x, y))
+        elif code == _OP_FULLY_CONNECTED:
+            x, w = jnp.asarray(a(0)), jnp.asarray(a(1))       # w: (out, in)
+            b = a(2)
+            keep = bool(scalar_opt(2, "<b", 0))
+            h = x if keep else x.reshape(-1, w.shape[1])
+            y = jnp.matmul(h, w.T, precision=lax.Precision.HIGHEST)
+            if b is not None:
+                y = y + jnp.asarray(b)
+            env[outs[0]] = _fused(scalar_opt(0, "<b", 0), y)
+        elif code in (_OP_CONV_2D, _OP_DEPTHWISE_CONV_2D):
+            x, w = jnp.asarray(a(0)), jnp.asarray(a(1))
+            b = a(2)
+            padding = _pad_mode(scalar_opt(0, "<b", 0))
+            stride_w = scalar_opt(1, "<i", 1)
+            stride_h = scalar_opt(2, "<i", 1)
+            if code == _OP_CONV_2D:
+                act = scalar_opt(3, "<b", 0)
+                dil = (scalar_opt(5, "<i", 1), scalar_opt(4, "<i", 1))
+                # weights (O, KH, KW, I) NHWC graph
+                y = lax.conv_general_dilated(
+                    x, w, (stride_h, stride_w), padding, rhs_dilation=dil,
+                    dimension_numbers=("NHWC", "OHWI", "NHWC"),
+                    precision=lax.Precision.HIGHEST)
+            else:
+                act = scalar_opt(4, "<b", 0)
+                dil = (scalar_opt(6, "<i", 1), scalar_opt(5, "<i", 1))
+                # weights (1, KH, KW, C*mult): depthwise = grouped conv with
+                # one input channel per group
+                cin = x.shape[-1]
+                w_hwio = jnp.transpose(w, (1, 2, 0, 3))       # (KH,KW,1,C*M)
+                y = lax.conv_general_dilated(
+                    x, w_hwio, (stride_h, stride_w), padding,
+                    rhs_dilation=dil, feature_group_count=cin,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=lax.Precision.HIGHEST)
+            if b is not None:
+                y = y + jnp.asarray(b)
+            env[outs[0]] = _fused(act, y)
+        elif code in (_OP_MAX_POOL_2D, _OP_AVERAGE_POOL_2D):
+            x = jnp.asarray(a(0))
+            padding = _pad_mode(scalar_opt(0, "<b", 0))
+            strides = (1, scalar_opt(2, "<i", 1), scalar_opt(1, "<i", 1), 1)
+            win = (1, scalar_opt(4, "<i", 1), scalar_opt(3, "<i", 1), 1)
+            if code == _OP_MAX_POOL_2D:
+                y = lax.reduce_window(x, -jnp.inf, lax.max, win, strides, padding)
+            else:
+                s = lax.reduce_window(x, 0.0, lax.add, win, strides, padding)
+                n = lax.reduce_window(jnp.ones_like(x), 0.0, lax.add, win,
+                                      strides, padding)
+                y = s / n
+            env[outs[0]] = _fused(scalar_opt(5, "<b", 0), y)
+        elif code == _OP_RESHAPE:
+            x = jnp.asarray(a(0))
+            if len(ins) > 1 and ins[1] >= 0:
+                shape = _static(a(1), "Reshape shape").astype(np.int64)
+            else:
+                shape = np.asarray(opt.vector_scalars(0, "i", 4), np.int64)
+            shape = [int(d) for d in shape]
+            env[outs[0]] = x.reshape(shape)
+        elif code == _OP_SOFTMAX:
+            beta = scalar_opt(0, "<f", 1.0)
+            env[outs[0]] = jax.nn.softmax(jnp.asarray(a(0)) * beta, axis=-1)
+        elif code in (_OP_LOGISTIC, _OP_RELU, _OP_RELU6, _OP_TANH, _OP_EXP,
+                      _OP_LOG, _OP_SQRT, _OP_RSQRT, _OP_NEG, _OP_ABS,
+                      _OP_HARD_SWISH, _OP_GELU):
+            x = jnp.asarray(a(0))
+            env[outs[0]] = {
+                _OP_LOGISTIC: jax.nn.sigmoid, _OP_RELU: lambda v: jnp.maximum(v, 0.0),
+                _OP_RELU6: lambda v: jnp.clip(v, 0.0, 6.0), _OP_TANH: jnp.tanh,
+                _OP_EXP: jnp.exp, _OP_LOG: jnp.log, _OP_SQRT: jnp.sqrt,
+                _OP_RSQRT: lax.rsqrt, _OP_NEG: jnp.negative, _OP_ABS: jnp.abs,
+                _OP_HARD_SWISH: jax.nn.hard_swish, _OP_GELU: jax.nn.gelu,
+            }[code](x)
+        elif code == _OP_LEAKY_RELU:
+            alpha = scalar_opt(0, "<f", 0.01)
+            x = jnp.asarray(a(0))
+            env[outs[0]] = jnp.where(x >= 0, x, alpha * x)
+        elif code == _OP_PRELU:
+            x, slope = jnp.asarray(a(0)), jnp.asarray(a(1))
+            env[outs[0]] = jnp.where(x >= 0, x, slope * x)
+        elif code == _OP_CONCATENATION:
+            axis = scalar_opt(0, "<i", 0)
+            vals = [jnp.asarray(a(i)) for i in range(len(ins))]
+            env[outs[0]] = _fused(scalar_opt(1, "<b", 0),
+                                  jnp.concatenate(vals, axis=axis))
+        elif code in (_OP_MEAN, _OP_SUM, _OP_REDUCE_MAX):
+            x = jnp.asarray(a(0))
+            axes = tuple(int(v) % x.ndim
+                         for v in np.atleast_1d(_static(a(1), "reduce axes")))
+            keep = bool(scalar_opt(0, "<b", 0))
+            fn = {_OP_MEAN: jnp.mean, _OP_SUM: jnp.sum,
+                  _OP_REDUCE_MAX: jnp.max}[code]
+            env[outs[0]] = fn(x, axis=axes, keepdims=keep)
+        elif code in (_OP_PAD, _OP_PADV2):
+            x = jnp.asarray(a(0))
+            pads = _static(a(1), "Pad paddings").astype(int)
+            cval = float(np.asarray(_static(a(2), "Pad value"))) \
+                if code == _OP_PADV2 and len(ins) > 2 and ins[2] >= 0 else 0.0
+            env[outs[0]] = jnp.pad(x, [(int(lo), int(hi)) for lo, hi in pads],
+                                   constant_values=cval)
+        elif code == _OP_TRANSPOSE:
+            x = jnp.asarray(a(0))
+            perm = [int(v) for v in _static(a(1), "Transpose perm")]
+            env[outs[0]] = jnp.transpose(x, perm)
+        elif code == _OP_SQUEEZE:
+            x = jnp.asarray(a(0))
+            dims = (list(opt.vector_scalars(0, "i", 4)) if opt is not None
+                    else [])
+            if dims:
+                env[outs[0]] = jnp.squeeze(x, axis=tuple(d % x.ndim for d in dims))
+            else:
+                env[outs[0]] = jnp.squeeze(x)
+        elif code == _OP_STRIDED_SLICE:
+            x = jnp.asarray(a(0))
+            begin = _static(a(1), "StridedSlice begin").astype(int)
+            end = _static(a(2), "StridedSlice end").astype(int)
+            strides = _static(a(3), "StridedSlice strides").astype(int)
+            bm = scalar_opt(0, "<i", 0)
+            em = scalar_opt(1, "<i", 0)
+            shrink = scalar_opt(4, "<i", 0)
+            idx = []
+            for d in range(len(begin)):
+                b0 = None if (bm >> d) & 1 else int(begin[d])
+                e0 = None if (em >> d) & 1 else int(end[d])
+                if (shrink >> d) & 1:
+                    idx.append(int(begin[d]))
+                else:
+                    idx.append(slice(b0, e0, int(strides[d])))
+            env[outs[0]] = x[tuple(idx)]
+        elif code == _OP_SLICE:
+            x = jnp.asarray(a(0))
+            begin = _static(a(1), "Slice begin").astype(int)
+            size = _static(a(2), "Slice size").astype(int)
+            idx = tuple(slice(int(b), None if s == -1 else int(b + s))
+                        for b, s in zip(begin, size))
+            env[outs[0]] = x[idx]
+        elif code == _OP_SPLIT:
+            axis = int(np.asarray(_static(a(0), "Split axis")))
+            x = jnp.asarray(a(1))
+            parts = jnp.split(x, len(outs), axis=axis)
+            for o, p in zip(outs, parts):
+                env[o] = p
+        elif code == _OP_REVERSE_V2:
+            x = jnp.asarray(a(0))
+            axes = [int(v) for v in np.atleast_1d(_static(a(1), "Reverse axes"))]
+            env[outs[0]] = jnp.flip(x, axis=tuple(axes))
+        elif code == _OP_UNI_LSTM:
+            env[outs[0]] = self._uni_lstm(op, env)
+        else:  # pragma: no cover — constructor pre-screens opcodes
+            raise NotImplementedError(
+                f"TFLite executor: opcode {code} not implemented")
+
+    def _uni_lstm(self, op, env):
+        """UNIDIRECTIONAL_SEQUENCE_LSTM, float path, gate order i,f,c,o
+        (input indices per lite/kernels/lstm.cc; matches this package's
+        exporter layout io/tflite_export.py)."""
+        ins = op["inputs"]
+
+        def g(i):
+            v = self._val(env, ins[i] if i < len(ins) else -1, op)
+            return None if v is None else jnp.asarray(v)
+
+        opt = op.get("options")
+        time_major = bool(opt.scalar(3, "<b", 0)) if opt is not None else False
+        x = g(0)
+        if time_major:
+            x = jnp.swapaxes(x, 0, 1)                     # -> (B, T, I)
+        w_i, w_f, w_c, w_o = g(1), g(2), g(3), g(4)       # (H, I)
+        r_i, r_f, r_c, r_o = g(5), g(6), g(7), g(8)       # (H, H)
+        b_i, b_f, b_c, b_o = g(12), g(13), g(14), g(15)
+        if any(v is not None for v in (g(9), g(10), g(11))):
+            raise NotImplementedError("TFLite LSTM: peephole weights unsupported")
+        if g(16) is not None:
+            raise NotImplementedError("TFLite LSTM: projection unsupported")
+        B, H = x.shape[0], w_i.shape[0]
+        h0 = jnp.zeros((B, H), x.dtype)
+        c0 = jnp.zeros((B, H), x.dtype)
+        wx = jnp.concatenate([w_i, w_f, w_c, w_o], axis=0)     # (4H, I)
+        wh = jnp.concatenate([r_i, r_f, r_c, r_o], axis=0)     # (4H, H)
+        bias = jnp.concatenate([b_i, b_f, b_c, b_o]) \
+            if b_i is not None else jnp.zeros(4 * H, x.dtype)
+        xs = jnp.swapaxes(x, 0, 1)                             # (T, B, I)
+        pre_x = jnp.einsum("tbi,gi->tbg", xs, wx,
+                           precision=lax.Precision.HIGHEST) + bias
+
+        def step(carry, px):
+            h, c = carry
+            z = px + jnp.matmul(h, wh.T, precision=lax.Precision.HIGHEST)
+            i, f, cc, o = jnp.split(z, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(cc)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        _, hs = lax.scan(step, (h0, c0), pre_x)                # (T, B, H)
+        out = jnp.swapaxes(hs, 0, 1)                           # (B, T, H)
+        return jnp.swapaxes(out, 0, 1) if time_major else out
+
+
+def import_graph_head_tflite(path: str, model: Optional[Dict] = None):
+    """Arbitrary-architecture .tflite classifier -> generic 'graph' head
+    (the TFLite twin of io.onnx_import.import_graph_head_onnx; same
+    (B, F, 96) / (B, F*96) window contract, same 'graph' model_type)."""
+    from openwakeword_tpu.io.graph_head import build_graph_head
+    from openwakeword_tpu.io.tflite_import import load_tflite
+
+    if model is None:
+        model = load_tflite(path)
+    prog = TfliteProgram(model)
+    dims = list(model["tensors"][model["inputs"][0]]["shape"]) \
+        if model["inputs"] else []
+    return build_graph_head(prog, dims, path)

@@ -153,7 +153,8 @@ def _parse_tflite(path: str, buf: bytes) -> Dict:
             except ValueError as e:
                 raise ValueError(f"{path}: tensor '{name}' data does not "
                                  f"match its declared shape {shape}: {e}") from e
-        tensors.append({"name": name, "shape": shape, "dtype": ttype, "data": data})
+        tensors.append({"name": name, "shape": shape, "dtype": ttype, "data": data,
+                        "is_variable": bool(t.scalar(5, "<b", 0))})
 
     operators = []
     for o in sg.vector_tables(3):
@@ -162,6 +163,10 @@ def _parse_tflite(path: str, buf: bytes) -> Dict:
             "opcode": opcodes[idx] if idx < len(opcodes) else -1,
             "inputs": o.vector_scalars(1, "i", 4),
             "outputs": o.vector_scalars(2, "i", 4),
+            # builtin options: union discriminant + raw table handle (the
+            # general executor reads per-op fields lazily via _Table)
+            "options_type": o.scalar(3, "<B", 0),
+            "options": o.table(4),
         })
 
     return {
@@ -328,6 +333,18 @@ def import_head_tflite(path: str, model: Dict = None) -> Tuple[Dict, Dict]:
     if any(o["opcode"] == OP_UNIDIRECTIONAL_SEQUENCE_LSTM
            for o in model["operators"]):
         return _extract_rnn_head_tflite(path, model)
+    # the order-based extraction is only sound for graphs that ARE a
+    # train.py family export — any op outside the dnn/mlp vocabulary means
+    # a different architecture (the caller falls back to the general
+    # TFLite->XLA executor, io.tflite_graph)
+    _family_ops = {OP_ADD, OP_FULLY_CONNECTED, OP_LOGISTIC, OP_MUL, OP_RELU,
+                   OP_RESHAPE, OP_SOFTMAX, OP_MEAN, OP_SQUARED_DIFFERENCE,
+                   OP_RSQRT, OP_SUB, OP_SQRT, OP_DIV}
+    extra = sorted({o["opcode"] for o in model["operators"]} - _family_ops)
+    if extra:
+        raise ValueError(
+            f"{path}: builtin opcode(s) {extra} are outside the dnn/mlp "
+            "head vocabulary — not a train.py family export")
     linears: List[Dict] = []
     lns: List[Dict] = []
     pending_gamma = None
@@ -411,6 +428,15 @@ def import_tflite_model(path: str) -> Tuple[str, Dict, Dict]:
                          "framework; no import needed "
                          "(openwakeword_tpu.ops.melspec).")
     if OP_FULLY_CONNECTED in ops or OP_UNIDIRECTIONAL_SEQUENCE_LSTM in ops:
-        params, meta = import_head_tflite(path, model)
+        try:
+            params, meta = import_head_tflite(path, model)
+        except ValueError:
+            # not a train.py family — compile the graph as-is through the
+            # general TFLite->XLA executor
+            from openwakeword_tpu.io.tflite_graph import import_graph_head_tflite
+            params, meta = import_graph_head_tflite(path, model)
         return "head", params, meta
-    raise NotImplementedError(f"TFLite import: unrecognized graph in {path}")
+    # unrecognized family: fall back to the general executor before giving up
+    from openwakeword_tpu.io.tflite_graph import import_graph_head_tflite
+    params, meta = import_graph_head_tflite(path, model)
+    return "head", params, meta

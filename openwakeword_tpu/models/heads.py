@@ -167,6 +167,30 @@ def forward(params: Dict, x: jnp.ndarray, meta: Dict, inference: bool = True,
             bwd = _lstm_scan(params[f"lstm{layer}_bwd"], xs, reverse=True)
             xs = jnp.concatenate([fwd, bwd], axis=-1)
         logits = _apply_linear(params["out"], xs[-1])
+    elif model_type == "graph":
+        # generic imported .onnx head: the general ONNX->XLA compiler is the
+        # forward (io.onnx_import.import_graph_head_onnx). The graph carries
+        # its own output activation (exported heads end in sigmoid/softmax),
+        # so its first output IS the score — no activation logic below.
+        if not inference:
+            raise ValueError(
+                "graph-imported heads are inference-only (train native "
+                "dnn/mlp/rnn heads with training.HeadTrainer)")
+        h = x.reshape(x.shape[0], -1) if meta["input_rank"] == 2 else x
+        prog, in_name, out_name = (meta["program"], meta["input_name"],
+                                   meta["output_name"])
+        if meta.get("batch1_only"):
+            # graphs with pinned batch dims (fixed Reshape shapes — common in
+            # .tflite files, where LiteRT resizes at runtime) run per-sample
+            # under vmap; XLA still fuses the batch into one program
+            def one(xi):
+                return jnp.asarray(
+                    prog.apply(params, {in_name: xi[None]})[out_name],
+                    jnp.float32).reshape(-1)
+            return jax.vmap(one)(h)
+        out = prog.apply(params, {in_name: h})
+        scores = jnp.asarray(out[out_name], jnp.float32)
+        return scores.reshape(x.shape[0], -1)
     else:
         raise ValueError(f"Unknown head model_type: {model_type}")
 

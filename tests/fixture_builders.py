@@ -414,3 +414,125 @@ def build_embedding_onnx(path: str, params: Dict) -> None:
             [op.encode_value_info("input_1", ["batch", 76, 32, 1])],
             [op.encode_value_info("output", ["batch", 1, 1, 96])],
             graph_name="embedding_model", opset=13))
+
+
+def build_cnn_graph_head_onnx(path: str, z: Dict) -> None:
+    """Conv1d-tower classifier (torch CnnHead in graph_head_oracle.py) as the
+    TorchScript exporter would emit it: Transpose -> Conv/Relu x2 ->
+    ReduceMean -> Gemm -> Sigmoid. NOT one of the train.py head families —
+    exercises the generic graph-head import."""
+    nodes: List[bytes] = []
+    inits: List[bytes] = []
+    for key in ("conv1.weight", "conv1.bias", "conv2.weight", "conv2.bias",
+                "fc.weight", "fc.bias"):
+        inits.append(op.encode_tensor(key, np.asarray(z[key], np.float32)))
+    nodes.append(op.encode_node("Transpose", ["emb"], ["t0"], perm=[0, 2, 1]))
+    nodes.append(op.encode_node("Conv", ["t0", "conv1.weight", "conv1.bias"],
+                                ["c1"], kernel_shape=[3], pads=[1, 1], strides=[1]))
+    nodes.append(op.encode_node("Relu", ["c1"], ["a1"]))
+    nodes.append(op.encode_node("Conv", ["a1", "conv2.weight", "conv2.bias"],
+                                ["c2"], kernel_shape=[3], pads=[1, 1], strides=[1]))
+    nodes.append(op.encode_node("Relu", ["c2"], ["a2"]))
+    nodes.append(op.encode_node("ReduceMean", ["a2"], ["pooled"],
+                                axes=[2], keepdims=0))
+    nodes.append(op.encode_node("Gemm", ["pooled", "fc.weight", "fc.bias"],
+                                ["logits"], transB=1, alpha=1.0, beta=1.0))
+    nodes.append(op.encode_node("Sigmoid", ["logits"], ["score"]))
+    with open(path, "wb") as f:
+        f.write(op.encode_model(
+            nodes, inits,
+            [op.encode_value_info("emb", ["batch", 16, 96])],
+            [op.encode_value_info("score", ["batch", 1])],
+            graph_name="cnn_graph_head", opset=13))
+
+
+def build_attn_graph_head_onnx(path: str, z: Dict) -> None:
+    """Attention-pooled 3-class classifier over a FLATTENED (B, 1536) input
+    (torch AttnPoolHead in graph_head_oracle.py): Reshape -> MatMul/Add/Tanh
+    -> MatMul/Add -> Softmax(axis=1) -> Mul -> ReduceSum -> Gemm -> Softmax.
+    Exercises the rank-2 input contract of the generic graph-head import."""
+    nodes: List[bytes] = []
+    inits: List[bytes] = []
+    # 3-D linears export as MatMul(x, W^T) + Add(b); the 2-D tail as Gemm
+    inits.append(op.encode_tensor("proj.w", np.asarray(z["proj.weight"], np.float32).T.copy()))
+    inits.append(op.encode_tensor("proj.b", np.asarray(z["proj.bias"], np.float32)))
+    inits.append(op.encode_tensor("score.w", np.asarray(z["score.weight"], np.float32).T.copy()))
+    inits.append(op.encode_tensor("score.b", np.asarray(z["score.bias"], np.float32)))
+    inits.append(op.encode_tensor("out.weight", np.asarray(z["out.weight"], np.float32)))
+    inits.append(op.encode_tensor("out.bias", np.asarray(z["out.bias"], np.float32)))
+    inits.append(op.encode_tensor("win_shape", np.asarray([-1, 16, 96], np.int64)))
+    nodes.append(op.encode_node("Reshape", ["emb", "win_shape"], ["win"]))
+    nodes.append(op.encode_node("MatMul", ["win", "proj.w"], ["p0"]))
+    nodes.append(op.encode_node("Add", ["p0", "proj.b"], ["p1"]))
+    nodes.append(op.encode_node("Tanh", ["p1"], ["h"]))
+    nodes.append(op.encode_node("MatMul", ["h", "score.w"], ["s0"]))
+    nodes.append(op.encode_node("Add", ["s0", "score.b"], ["s1"]))
+    nodes.append(op.encode_node("Softmax", ["s1"], ["attn"], axis=1))
+    nodes.append(op.encode_node("Mul", ["h", "attn"], ["weighted"]))
+    nodes.append(op.encode_node("ReduceSum", ["weighted"], ["pooled"],
+                                axes=[1], keepdims=0))
+    nodes.append(op.encode_node("Gemm", ["pooled", "out.weight", "out.bias"],
+                                ["logits"], transB=1, alpha=1.0, beta=1.0))
+    nodes.append(op.encode_node("Softmax", ["logits"], ["score"], axis=-1))
+    with open(path, "wb") as f:
+        f.write(op.encode_model(
+            nodes, inits,
+            [op.encode_value_info("emb", ["batch", 16 * 96])],
+            [op.encode_value_info("score", ["batch", 3])],
+            graph_name="attn_graph_head", opset=13))
+
+
+def build_cnn2d_graph_head_tflite(path: str, z: Dict) -> None:
+    """microWakeWord-style depthwise-CNN .tflite classifier (torch Cnn2DHead
+    in graph_head_oracle.py): RESHAPE -> CONV_2D(+fused RELU) ->
+    MAX_POOL_2D -> DEPTHWISE_CONV_2D(+fused RELU) -> MEAN ->
+    FULLY_CONNECTED -> LOGISTIC, batch pinned at 1 like real converter
+    output. Exercises the general TFLite executor + the vmap'd batch1_only
+    serving path."""
+    from openwakeword_tpu.io.tflite_export import _TfliteBuilder
+    from openwakeword_tpu.io import tflite_import as TL
+
+    tb = _TfliteBuilder()
+    b = tb.b
+    conv_w = np.asarray(z["conv.weight"], np.float32).transpose(0, 2, 3, 1)  # OIHW->OHWI
+    dw_w = np.asarray(z["dw.weight"], np.float32).transpose(1, 2, 3, 0)      # ->1,KH,KW,C
+    emb = tb.add_tensor((1, 16, 96), "emb")
+    shp = tb.add_tensor((4,), "win_shape", np.asarray([1, 16, 96, 1], np.int32), ttype=2)
+    r0 = tb.add_tensor((1, 16, 96, 1), "win")
+    cw = tb.add_tensor(conv_w.shape, "conv.w", conv_w)
+    cb = tb.add_tensor((8,), "conv.b", np.asarray(z["conv.bias"], np.float32))
+    c0 = tb.add_tensor((1, 16, 96, 8), "conv_out")
+    p0 = tb.add_tensor((1, 8, 48, 8), "pool_out")
+    dw = tb.add_tensor(dw_w.shape, "dw.w", dw_w)
+    db = tb.add_tensor((8,), "dw.b", np.asarray(z["dw.bias"], np.float32))
+    d0 = tb.add_tensor((1, 8, 48, 8), "dw_out")
+    axes = tb.add_tensor((2,), "mean_axes", np.asarray([1, 2], np.int32), ttype=2)
+    m0 = tb.add_tensor((1, 8), "pooled")
+    fw = tb.add_tensor((1, 8), "fc.w", np.asarray(z["fc.weight"], np.float32))
+    fb = tb.add_tensor((1,), "fc.b", np.asarray(z["fc.bias"], np.float32))
+    lg = tb.add_tensor((1, 1), "logits")
+    sc = tb.add_tensor((1, 1), "score")
+
+    tb.add_op(TL.OP_RESHAPE, [emb, shp], [r0], tb.OPT_RESHAPE,
+              tb._reshape_options([1, 16, 96, 1]))
+    tb.add_op(TL.OP_CONV_2D, [r0, cw, cb], [c0], tb.OPT_CONV_2D,
+              tb._conv2d_options(tb.PAD_SAME, 1, 1, activation=tb.ACT_RELU))
+    tb.add_op(TL.OP_MAX_POOL_2D, [c0], [p0], tb.OPT_POOL_2D,
+              tb._pool2d_options(tb.PAD_VALID, 2, 2, 2, 2))
+    # DepthwiseConv2DOptions: padding(0), stride_w(1), stride_h(2),
+    # depth_multiplier(3), fused_activation_function(4)
+    b.StartObject(7)
+    b.PrependInt8Slot(0, tb.PAD_SAME, 0)
+    b.PrependInt32Slot(1, 1, 0)
+    b.PrependInt32Slot(2, 1, 0)
+    b.PrependInt32Slot(3, 1, 0)
+    b.PrependInt8Slot(4, tb.ACT_RELU, 0)
+    dw_opts = b.EndObject()
+    tb.add_op(4, [p0, dw, db], [d0], 2, dw_opts)   # DEPTHWISE_CONV_2D / opts union 2
+    tb.add_op(TL.OP_MEAN, [d0, axes], [m0], tb.OPT_REDUCER,
+              tb._reducer_options(False))
+    tb.add_op(TL.OP_FULLY_CONNECTED, [m0, fw, fb], [lg],
+              tb.OPT_FULLY_CONNECTED, tb._empty_options(3))
+    tb.add_op(TL.OP_LOGISTIC, [lg], [sc])
+    with open(path, "wb") as f:
+        f.write(tb.finish([emb], [sc]))
