@@ -48,6 +48,33 @@ class _TfliteBuilder:
             b.PrependInt32(int(v))
         return b.EndVector()
 
+    def _float_vector(self, vals):
+        b = self.b
+        b.StartVector(4, len(vals), 4)
+        for v in reversed(vals):
+            b.PrependFloat32(float(v))
+        return b.EndVector()
+
+    def _long_vector(self, vals):
+        b = self.b
+        b.StartVector(8, len(vals), 8)
+        for v in reversed(vals):
+            b.PrependInt64(int(v))
+        return b.EndVector()
+
+    def _quant_params(self, scales, zero_points, dim: int = 0):
+        """QuantizationParameters table: min(0) max(1) scale(2)
+        zero_point(3) details_type(4) details(5) quantized_dimension(6)."""
+        s_off = self._float_vector(list(scales))
+        z_off = self._long_vector(list(zero_points))
+        b = self.b
+        b.StartObject(7)
+        b.PrependUOffsetTRelativeSlot(2, s_off, 0)
+        b.PrependUOffsetTRelativeSlot(3, z_off, 0)
+        if dim:
+            b.PrependInt32Slot(6, dim, 0)
+        return b.EndObject()
+
     def _offset_vector(self, offs):
         b = self.b
         b.StartVector(4, len(offs), 4)
@@ -58,12 +85,15 @@ class _TfliteBuilder:
     # -- graph building --------------------------------------------------
 
     def add_tensor(self, shape, name: str, data: np.ndarray = None,
-                   ttype: int = 0, is_variable: bool = False) -> int:
+                   ttype: int = 0, is_variable: bool = False,
+                   quant: tuple = None) -> int:
+        """quant: optional (scales, zero_points, quantized_dimension)."""
         buf_idx = 0
         if data is not None:
             self.buffers.append(self._buffer(np.ascontiguousarray(data).tobytes()))
             buf_idx = len(self.buffers) - 1
         b = self.b
+        q_off = self._quant_params(*quant) if quant is not None else None
         name_off = b.CreateString(name)
         shape_off = self._int_vector(list(shape))
         b.StartObject(6)
@@ -71,6 +101,8 @@ class _TfliteBuilder:
         b.PrependInt8Slot(1, ttype, 0)
         b.PrependUint32Slot(2, buf_idx, 0)
         b.PrependUOffsetTRelativeSlot(3, name_off, 0)
+        if q_off is not None:
+            b.PrependUOffsetTRelativeSlot(4, q_off, 0)
         if is_variable:
             b.PrependBoolSlot(5, True, False)
         self.tensors.append(b.EndObject())

@@ -11,8 +11,16 @@ io.tflite_import.load_tflite, a self-contained reader) compiles to a pure
 function over a float-params pytree, so imported graphs serve on TPU through
 the same engine paths as native heads.
 
-Float32 inference only (the artifact families this package targets are all
-float); quantized graphs raise a typed error naming the tensor.
+Float and quantized graphs both execute. Quantized graphs (int8/uint8/int16
+weights with flatbuffer QuantizationParameters — the usual microWakeWord /
+TFLite-converter output) run as *dequantized-float emulation*: const tensors
+dequantize at load time ((q - zero_point) * scale, per-channel along
+quantized_dimension), QUANTIZE/DEQUANTIZE boundary ops pass through, and all
+arithmetic is float32. This matches the float model the graph was quantized
+from rather than LiteRT's bit-exact int8 kernels (no intermediate
+requantization rounding/saturation is simulated) — on TPU the MXU runs
+bf16/f32 natively, so emulating int8 rounding would cost speed to add noise.
+Quantized tensors MISSING their scale raise a typed error naming the tensor.
 """
 
 from typing import Any, Dict, List, Optional
@@ -34,6 +42,7 @@ _OP_SLICE, _OP_SUM, _OP_SQRT, _OP_RSQRT, _OP_LOG = 65, 74, 75, 76, 73
 _OP_SQUARED_DIFFERENCE, _OP_REDUCE_MAX, _OP_LEAKY_RELU = 99, 82, 98
 _OP_REVERSE_V2, _OP_NEG, _OP_ABS, _OP_PRELU = 105, 59, 101, 54
 _OP_HARD_SWISH, _OP_GELU = 117, 150
+_OP_DEQUANTIZE, _OP_QUANTIZE = 6, 114
 
 _OP_NAMES = {
     v: k[4:] for k, v in list(globals().items()) if k.startswith("_OP_")
@@ -66,6 +75,28 @@ def _static(v, what: str) -> np.ndarray:
     return np.asarray(v)
 
 
+def _dequantize(data: np.ndarray, quant: Dict, name: str) -> np.ndarray:
+    """(q - zero_point) * scale, per-channel along quantized_dimension when
+    the scale vector has one entry per channel (schema.fbs
+    QuantizationParameters; lite/kernels/internal/quantization_util)."""
+    scale = np.asarray(quant["scale"], np.float32)
+    zp = np.asarray(quant["zero_point"] or [0], np.int64)
+    x = data.astype(np.float32)
+    if scale.size == 1:
+        return (x - np.float32(zp.reshape(-1)[0])) * scale.reshape(-1)[0]
+    dim = int(quant.get("dim", 0)) % max(data.ndim, 1)
+    if scale.size != data.shape[dim]:
+        raise ValueError(
+            f"TFLite executor: tensor '{name}' has {scale.size} quantization "
+            f"scales but {data.shape[dim]} channels along "
+            f"quantized_dimension {dim}")
+    bshape = [1] * data.ndim
+    bshape[dim] = scale.size
+    if zp.size == 1:
+        zp = np.broadcast_to(zp, scale.shape)
+    return (x - zp.astype(np.float32).reshape(bshape)) * scale.reshape(bshape)
+
+
 class TfliteProgram:
     """A TFLite graph compiled to a pure JAX function.
 
@@ -91,9 +122,28 @@ class TfliteProgram:
         for i, t in enumerate(self._tensors):
             if t["data"] is None:
                 continue
-            if t["dtype"] == 0:                      # float32 -> trainable leaf
-                key = f"t{i}_" + (t["name"] or "const").replace("/", ".")[-40:]
+            quant = t.get("quant")
+            if quant and quant.get("details_type"):
+                raise NotImplementedError(
+                    f"TFLite executor: tensor '{t['name']}' uses custom "
+                    f"quantization details (type {quant['details_type']}); "
+                    "only standard affine quantization executes")
+            key = f"t{i}_" + (t["name"] or "const").replace("/", ".")[-40:]
+            if t["dtype"] in (0, 1):                 # float32/float16 -> leaf
                 self.params[key] = np.asarray(t["data"], np.float32)
+                self._param_key[i] = key
+            elif t["dtype"] in (3, 7, 9) or (t["dtype"] == 2 and quant
+                                             and quant["scale"]):
+                # quantized weights/biases dequantize at load; the graph then
+                # executes in float (see module docstring)
+                if not (quant and quant["scale"]):
+                    raise NotImplementedError(
+                        f"TFLite executor: tensor '{t['name']}' is quantized "
+                        f"(dtype {t['dtype']}) but carries no scale — cannot "
+                        "dequantize; re-export the model with standard "
+                        "quantization parameters or as float")
+                self.params[key] = _dequantize(
+                    np.asarray(t["data"]), quant, t["name"])
                 self._param_key[i] = key
             else:                                    # shapes/axes/indices
                 self._static_vals[i] = np.asarray(t["data"])
@@ -103,14 +153,6 @@ class TfliteProgram:
         self.input_names = [_name(i) for i in self._input_idx]
         self.output_names = [_name(i) for i in self._output_idx]
 
-        for i in self._input_idx + [
-                j for o in model["operators"] for j in o["inputs"] if j >= 0]:
-            t = self._tensors[i]
-            if t["dtype"] in (3, 9) and t["data"] is not None:
-                raise NotImplementedError(
-                    f"TFLite executor: tensor '{t['name']}' is quantized "
-                    f"(dtype {t['dtype']}); only float graphs execute — "
-                    "dequantize the model or import a float export")
         unknown = sorted({o["opcode"] for o in model["operators"]}
                          - set(_OP_NAMES))
         if unknown:
@@ -324,6 +366,12 @@ class TfliteProgram:
             x = jnp.asarray(a(0))
             axes = [int(v) for v in np.atleast_1d(_static(a(1), "Reverse axes"))]
             env[outs[0]] = jnp.flip(x, axis=tuple(axes))
+        elif code in (_OP_QUANTIZE, _OP_DEQUANTIZE):
+            # boundary casts in converter output (float in -> QUANTIZE ->
+            # int8 body -> DEQUANTIZE -> float out). Under dequantized-float
+            # emulation every value in env is already in real (float) units,
+            # so both are identity
+            env[outs[0]] = jnp.asarray(a(0))
         elif code == _OP_UNI_LSTM:
             env[outs[0]] = self._uni_lstm(op, env)
         else:  # pragma: no cover — constructor pre-screens opcodes

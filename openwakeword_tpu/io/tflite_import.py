@@ -90,7 +90,8 @@ class _Table:
 
 
 # TFLite enum values (schema.fbs)
-TENSORTYPE_NP = {0: np.float32, 1: np.float16, 2: np.int32, 3: np.uint8, 4: np.int64, 9: np.int8}
+TENSORTYPE_NP = {0: np.float32, 1: np.float16, 2: np.int32, 3: np.uint8,
+                 4: np.int64, 7: np.int16, 9: np.int8}
 OP_ADD, OP_CONV_2D, OP_FULLY_CONNECTED, OP_LOGISTIC = 0, 3, 9, 14
 OP_MAX_POOL_2D, OP_MUL, OP_RELU, OP_RESHAPE, OP_SOFTMAX = 17, 18, 19, 22, 25
 OP_PAD, OP_MAXIMUM, OP_MINIMUM, OP_MEAN = 34, 55, 57, 40
@@ -153,8 +154,20 @@ def _parse_tflite(path: str, buf: bytes) -> Dict:
             except ValueError as e:
                 raise ValueError(f"{path}: tensor '{name}' data does not "
                                  f"match its declared shape {shape}: {e}") from e
+        # QuantizationParameters (Tensor field 4): scale(2, float vector),
+        # zero_point(3, int64 vector), details_type(4), quantized_dimension(6)
+        quant = None
+        q = t.table(4)
+        if q is not None:
+            scale = q.vector_scalars(2, "f", 4)
+            if scale or q.scalar(4, "<B", 0):
+                quant = {"scale": scale,
+                         "zero_point": q.vector_scalars(3, "q", 8),
+                         "dim": q.scalar(6, "<i", 0),
+                         "details_type": q.scalar(4, "<B", 0)}
         tensors.append({"name": name, "shape": shape, "dtype": ttype, "data": data,
-                        "is_variable": bool(t.scalar(5, "<b", 0))})
+                        "is_variable": bool(t.scalar(5, "<b", 0)),
+                        "quant": quant})
 
     operators = []
     for o in sg.vector_tables(3):
@@ -419,8 +432,13 @@ def import_tflite_model(path: str) -> Tuple[str, Dict, Dict]:
     model = load_tflite(path)
     ops = [o["opcode"] for o in model["operators"]]
     if ops.count(OP_CONV_2D) > 10:
-        return "embedding", import_embedding_tflite(path, model), {"kind": "embedding",
-                                                                   "format": "folded"}
+        try:
+            return "embedding", import_embedding_tflite(path, model), {
+                "kind": "embedding", "format": "folded"}
+        except ValueError:
+            # conv-heavy but not the speech-embedding architecture (e.g. a
+            # deep user CNN classifier) — try the general executor below
+            pass
     if OP_CONV_2D in ops and OP_LOG in ops and not (
             {OP_LOGISTIC, OP_SOFTMAX} & set(ops)):
         # the melspectrogram frontend (a Conv STFT + Log, no classifier tail)

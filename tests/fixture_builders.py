@@ -536,3 +536,103 @@ def build_cnn2d_graph_head_tflite(path: str, z: Dict) -> None:
     tb.add_op(TL.OP_LOGISTIC, [lg], [sc])
     with open(path, "wb") as f:
         f.write(tb.finish([emb], [sc]))
+
+
+def build_quantized_cnn2d_graph_head_tflite(path: str, z: Dict) -> Dict:
+    """Fully-quantized twin of ``build_cnn2d_graph_head_tflite``, shaped like
+    real TFLite-converter int8 output: float input -> QUANTIZE -> int8 body
+    (per-channel int8 conv/depthwise weights, int32 biases with
+    input_scale*weight_scale, uint8 zp-128 FC weight, annotated activation
+    qparams) -> LOGISTIC -> DEQUANTIZE -> float score.
+
+    Returns the dequantized-weight dict (torch layouts) so the caller can
+    build the float twin the emulation must match exactly.
+    """
+    from openwakeword_tpu.io.tflite_export import _TfliteBuilder
+    from openwakeword_tpu.io import tflite_import as TL
+
+    def qsym_perch(w):
+        """int8 symmetric per-out-channel (dim 0 in torch layout)."""
+        bshape = (-1,) + (1,) * (w.ndim - 1)
+        s = np.maximum(np.abs(w.reshape(w.shape[0], -1)).max(axis=1) / 127.0,
+                       1e-8).astype(np.float32)
+        q = np.clip(np.round(w / s.reshape(bshape)), -127, 127).astype(np.int8)
+        return q, s, q.astype(np.float32) * s.reshape(bshape)
+
+    def qbias(bias, scales):
+        """int32 bias at scale = input_scale * weight_scale (per channel)."""
+        s = np.asarray(scales, np.float32)
+        q = np.round(bias / s).astype(np.int32)
+        return q, s, q.astype(np.float32) * s
+
+    in_scale, c0_scale, d0_scale, m0_scale, lg_scale = .04, .1, .1, .1, .1
+    conv_w = np.asarray(z["conv.weight"], np.float32)     # (8,1,3,3) OIHW
+    dw_w = np.asarray(z["dw.weight"], np.float32)         # (8,1,3,3) C,1,KH,KW
+    fc_w = np.asarray(z["fc.weight"], np.float32)         # (1,8)
+    cq, cs, c_deq = qsym_perch(conv_w)
+    dq, ds, d_deq = qsym_perch(dw_w)
+    cbq, cbs, cb_deq = qbias(np.asarray(z["conv.bias"], np.float32), in_scale * cs)
+    dbq, dbs, db_deq = qbias(np.asarray(z["dw.bias"], np.float32), c0_scale * ds)
+    # FC weight as legacy uint8 with zero_point 128 (asymmetric path)
+    fs = np.float32(max(np.abs(fc_w).max() / 127.0, 1e-8))
+    fq = np.clip(np.round(fc_w / fs) + 128, 0, 255).astype(np.uint8)
+    f_deq = (fq.astype(np.float32) - 128.0) * fs
+    fbq, fbs, fb_deq = qbias(np.asarray(z["fc.bias"], np.float32),
+                             np.float32(m0_scale * fs))
+
+    tb = _TfliteBuilder()
+    emb = tb.add_tensor((1, 16, 96), "emb")                          # float in
+    qe = tb.add_tensor((1, 16, 96), "emb_q", ttype=9,
+                       quant=([in_scale], [0]))
+    shp = tb.add_tensor((4,), "win_shape",
+                        np.asarray([1, 16, 96, 1], np.int32), ttype=2)
+    r0 = tb.add_tensor((1, 16, 96, 1), "win", ttype=9, quant=([in_scale], [0]))
+    cw = tb.add_tensor((8, 3, 3, 1), "conv.w", cq.transpose(0, 2, 3, 1),
+                       ttype=9, quant=(cs, [0] * 8, 0))
+    cb = tb.add_tensor((8,), "conv.b", cbq, ttype=2, quant=(cbs, [0] * 8, 0))
+    c0 = tb.add_tensor((1, 16, 96, 8), "conv_out", ttype=9,
+                       quant=([c0_scale], [0]))
+    p0 = tb.add_tensor((1, 8, 48, 8), "pool_out", ttype=9,
+                       quant=([c0_scale], [0]))
+    dw = tb.add_tensor((1, 3, 3, 8), "dw.w", dq.transpose(1, 2, 3, 0),
+                       ttype=9, quant=(ds, [0] * 8, 3))
+    db = tb.add_tensor((8,), "dw.b", dbq, ttype=2, quant=(dbs, [0] * 8, 0))
+    d0 = tb.add_tensor((1, 8, 48, 8), "dw_out", ttype=9,
+                       quant=([d0_scale], [0]))
+    axes = tb.add_tensor((2,), "mean_axes",
+                         np.asarray([1, 2], np.int32), ttype=2)
+    m0 = tb.add_tensor((1, 8), "pooled", ttype=9, quant=([m0_scale], [0]))
+    fw = tb.add_tensor((1, 8), "fc.w", fq, ttype=3, quant=([fs], [128]))
+    fb = tb.add_tensor((1,), "fc.b", fbq, ttype=2, quant=([fbs], [0]))
+    lg = tb.add_tensor((1, 1), "logits", ttype=9, quant=([lg_scale], [0]))
+    sq = tb.add_tensor((1, 1), "score_q", ttype=9,
+                       quant=([1.0 / 256.0], [-128]))
+    sc = tb.add_tensor((1, 1), "score")                              # float out
+
+    tb.add_op(114, [emb], [qe])                                      # QUANTIZE
+    tb.add_op(TL.OP_RESHAPE, [qe, shp], [r0], tb.OPT_RESHAPE,
+              tb._reshape_options([1, 16, 96, 1]))
+    tb.add_op(TL.OP_CONV_2D, [r0, cw, cb], [c0], tb.OPT_CONV_2D,
+              tb._conv2d_options(tb.PAD_SAME, 1, 1, activation=tb.ACT_RELU))
+    tb.add_op(TL.OP_MAX_POOL_2D, [c0], [p0], tb.OPT_POOL_2D,
+              tb._pool2d_options(tb.PAD_VALID, 2, 2, 2, 2))
+    b = tb.b
+    b.StartObject(7)
+    b.PrependInt8Slot(0, tb.PAD_SAME, 0)
+    b.PrependInt32Slot(1, 1, 0)
+    b.PrependInt32Slot(2, 1, 0)
+    b.PrependInt32Slot(3, 1, 0)
+    b.PrependInt8Slot(4, tb.ACT_RELU, 0)
+    dw_opts = b.EndObject()
+    tb.add_op(4, [p0, dw, db], [d0], 2, dw_opts)     # DEPTHWISE_CONV_2D
+    tb.add_op(TL.OP_MEAN, [d0, axes], [m0], tb.OPT_REDUCER,
+              tb._reducer_options(False))
+    tb.add_op(TL.OP_FULLY_CONNECTED, [m0, fw, fb], [lg],
+              tb.OPT_FULLY_CONNECTED, tb._empty_options(3))
+    tb.add_op(TL.OP_LOGISTIC, [lg], [sq])
+    tb.add_op(6, [sq], [sc])                                         # DEQUANTIZE
+    with open(path, "wb") as f:
+        f.write(tb.finish([emb], [sc]))
+    return {"conv.weight": c_deq, "conv.bias": cb_deq,
+            "dw.weight": d_deq, "dw.bias": db_deq,
+            "fc.weight": f_deq, "fc.bias": fb_deq}

@@ -103,8 +103,69 @@ class TestDepthwiseCnnGraph:
         assert np.all(scores >= 0.0) and np.all(scores <= 1.0)
 
 
-def test_quantized_graph_rejected(tmp_path):
-    """int8 tensors raise a typed error naming the tensor, not a crash."""
+@pytest.mark.skipif(not _HAVE_TORCH, reason="torch oracle unavailable")
+class TestQuantizedGraph:
+    """Quantized .tflite graphs execute as dequantized-float emulation (the
+    reference's LiteRT interpreter runs int8 graphs natively, reference
+    utils.py:88-108; here the weights dequantize at load and the body runs
+    float32 — see io/tflite_graph.py module docstring)."""
+
+    @pytest.fixture(scope="class")
+    def quantized(self, tmp_path_factory):
+        from tests import fixture_builders
+        tmp = tmp_path_factory.mktemp("tflite_quant")
+        oracle_path = str(tmp / "oracle.npz")
+        script = os.path.join(os.path.dirname(__file__), "graph_head_oracle.py")
+        r = subprocess.run([sys.executable, script, "cnn2d", oracle_path],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        oracle = dict(np.load(oracle_path))
+        qpath = str(tmp / "cnn2d_int8.tflite")
+        deq = fixture_builders.build_quantized_cnn2d_graph_head_tflite(
+            qpath, oracle)
+        fpath = str(tmp / "cnn2d_deq_twin.tflite")
+        fixture_builders.build_cnn2d_graph_head_tflite(fpath, deq)
+        return qpath, fpath, oracle["probe"], oracle["out"]
+
+    def test_matches_float_twin_exactly(self, quantized):
+        """Executing the int8 graph == executing a float graph built from
+        the dequantized weights: proves qparam parsing (per-channel int8,
+        uint8 zp-128, int32 bias) + QUANTIZE/DEQUANTIZE pass-through."""
+        qpath, fpath, probe, _ = quantized
+        outs = []
+        for path in (qpath, fpath):
+            prog = TfliteProgram(load_tflite(path))
+            got = np.stack([
+                np.asarray(prog.apply(prog.params,
+                                      {prog.input_names[0]: x[None]})
+                           [prog.output_names[0]]).reshape(-1)
+                for x in probe])
+            outs.append(got)
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+    def test_close_to_float_oracle(self, quantized):
+        """Weight-quantization error is the ONLY divergence from the torch
+        float model — scores stay close."""
+        qpath, _, probe, expected = quantized
+        _, params, _ = __import__(
+            "openwakeword_tpu.io.tflite_import",
+            fromlist=["import_tflite_model"]).import_tflite_model(qpath)
+        assert params["__meta__"]["model_type"] == "graph"
+        got = np.asarray(heads_lib.apply(params, probe))
+        np.testing.assert_allclose(got, expected, atol=0.05)
+
+    def test_model_serves_it(self, quantized, test_clips):
+        import openwakeword_tpu as oww
+        qpath, _, _, _ = quantized
+        m = oww.Model(wakeword_models=[qpath])
+        preds = m.predict_clip(test_clips["alexa"])
+        assert len(preds) > 10
+        assert all(0.0 <= float(v) <= 1.0 for fr in preds for v in fr.values())
+
+
+def test_quantized_graph_missing_scale_rejected(tmp_path):
+    """int8 tensors WITHOUT quantization params raise a typed error naming
+    the tensor, not a crash."""
     from openwakeword_tpu.io.tflite_export import _TfliteBuilder
     from openwakeword_tpu.io import tflite_import as TL
 
