@@ -457,6 +457,51 @@ def _op_layernorm(node, vals):
     return outs[:max(1, len(node["output"]))]
 
 
+def _qdq_reshape(s, x, axis):
+    """Per-axis scale/zero_point -> broadcastable shape (QuantizeLinear /
+    DequantizeLinear `axis` attribute; scalar passes through)."""
+    arr = np.asarray(s) if _is_static(s) else s
+    if getattr(arr, "ndim", 0) == 0 or arr.size == 1:
+        return arr.reshape(()) if hasattr(arr, "reshape") else arr
+    if arr.ndim > 1:
+        raise NotImplementedError(
+            "ONNX program: blocked quantization (multi-dim scale) is "
+            "unsupported; only per-tensor and per-axis QDQ execute")
+    shape = [1] * x.ndim
+    shape[axis % x.ndim] = arr.shape[0]
+    return arr.reshape(shape)
+
+
+def _op_quantizelinear(node, vals):
+    """Exact ONNX semantics: saturate(round_half_even(x/scale) + zp) in the
+    zero_point's integer dtype (uint8 when zp is omitted)."""
+    x, scale = vals[0], vals[1]
+    zp = vals[2] if len(vals) > 2 else None
+    axis = int(_attr(node, "axis", 1))
+    qdt = np.asarray(_concrete(zp, "QuantizeLinear zero_point")).dtype \
+        if zp is not None else np.dtype(np.uint8)
+    info = np.iinfo(qdt)
+    s = _qdq_reshape(scale, x, axis)
+    xp = _xp([x, scale])
+    q = xp.round(x.astype(np.float32) / s if xp is np
+                 else jnp.asarray(x, jnp.float32) / jnp.asarray(s))
+    if zp is not None:
+        q = q + _qdq_reshape(zp, x, axis).astype(np.float32)
+    return [xp.clip(q, info.min, info.max).astype(qdt)]
+
+
+def _op_dequantizelinear(node, vals):
+    """(x - zero_point) * scale, per-axis when scale is 1-D."""
+    x, scale = vals[0], vals[1]
+    zp = vals[2] if len(vals) > 2 else None
+    axis = int(_attr(node, "axis", 1))
+    xp = _xp([x, scale])
+    xf = x.astype(np.float32) if xp is np else jnp.asarray(x, jnp.float32)
+    if zp is not None:
+        xf = xf - _qdq_reshape(zp, x, axis).astype(np.float32)
+    return [xf * _qdq_reshape(scale, x, axis)]
+
+
 _OPS = {
     "Add": _binop(lambda xp, a, b: xp.add(a, b)),
     "Sub": _binop(lambda xp, a, b: xp.subtract(a, b)),
@@ -536,6 +581,8 @@ _OPS = {
     "Constant": _op_constant,
     "ConstantOfShape": _op_constantofshape,
     "Expand": _op_expand,
+    "QuantizeLinear": _op_quantizelinear,
+    "DequantizeLinear": _op_dequantizelinear,
     "ReduceMean": _op_reduce("mean"),
     "ReduceSum": _op_reduce("sum"),
     "ReduceMax": _op_reduce("max"),

@@ -252,14 +252,14 @@ def import_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
             params["__meta__"]["relu_logits"] = bool(tail["relu_before_softmax"])
         out_names = [o["name"] for o in graph["outputs"]]
         return params, {"kind": "head", "output_names": out_names}
-    linears, lns, tail = _extract_linears_and_lns(graph)
-    if not linears:
-        raise ValueError(f"No linear layers found in ONNX head graph at {path}")
     # The order-based extraction is only sound for graphs that ARE a
     # train.py family: (a) no ops outside the family vocabulary (an
     # attention-pooled head, say, contains the same 3 linears an mlp does —
     # rebuilding it as an mlp would score silently wrong), and (b) the
-    # linear dims must chain input->hidden->...->classes.
+    # linear dims must chain input->hidden->...->classes. The vocabulary
+    # gate runs BEFORE extraction: foreign graphs (e.g. QDQ-quantized, conv
+    # towers) can have Gemm weights that are computed tensors rather than
+    # initializers, which the extractor cannot even walk.
     _family_ops = {
         "Gemm", "MatMul", "Add", "Relu", "Sigmoid", "Softmax", "Reshape",
         "Flatten", "Identity", "Constant", "Shape", "Gather", "Unsqueeze",
@@ -272,6 +272,9 @@ def import_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
         raise ValueError(
             f"{path}: ops {sorted(extra)} are outside the dnn/mlp head "
             "vocabulary — not a train.py family export")
+    linears, lns, tail = _extract_linears_and_lns(graph)
+    if not linears:
+        raise ValueError(f"No linear layers found in ONNX head graph at {path}")
     for a, b in zip(linears, linears[1:]):
         if a["w"].shape[-1] != b["w"].shape[0]:
             raise ValueError(

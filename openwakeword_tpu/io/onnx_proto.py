@@ -260,7 +260,8 @@ def encode_tensor(name: str, arr: np.ndarray) -> bytes:
     arr = np.asarray(arr)
     code = {np.dtype(np.float32): TP_FLOAT, np.dtype(np.int64): TP_INT64,
             np.dtype(np.int32): TP_INT32, np.dtype(np.float64): TP_DOUBLE,
-            np.dtype(np.bool_): TP_BOOL}[arr.dtype]
+            np.dtype(np.bool_): TP_BOOL, np.dtype(np.uint8): TP_UINT8,
+            np.dtype(np.int8): TP_INT8}[arr.dtype]
     for d in arr.shape:
         _put_varint(out, 1, d)
     _put_varint(out, 2, code)

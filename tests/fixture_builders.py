@@ -636,3 +636,80 @@ def build_quantized_cnn2d_graph_head_tflite(path: str, z: Dict) -> Dict:
     return {"conv.weight": c_deq, "conv.bias": cb_deq,
             "dw.weight": d_deq, "dw.bias": db_deq,
             "fc.weight": f_deq, "fc.bias": fb_deq}
+
+
+def build_qdq_cnn_graph_head_onnx(path: str, z: Dict) -> Dict:
+    """QDQ-quantized twin of ``build_cnn_graph_head_onnx`` in onnxruntime's
+    QDQ form: input fake-quant (QuantizeLinear -> DequantizeLinear, int8),
+    int8 per-axis conv1 weight, int8 per-tensor conv2 weight, uint8 zp-128
+    fc weight, each dequantized by a DequantizeLinear node. Returns the
+    dequantized weights (plus ``in_scale``) so the caller can compute the
+    exact expected output with the float graph.
+    """
+    def qsym_perax(w):
+        s = np.maximum(np.abs(w.reshape(w.shape[0], -1)).max(axis=1) / 127.0,
+                       1e-8).astype(np.float32)
+        bshape = (-1,) + (1,) * (w.ndim - 1)
+        q = np.clip(np.round(w / s.reshape(bshape)), -127, 127).astype(np.int8)
+        return q, s, q.astype(np.float32) * s.reshape(bshape)
+
+    def qsym(w):
+        s = np.float32(max(np.abs(w).max() / 127.0, 1e-8))
+        q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        return q, s, q.astype(np.float32) * s
+
+    in_scale = np.float32(0.02)
+    w1 = np.asarray(z["conv1.weight"], np.float32)
+    w2 = np.asarray(z["conv2.weight"], np.float32)
+    wf = np.asarray(z["fc.weight"], np.float32)
+    q1, s1, d1 = qsym_perax(w1)
+    q2, s2, d2 = qsym(w2)
+    sf = np.float32(max(np.abs(wf).max() / 127.0, 1e-8))
+    qf = np.clip(np.round(wf / sf) + 128, 0, 255).astype(np.uint8)
+    df = (qf.astype(np.float32) - 128.0) * sf
+
+    nodes: List[bytes] = []
+    inits: List[bytes] = [
+        op.encode_tensor("in.s", in_scale),
+        op.encode_tensor("in.zp", np.int8(0)),
+        op.encode_tensor("w1.q", q1), op.encode_tensor("w1.s", s1),
+        op.encode_tensor("w1.zp", np.zeros(w1.shape[0], np.int8)),
+        op.encode_tensor("w2.q", q2), op.encode_tensor("w2.s", s2),
+        op.encode_tensor("w2.zp", np.int8(0)),
+        op.encode_tensor("wf.q", qf), op.encode_tensor("wf.s", sf),
+        op.encode_tensor("wf.zp", np.uint8(128)),
+        op.encode_tensor("conv1.bias", np.asarray(z["conv1.bias"], np.float32)),
+        op.encode_tensor("conv2.bias", np.asarray(z["conv2.bias"], np.float32)),
+        op.encode_tensor("fc.bias", np.asarray(z["fc.bias"], np.float32)),
+    ]
+    nodes.append(op.encode_node("QuantizeLinear", ["emb", "in.s", "in.zp"], ["emb_q"]))
+    nodes.append(op.encode_node("DequantizeLinear", ["emb_q", "in.s", "in.zp"],
+                                ["emb_dq"]))
+    nodes.append(op.encode_node("DequantizeLinear", ["w1.q", "w1.s", "w1.zp"],
+                                ["w1.f"], axis=0))
+    nodes.append(op.encode_node("DequantizeLinear", ["w2.q", "w2.s", "w2.zp"],
+                                ["w2.f"]))
+    nodes.append(op.encode_node("DequantizeLinear", ["wf.q", "wf.s", "wf.zp"],
+                                ["wf.f"]))
+    nodes.append(op.encode_node("Transpose", ["emb_dq"], ["t0"], perm=[0, 2, 1]))
+    nodes.append(op.encode_node("Conv", ["t0", "w1.f", "conv1.bias"],
+                                ["c1"], kernel_shape=[3], pads=[1, 1], strides=[1]))
+    nodes.append(op.encode_node("Relu", ["c1"], ["a1"]))
+    nodes.append(op.encode_node("Conv", ["a1", "w2.f", "conv2.bias"],
+                                ["c2"], kernel_shape=[3], pads=[1, 1], strides=[1]))
+    nodes.append(op.encode_node("Relu", ["c2"], ["a2"]))
+    nodes.append(op.encode_node("ReduceMean", ["a2"], ["pooled"],
+                                axes=[2], keepdims=0))
+    nodes.append(op.encode_node("Gemm", ["pooled", "wf.f", "fc.bias"],
+                                ["logits"], transB=1, alpha=1.0, beta=1.0))
+    nodes.append(op.encode_node("Sigmoid", ["logits"], ["score"]))
+    with open(path, "wb") as f:
+        f.write(op.encode_model(
+            nodes, inits,
+            [op.encode_value_info("emb", ["batch", 16, 96])],
+            [op.encode_value_info("score", ["batch", 1])],
+            graph_name="qdq_cnn_graph_head", opset=13))
+    return {"conv1.weight": d1, "conv1.bias": np.asarray(z["conv1.bias"], np.float32),
+            "conv2.weight": d2, "conv2.bias": np.asarray(z["conv2.bias"], np.float32),
+            "fc.weight": df, "fc.bias": np.asarray(z["fc.bias"], np.float32),
+            "in_scale": in_scale}

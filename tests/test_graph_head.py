@@ -73,6 +73,54 @@ class TestGenericGraphImport:
                 probe.reshape(-1, 16, 96), params["__meta__"], inference=False)
 
 
+class TestQdqOnnxGraph:
+    """QDQ-quantized ONNX graphs (onnxruntime's quantization form) execute
+    with exact QuantizeLinear/DequantizeLinear semantics — round-half-even,
+    saturation in the zero_point dtype, per-axis scales."""
+
+    @pytest.fixture(scope="class")
+    def qdq(self, tmp_path_factory):
+        from tests import fixture_builders
+        tmp = tmp_path_factory.mktemp("qdq_head")
+        oracle_path = str(tmp / "oracle.npz")
+        script = os.path.join(os.path.dirname(__file__), "graph_head_oracle.py")
+        r = subprocess.run([sys.executable, script, "cnn", oracle_path],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        oracle = dict(np.load(oracle_path))
+        qdq_path = str(tmp / "cnn_qdq.onnx")
+        deq = fixture_builders.build_qdq_cnn_graph_head_onnx(qdq_path, oracle)
+        twin_path = str(tmp / "cnn_deq_twin.onnx")
+        fixture_builders.build_cnn_graph_head_onnx(twin_path, deq)
+        return qdq_path, twin_path, float(deq["in_scale"]), oracle["probe"], oracle["out"]
+
+    def test_exact_qdq_semantics(self, qdq):
+        """QDQ graph == float twin (dequantized weights) fed the fake-quanted
+        input, computed independently in numpy: proves round-half-even,
+        int8 saturation, per-axis weight dequant, and uint8 zp-128."""
+        from openwakeword_tpu.io.onnx_graph import OnnxProgram
+        from openwakeword_tpu.io import onnx_proto as opr
+        qdq_path, twin_path, in_scale, probe, _ = qdq
+        x = probe.reshape(-1, 16, 96)
+        fq = np.clip(np.round(x / in_scale), -128, 127) * in_scale
+
+        qprog = OnnxProgram(opr.load_onnx(qdq_path)["graph"])
+        got = np.asarray(qprog.apply(qprog.params, {"emb": x})["score"])
+        tprog = OnnxProgram(opr.load_onnx(twin_path)["graph"])
+        want = np.asarray(tprog.apply(tprog.params,
+                                      {"emb": fq.astype(np.float32)})["score"])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_imports_and_stays_close_to_float_oracle(self, qdq):
+        from openwakeword_tpu.io.onnx_import import import_onnx_model
+        from openwakeword_tpu.models import heads as heads_lib
+        qdq_path, _, _, probe, expected = qdq
+        kind, params, meta = import_onnx_model(qdq_path)
+        assert kind == "head" and params["__meta__"]["model_type"] == "graph"
+        got = np.asarray(heads_lib.apply(params, probe.reshape(-1, 16, 96)))
+        np.testing.assert_allclose(got, expected, atol=0.05)
+
+
 class TestGraphHeadInModel:
     def test_model_streams_a_clip(self, graph_head, test_clips):
         import openwakeword_tpu as oww
