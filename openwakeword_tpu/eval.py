@@ -51,11 +51,14 @@ def score_files(file_paths: Sequence[str], wakeword_models: Sequence[str],
     out: Dict[str, np.ndarray] = {}
     if segment_seconds is not None:
         from openwakeword_tpu.parallel.bulk import bulk_predict_streaming
-        # the streaming path holds (streams x segment) decoded PCM on the
-        # host per step, so the stream count is capped at 64 to bound that
-        # buffer (64 x 60 s = ~118 MB int16); raise batch_size AND lower
-        # segment_seconds together to trade the two
-        seg_streams = min(batch_size, 64 if segment_seconds >= 30 else 256)
+        # the streaming path holds (streams x segment) decoded PCM int16 on
+        # the host per step; derive the stream cap from the actual product
+        # so the buffer stays ~128 MB at ANY segment length (a fixed
+        # two-point threshold let short segments with large batch_size
+        # double the bound)
+        target_bytes = 128 << 20
+        seg_streams = min(batch_size, max(1, int(
+            target_bytes / (segment_seconds * 16000 * 2))))
         if seg_streams < batch_size:
             logging.info(
                 "score_files: streaming path caps the engine at %d streams "

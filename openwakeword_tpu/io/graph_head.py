@@ -45,17 +45,21 @@ def build_graph_head(prog, dims: Sequence[Optional[int]], path: str
 
     # one concrete evaluation proves every op lowers AND measures n_classes;
     # probing with batch 2 additionally tells whether the graph is
-    # batch-flexible or pinned (fixed Reshape/state shapes)
+    # batch-flexible or pinned (fixed Reshape/state shapes). A pinned graph
+    # may *accept* a batch-2 input without erroring (e.g. a fixed-index
+    # slice on axis 0 silently drops the batch dim), so batch-flexibility
+    # requires the batch-2 output to actually carry 2x the per-sample
+    # payload of the batch-1 probe — not merely reshape into two rows.
+    base = probe(1)
     batch1_only = False
     try:
         first = probe(2)
-        if first.reshape(2, -1).shape[0] != 2:
+        if not (first.ndim >= 1 and first.shape[0] == 2
+                and first.size == 2 * base.size):
             raise ValueError("output does not carry the batch dim")
     except Exception:
-        first = probe(1)
         batch1_only = True
-    n_classes = int(first.reshape(first.shape[0] if first.ndim else 1,
-                                  -1).shape[-1])
+    n_classes = int(base.reshape(1, -1).shape[-1])
 
     params = dict(prog.params)
     params["__meta__"] = {

@@ -225,6 +225,23 @@ def import_head_onnx(path: str, graph: Dict = None) -> Tuple[Dict, Dict]:
     if graph is None:
         graph = op.load_onnx(path)["graph"]
     if any(n["op_type"] == "LSTM" for n in graph["nodes"]):
+        # same vocabulary discipline as the dnn/mlp gate below: the rnn
+        # extractor only validates LSTM count/direction and FC count, so a
+        # foreign graph (conv stem + stacked LSTMs + FC) would pass and be
+        # silently rebuilt with the stem dropped. Restrict to the ops an
+        # rnn-family export can contain (ours: io/onnx_export.py
+        # export_head_onnx; torch exports add shape plumbing) and let the
+        # caller's fallback route anything else to the general compiler.
+        _rnn_family_ops = {
+            "LSTM", "Transpose", "Reshape", "Slice", "Squeeze", "Unsqueeze",
+            "Concat", "Gemm", "MatMul", "Add", "Sigmoid", "Softmax", "Relu",
+            "Identity", "Constant", "Shape", "Gather", "Cast",
+        }
+        extra = {n["op_type"] for n in graph["nodes"]} - _rnn_family_ops
+        if extra:
+            raise ValueError(
+                f"{path}: ops {sorted(extra)} are outside the rnn head "
+                "vocabulary — not a train.py rnn-family export")
         params = _extract_rnn_head(graph)
         linears, _lns, tail = _extract_linears_and_lns(graph)
         if len(linears) != 1:

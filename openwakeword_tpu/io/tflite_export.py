@@ -163,11 +163,16 @@ class _TfliteBuilder:
         b.PrependInt32Slot(4, filter_h, 0)
         return b.EndObject()
 
-    def _strided_slice_options(self, begin_mask=0, end_mask=0):
+    def _strided_slice_options(self, begin_mask=0, end_mask=0,
+                               ellipsis_mask=0, new_axis_mask=0,
+                               shrink_axis_mask=0):
         b = self.b
         b.StartObject(5)
         b.PrependInt32Slot(0, begin_mask, 0)
         b.PrependInt32Slot(1, end_mask, 0)
+        b.PrependInt32Slot(2, ellipsis_mask, 0)
+        b.PrependInt32Slot(3, new_axis_mask, 0)
+        b.PrependInt32Slot(4, shrink_axis_mask, 0)
         return b.EndObject()
 
     def _empty_options(self, n_fields: int = 1):

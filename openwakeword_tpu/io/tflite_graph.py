@@ -339,6 +339,16 @@ class TfliteProgram:
             strides = _static(a(3), "StridedSlice strides").astype(int)
             bm = scalar_opt(0, "<i", 0)
             em = scalar_opt(1, "<i", 0)
+            # ellipsis_mask / new_axis_mask change the rank mapping; the
+            # loop below assumes one slice spec per input dim, so executing
+            # with either set would produce wrong shapes silently. (Per-op
+            # options — the constructor's opcode pre-screen can't catch it.)
+            ellipsis = scalar_opt(2, "<i", 0)
+            new_axis = scalar_opt(3, "<i", 0)
+            if ellipsis or new_axis:
+                raise NotImplementedError(
+                    "TFLite executor: STRIDED_SLICE ellipsis_mask/"
+                    "new_axis_mask are unsupported")
             shrink = scalar_opt(4, "<i", 0)
             idx = []
             for d in range(len(begin)):
@@ -390,16 +400,30 @@ class TfliteProgram:
 
         opt = op.get("options")
         time_major = bool(opt.scalar(3, "<b", 0)) if opt is not None else False
+        # UnidirectionalSequenceLSTMOptions field 1: cell_clip (converter
+        # output commonly sets it; lite/kernels/lstm_eval.cc clips the cell
+        # state each step when > 0)
+        cell_clip = float(opt.scalar(1, "<f", 0.0)) if opt is not None else 0.0
+        proj_clip = float(opt.scalar(2, "<f", 0.0)) if opt is not None else 0.0
         x = g(0)
         if time_major:
             x = jnp.swapaxes(x, 0, 1)                     # -> (B, T, I)
         w_i, w_f, w_c, w_o = g(1), g(2), g(3), g(4)       # (H, I)
         r_i, r_f, r_c, r_o = g(5), g(6), g(7), g(8)       # (H, H)
         b_i, b_f, b_c, b_o = g(12), g(13), g(14), g(15)
+        if w_i is None or r_i is None:
+            # CIFG variant: input-gate weights absent (tensor index -1) and
+            # the input gate is coupled to 1 - forget
+            raise NotImplementedError(
+                "TFLite LSTM: CIFG (coupled input-forget gate) unsupported")
         if any(v is not None for v in (g(9), g(10), g(11))):
             raise NotImplementedError("TFLite LSTM: peephole weights unsupported")
         if g(16) is not None:
             raise NotImplementedError("TFLite LSTM: projection unsupported")
+        if proj_clip > 0.0:
+            # only meaningful with projection weights, which are rejected
+            # above — unreachable in practice, kept for clarity
+            raise NotImplementedError("TFLite LSTM: proj_clip unsupported")
         B, H = x.shape[0], w_i.shape[0]
         h0 = jnp.zeros((B, H), x.dtype)
         c0 = jnp.zeros((B, H), x.dtype)
@@ -416,6 +440,8 @@ class TfliteProgram:
             z = px + jnp.matmul(h, wh.T, precision=lax.Precision.HIGHEST)
             i, f, cc, o = jnp.split(z, 4, axis=-1)
             c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(cc)
+            if cell_clip > 0.0:
+                c = jnp.clip(c, -cell_clip, cell_clip)
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 

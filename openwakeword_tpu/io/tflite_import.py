@@ -345,6 +345,20 @@ def import_head_tflite(path: str, model: Dict = None) -> Tuple[Dict, Dict]:
     model = model or load_tflite(path)
     if any(o["opcode"] == OP_UNIDIRECTIONAL_SEQUENCE_LSTM
            for o in model["operators"]):
+        # the rnn extractor is order-based too: it only checks LSTM pairing
+        # and FC count, so a foreign graph (e.g. a conv stem feeding stacked
+        # LSTMs) would be silently rebuilt as a bare rnn head with the stem
+        # dropped. Gate on the exact op vocabulary the rnn exporter emits
+        # (io/tflite_export.py write_rnn_head) so anything else routes to
+        # the general TFLite->XLA executor via the caller's fallback.
+        _rnn_ops = {OP_UNIDIRECTIONAL_SEQUENCE_LSTM, OP_REVERSE_V2,
+                    OP_CONCATENATION, OP_STRIDED_SLICE, OP_RESHAPE,
+                    OP_FULLY_CONNECTED, OP_LOGISTIC, OP_RELU, OP_SOFTMAX}
+        extra = sorted({o["opcode"] for o in model["operators"]} - _rnn_ops)
+        if extra:
+            raise ValueError(
+                f"{path}: builtin opcode(s) {extra} are outside the rnn "
+                "head vocabulary — not a train.py rnn-family export")
         return _extract_rnn_head_tflite(path, model)
     # the order-based extraction is only sound for graphs that ARE a
     # train.py family export — any op outside the dnn/mlp vocabulary means

@@ -194,3 +194,30 @@ class TestSegmentedStreaming:
         assert report["negative_hours"] == pytest.approx(1.0, rel=1e-3)
         assert report["far_per_hour"] >= 0.0
         assert np.isnan(report["frr"])   # no positive clips given
+
+
+def test_streaming_stream_cap_tracks_segment_length(monkeypatch):
+    """The streaming-path stream cap derives from segment_seconds so the
+    host segment buffer stays ~128 MB at ANY segment length (a fixed
+    two-point threshold let segment_seconds=29 with a big batch_size hold
+    ~237 MB)."""
+    from openwakeword_tpu import eval as eval_mod
+    from openwakeword_tpu.parallel import bulk as bulk_mod
+
+    seen = {}
+
+    def fake_streaming(paths, wakeword_models, padding, batch_size,
+                       segment_seconds, **kwargs):
+        seen["batch_size"] = batch_size
+        seen["segment_seconds"] = segment_seconds
+        return {p: np.zeros((0, 1), np.float32) for p in paths}, ["lbl"]
+
+    monkeypatch.setattr(bulk_mod, "bulk_predict_streaming", fake_streaming)
+    for seg in (29.0, 60.0, 120.0):
+        eval_mod.score_files(["a.wav"], ["m"], batch_size=4096,
+                             segment_seconds=seg)
+        cap = seen["batch_size"]
+        # the actual product is what matters: streams * seg * 16k * 2 bytes
+        assert cap * seg * 16000 * 2 <= (128 << 20)
+        # and the cap is not needlessly small: one more stream would exceed
+        assert (cap + 1) * seg * 16000 * 2 > (128 << 20) or cap == 4096

@@ -160,3 +160,54 @@ class TestGraphHeadInModel:
                                    np.asarray(host_scores), atol=2e-5)
         np.testing.assert_allclose(eng_scores[:, 0], eng_scores[:, 1],
                                    atol=1e-6)
+
+
+def test_silent_batch_dropping_graph_classified_pinned():
+    """A graph that ACCEPTS a batch-2 probe but silently drops the batch dim
+    (fixed-index slice on axis 0 — common converter output) must classify as
+    batch1_only, not as batch-flexible with a halved n_classes."""
+    from openwakeword_tpu.io.graph_head import build_graph_head
+
+    class _PinnedProg:
+        params = {}
+        input_names = ["x"]
+        output_names = ["y"]
+
+        def apply(self, params, inputs):
+            x = np.asarray(inputs["x"])
+            first = x.reshape(x.shape[0], -1)[0]      # batch dim dropped
+            return {"y": np.zeros((1, 4), np.float32) + first[:1]}
+
+    params, meta = build_graph_head(_PinnedProg(), [1, 16, 96], "<mem>")
+    m = params["__meta__"]
+    assert m["batch1_only"] is True
+    assert m["n_classes"] == 4
+
+
+def test_foreign_lstm_graphs_rejected_by_family_extractors():
+    """Graphs containing LSTMs plus ops outside the rnn-export vocabulary
+    (e.g. a conv stem feeding stacked LSTMs) must NOT be silently rebuilt as
+    bare rnn heads with the stem dropped — both family extractors raise so
+    the caller falls back to the general graph executors."""
+    from openwakeword_tpu.io import tflite_import as TL
+    from openwakeword_tpu.io.onnx_import import import_head_onnx
+
+    model = {
+        "tensors": [{"name": f"t{i}", "shape": [], "dtype": 0, "data": None,
+                     "is_variable": False, "quant": None} for i in range(4)],
+        "operators": [
+            {"opcode": TL.OP_CONV_2D, "inputs": [0], "outputs": [1]},
+            {"opcode": TL.OP_UNIDIRECTIONAL_SEQUENCE_LSTM,
+             "inputs": [1], "outputs": [2]},
+            {"opcode": TL.OP_FULLY_CONNECTED, "inputs": [2], "outputs": [3]},
+        ],
+        "inputs": [0], "outputs": [3],
+    }
+    with pytest.raises(ValueError, match="rnn head vocabulary"):
+        TL.import_head_tflite("<mem>", model)
+
+    graph = {"nodes": [{"op_type": "Conv"}, {"op_type": "LSTM"},
+                       {"op_type": "Gemm"}],
+             "inputs": [], "outputs": [], "initializers": {}}
+    with pytest.raises(ValueError, match="rnn head vocabulary"):
+        import_head_onnx("<mem>", graph)

@@ -195,3 +195,124 @@ def test_unknown_opcode_rejected(tmp_path):
         f.write(tb.finish([x], [y]))
     with pytest.raises(NotImplementedError, match="opcode"):
         TfliteProgram(load_tflite(path))
+
+
+def test_strided_slice_ellipsis_new_axis_masks_rejected(tmp_path):
+    """ellipsis_mask / new_axis_mask change the rank mapping the executor's
+    per-dim slice loop assumes — a graph using either must raise a typed
+    error instead of executing with silently wrong shapes."""
+    from openwakeword_tpu.io.tflite_export import _TfliteBuilder
+    from openwakeword_tpu.io import tflite_import as TL
+
+    for kwargs in ({"ellipsis_mask": 1}, {"new_axis_mask": 2}):
+        tb = _TfliteBuilder()
+        x = tb.add_tensor((1, 4, 4), "in")
+        begin = tb.add_tensor((3,), "begin", np.zeros(3, np.int32), ttype=2)
+        end = tb.add_tensor((3,), "end", np.asarray([1, 4, 4], np.int32),
+                            ttype=2)
+        strd = tb.add_tensor((3,), "strides", np.ones(3, np.int32), ttype=2)
+        y = tb.add_tensor((1, 4, 4), "out")
+        tb.add_op(TL.OP_STRIDED_SLICE, [x, begin, end, strd], [y],
+                  tb.OPT_STRIDED_SLICE, tb._strided_slice_options(**kwargs))
+        path = str(tmp_path / "ss.tflite")
+        with open(path, "wb") as f:
+            f.write(tb.finish([x], [y]))
+        prog = TfliteProgram(load_tflite(path))
+        with pytest.raises(NotImplementedError, match="mask"):
+            prog.apply(prog.params, {prog.input_names[0]:
+                                     np.zeros((1, 4, 4), np.float32)})
+
+
+class _FakeLstmOpts:
+    """Stands in for a flatbuffer _Table: UnidirectionalSequenceLSTMOptions
+    field 1 = cell_clip, field 3 = time_major."""
+
+    def __init__(self, cell_clip=0.0, time_major=False):
+        self._f = {1: cell_clip, 3: int(time_major)}
+
+    def scalar(self, field, fmt, default):
+        return self._f.get(field, default)
+
+
+def _craft_lstm_model(rng, hidden=4, t=3, inp=2, cifg=False, cell_clip=0.0):
+    """Hand-built parsed-model dict around one UNIDIRECTIONAL_SEQUENCE_LSTM
+    op (the executor accepts parsed dicts directly, like the import tests)."""
+    def w(shape):
+        return rng.normal(0, 0.5, shape).astype(np.float32)
+
+    tensors = [{"name": f"t{i}", "shape": [], "dtype": 0, "data": None,
+                "is_variable": False, "quant": None} for i in range(22)]
+    weights = {}
+    for i in range(1, 5):       # w_i, w_f, w_c, w_o: (H, I)
+        weights[i] = w((hidden, inp))
+    for i in range(5, 9):       # recurrent: (H, H)
+        weights[i] = w((hidden, hidden))
+    for i in range(12, 16):     # biases: (H,)
+        weights[i] = w((hidden,))
+    for i, arr in weights.items():
+        tensors[i]["data"] = arr
+    ins = [0] + list(range(1, 9)) + [-1, -1, -1] + list(range(12, 16)) \
+        + [-1, -1, 18, 19]      # 18/19: variable state tensors
+    tensors[18]["is_variable"] = tensors[19]["is_variable"] = True
+    if cifg:
+        ins[1], ins[5], ins[12] = -1, -1, -1
+    op = {"opcode": 44, "inputs": ins, "outputs": [21],
+          "options_type": 71,
+          "options": _FakeLstmOpts(cell_clip=cell_clip)}
+    tensors[0]["shape"] = [1, t, inp]
+    model = {"tensors": tensors, "operators": [op],
+             "inputs": [0], "outputs": [21]}
+    return model, weights
+
+
+def _numpy_lstm(x, weights, cell_clip=0.0):
+    """Independent float LSTM (gate order i,f,c,o) with optional cell clip."""
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+    B, T, _ = x.shape
+    H = weights[1].shape[0]
+    h = np.zeros((B, H), np.float64)
+    c = np.zeros((B, H), np.float64)
+    outs = []
+    for t in range(T):
+        xt = x[:, t].astype(np.float64)
+        i = sig(xt @ weights[1].T + h @ weights[5].T + weights[12])
+        f = sig(xt @ weights[2].T + h @ weights[6].T + weights[13])
+        g = np.tanh(xt @ weights[3].T + h @ weights[7].T + weights[14])
+        o = sig(xt @ weights[4].T + h @ weights[8].T + weights[15])
+        c = f * c + i * g
+        if cell_clip > 0:
+            c = np.clip(c, -cell_clip, cell_clip)
+        h = o * np.tanh(c)
+        outs.append(h)
+    return np.stack(outs, axis=1)
+
+
+def test_lstm_cell_clip_applied():
+    """cell_clip > 0 in the LSTM options clips the cell state every step
+    (lite/kernels/lstm_eval.cc) — weights scaled up so the clip actually
+    binds, checked against an independent numpy LSTM."""
+    rng = np.random.default_rng(3)
+    model, weights = _craft_lstm_model(rng, cell_clip=0.4)
+    # inflate gate drive so |c| would exceed the clip without it
+    for i in (12, 13, 14, 15):
+        weights[i] *= 4
+        model["tensors"][i]["data"] = weights[i]
+    prog = TfliteProgram(model)
+    x = rng.normal(0, 2, (1, 3, 2)).astype(np.float32)
+    got = np.asarray(prog.apply(prog.params, {"t0": x})["t21"])
+    want = _numpy_lstm(x, weights, cell_clip=0.4)
+    want_unclipped = _numpy_lstm(x, weights, cell_clip=0.0)
+    assert np.abs(want - want_unclipped).max() > 1e-3, \
+        "fixture too tame: the clip never binds"
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_lstm_cifg_rejected_typed():
+    """CIFG models (input-gate tensors absent, index -1) raise a typed
+    NotImplementedError instead of crashing on a None concatenate."""
+    rng = np.random.default_rng(4)
+    model, _ = _craft_lstm_model(rng, cifg=True)
+    prog = TfliteProgram(model)
+    with pytest.raises(NotImplementedError, match="CIFG"):
+        prog.apply(prog.params, {"t0": np.zeros((1, 3, 2), np.float32)})
