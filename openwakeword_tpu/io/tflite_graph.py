@@ -11,15 +11,30 @@ io.tflite_import.load_tflite, a self-contained reader) compiles to a pure
 function over a float-params pytree, so imported graphs serve on TPU through
 the same engine paths as native heads.
 
-Float and quantized graphs both execute. Quantized graphs (int8/uint8/int16
+Float and quantized graphs both execute. Quantized graphs (int8/uint8
 weights with flatbuffer QuantizationParameters — the usual microWakeWord /
-TFLite-converter output) run as *dequantized-float emulation*: const tensors
-dequantize at load time ((q - zero_point) * scale, per-channel along
-quantized_dimension), QUANTIZE/DEQUANTIZE boundary ops pass through, and all
-arithmetic is float32. This matches the float model the graph was quantized
-from rather than LiteRT's bit-exact int8 kernels (no intermediate
-requantization rounding/saturation is simulated) — on TPU the MXU runs
-bf16/f32 natively, so emulating int8 rounding would cost speed to add noise.
+TFLite-converter output) run in one of two modes, selected by the
+``quantized=`` constructor argument:
+
+- ``"dequant"`` (default, fast): const tensors dequantize at load time
+  ((q - zero_point) * scale, per-channel along quantized_dimension),
+  QUANTIZE/DEQUANTIZE boundary ops pass through, and all arithmetic is
+  float32. This matches the float model the graph was quantized from rather
+  than LiteRT's bit-exact int8 kernels — on TPU the MXU runs bf16/f32
+  natively, so emulating int8 rounding by default would cost speed to add
+  noise.
+- ``"exact"`` (LiteRT score parity): integer tensors stay integer and the
+  graph executes with LiteRT's integer-kernel semantics — int32
+  accumulation, per-channel Q31 fixed-point requantization
+  (ops.qmath.multiply_by_quantized_multiplier), saturating int8/uint8
+  activations, and the LUT activations the default op resolver uses. The
+  reference runs int8 graphs natively through the interpreter (reference
+  openwakeword/utils.py:112-161); this mode reproduces those scores to the
+  last output LSB for the supported op set (conv/depthwise/fully-connected,
+  pooling, mean, add/sub/mul, logistic/tanh, quantize/requantize, shape
+  ops). Ops outside that set with quantized outputs raise a typed error
+  pointing back at ``quantized='dequant'``.
+
 Quantized tensors MISSING their scale raise a typed error naming the tensor.
 """
 
@@ -110,8 +125,12 @@ class TfliteProgram:
     one call is one stateless evaluation, like a fresh LiteRT interpreter.
     """
 
-    def __init__(self, model: Dict):
+    def __init__(self, model: Dict, quantized: str = "dequant"):
+        if quantized not in ("dequant", "exact"):
+            raise ValueError(
+                f"quantized must be 'dequant' or 'exact', got {quantized!r}")
         self._model = model
+        self._quantized = quantized
         self._tensors = model["tensors"]
         self.params: Dict[str, Any] = {}
         self._param_key: Dict[int, str] = {}
@@ -134,16 +153,26 @@ class TfliteProgram:
                 self._param_key[i] = key
             elif t["dtype"] in (3, 7, 9) or (t["dtype"] == 2 and quant
                                              and quant["scale"]):
-                # quantized weights/biases dequantize at load; the graph then
-                # executes in float (see module docstring)
                 if not (quant and quant["scale"]):
                     raise NotImplementedError(
                         f"TFLite executor: tensor '{t['name']}' is quantized "
                         f"(dtype {t['dtype']}) but carries no scale — cannot "
                         "dequantize; re-export the model with standard "
                         "quantization parameters or as float")
-                self.params[key] = _dequantize(
-                    np.asarray(t["data"]), quant, t["name"])
+                if quantized == "exact":
+                    if t["dtype"] == 7:
+                        raise NotImplementedError(
+                            "TFLite executor: int16 quantization is "
+                            "unsupported under quantized='exact' "
+                            f"(tensor '{t['name']}'); use quantized='dequant'")
+                    # integer weights/biases stay integer; the graph runs
+                    # LiteRT's integer kernels (see module docstring)
+                    self.params[key] = np.asarray(t["data"])
+                else:
+                    # quantized weights/biases dequantize at load; the graph
+                    # then executes in float (see module docstring)
+                    self.params[key] = _dequantize(
+                        np.asarray(t["data"]), quant, t["name"])
                 self._param_key[i] = key
             else:                                    # shapes/axes/indices
                 self._static_vals[i] = np.asarray(t["data"])
@@ -202,6 +231,8 @@ class TfliteProgram:
     def _exec(self, op, env):
         code = op["opcode"]
         ins, outs = op["inputs"], op["outputs"]
+        if self._quantized == "exact" and self._exec_int(op, env):
+            return
         opt = op.get("options")
 
         def a(i, what="input"):
@@ -388,6 +419,296 @@ class TfliteProgram:
             raise NotImplementedError(
                 f"TFLite executor: opcode {code} not implemented")
 
+    # ---------------- exact integer execution (quantized='exact') --------
+
+    _QINT = (3, 9)                       # uint8, int8 activation dtypes
+    _QRANGE = {3: (0, 255), 9: (-128, 127)}
+    _QNP = {3: np.uint8, 9: np.int8}
+    # shape-only ops preserve dtype in the float handlers — no arithmetic
+    _INT_PASSTHROUGH = frozenset((
+        _OP_RESHAPE, _OP_SQUEEZE, _OP_TRANSPOSE, _OP_STRIDED_SLICE,
+        _OP_SLICE, _OP_SPLIT, _OP_REVERSE_V2))
+
+    def _qp(self, idx: int):
+        """(scale float32 array, zero_point int array, quantized_dimension)
+        for a tensor, or a typed error naming it."""
+        t = self._tensors[idx]
+        q = t.get("quant")
+        if not (q and q["scale"]):
+            raise NotImplementedError(
+                f"TFLite executor (exact): tensor '{t['name']}' has no "
+                "quantization parameters — cannot run integer kernels; "
+                "use quantized='dequant'")
+        scale = np.asarray(q["scale"], np.float32)
+        zp = np.asarray(q["zero_point"] or [0], np.int64)
+        if zp.size == 1 and scale.size > 1:
+            zp = np.broadcast_to(zp, scale.shape)
+        return scale, zp, int(q.get("dim", 0))
+
+    def _qp_scalar(self, idx: int):
+        """Per-tensor (scale, zp) — activations are always per-tensor."""
+        scale, zp, _ = self._qp(idx)
+        if scale.size != 1:
+            raise NotImplementedError(
+                f"TFLite executor (exact): tensor "
+                f"'{self._tensors[idx]['name']}' carries per-channel "
+                "quantization where a per-tensor activation is expected")
+        return float(scale.reshape(-1)[0]), int(zp.reshape(-1)[0])
+
+    def _requant_consts(self, real_multiplier):
+        """Host-side Q31 decomposition; accepts scalar or per-channel."""
+        from openwakeword_tpu.ops import qmath
+        qm, sh = qmath.quantize_multipliers(np.atleast_1d(real_multiplier))
+        if qm.size == 1:
+            return int(qm[0]), int(sh[0])
+        return qm, sh
+
+    def _act_clamp_q(self, y_i32, act: int, out_idx: int):
+        """Add nothing — clamp an int32 value (already including the output
+        zero point) to the fused-activation range in the quantized domain
+        and cast to the output tensor dtype."""
+        from openwakeword_tpu.ops import qmath
+        odt = self._tensors[out_idx]["dtype"]
+        qmin, qmax = self._QRANGE[odt]
+        scale, zp = self._qp_scalar(out_idx)
+        amin, amax = qmath.quantized_activation_range(act, scale, zp,
+                                                      qmin, qmax)
+        return jnp.clip(y_i32, amin, amax).astype(self._QNP[odt])
+
+    def _exec_int(self, op, env) -> bool:
+        """Integer-kernel execution for ops whose output is a quantized
+        int8/uint8 tensor (LiteRT semantics — see module docstring). Returns
+        False when the op belongs on the float path."""
+        from openwakeword_tpu.ops import qmath
+
+        code = op["opcode"]
+        ins, outs = op["inputs"], op["outputs"]
+        opt = op.get("options")
+
+        def a(i, what="input"):
+            return self._val(env, ins[i] if i < len(ins) else -1, op, what)
+
+        def scalar_opt(field, fmt, default):
+            return opt.scalar(field, fmt, default) if opt is not None \
+                else default
+
+        in_dt = self._tensors[ins[0]]["dtype"] if ins and ins[0] >= 0 else 0
+        if code == _OP_DEQUANTIZE and in_dt in self._QINT:
+            scale, zp = self._qp_scalar(ins[0])
+            env[outs[0]] = (jnp.asarray(a(0)).astype(jnp.float32) - zp) * scale
+            return True
+        odt = self._tensors[outs[0]]["dtype"] if outs else 0
+        if odt == 7 or (code == _OP_DEQUANTIZE and in_dt == 7):
+            raise NotImplementedError(
+                "TFLite executor: int16 activations are unsupported under "
+                "quantized='exact'; use quantized='dequant'")
+        if odt not in self._QINT:
+            return False                              # float path handles it
+        if code in self._INT_PASSTHROUGH:
+            return False                              # dtype-agnostic handler
+
+        qmin, qmax = self._QRANGE[odt]
+        np_odt = self._QNP[odt]
+
+        if code == _OP_QUANTIZE:
+            out_scale, out_zp = self._qp_scalar(outs[0])
+            x = jnp.asarray(a(0))
+            if in_dt in self._QINT:
+                # int->int requantize (lite/kernels/quantize.cc Requantize)
+                in_scale, in_zp = self._qp_scalar(ins[0])
+                qm, sh = self._requant_consts(in_scale / out_scale)
+                y = qmath.multiply_by_quantized_multiplier(
+                    x.astype(jnp.int32) - in_zp, qm, sh) + out_zp
+            else:
+                # float->int AffineQuantize: TfLiteRound(x/scale) + zp
+                y = qmath.round_half_away(
+                    x.astype(jnp.float32) / out_scale).astype(jnp.int32) \
+                    + out_zp
+            env[outs[0]] = jnp.clip(y, qmin, qmax).astype(np_odt)
+        elif code == _OP_FULLY_CONNECTED:
+            x, w = jnp.asarray(a(0)), jnp.asarray(a(1))   # w: (out, in) int
+            b = a(2)
+            in_scale, in_zp = self._qp_scalar(ins[0])
+            w_scale, w_zp, _ = self._qp(ins[1])
+            out_scale, out_zp = self._qp_scalar(outs[0])
+            keep = bool(scalar_opt(2, "<b", 0))
+            h = x if keep else x.reshape(-1, w.shape[1])
+            acc = jnp.matmul(h.astype(jnp.int32) - in_zp,
+                             (w.astype(jnp.int32)
+                              - w_zp.astype(np.int32).reshape(-1, 1)).T,
+                             preferred_element_type=jnp.int32)
+            if b is not None:
+                acc = acc + jnp.asarray(b).astype(jnp.int32)
+            qm, sh = self._requant_consts(
+                in_scale * w_scale.reshape(-1) / out_scale)
+            y = qmath.multiply_by_quantized_multiplier(acc, qm, sh) + out_zp
+            env[outs[0]] = self._act_clamp_q(y, scalar_opt(0, "<b", 0),
+                                             outs[0])
+        elif code in (_OP_CONV_2D, _OP_DEPTHWISE_CONV_2D):
+            x, w = jnp.asarray(a(0)), jnp.asarray(a(1))
+            b = a(2)
+            in_scale, in_zp = self._qp_scalar(ins[0])
+            w_scale, w_zp, _ = self._qp(ins[1])
+            out_scale, out_zp = self._qp_scalar(outs[0])
+            padding = _pad_mode(scalar_opt(0, "<b", 0))
+            stride_w = scalar_opt(1, "<i", 1)
+            stride_h = scalar_opt(2, "<i", 1)
+            # padded positions contribute nothing to the accumulator
+            # (reference_integer_ops conv), which equals SAME-padding the
+            # zero-point-subtracted input with zeros
+            xs = x.astype(jnp.int32) - in_zp
+            if code == _OP_CONV_2D:
+                act = scalar_opt(3, "<b", 0)
+                dil = (scalar_opt(5, "<i", 1), scalar_opt(4, "<i", 1))
+                w_zp_b = w_zp.astype(np.int32).reshape(-1, 1, 1, 1) \
+                    if w_zp.size > 1 else int(w_zp.reshape(-1)[0])
+                ws = w.astype(jnp.int32) - w_zp_b            # (O,KH,KW,I)
+                acc = lax.conv_general_dilated(
+                    xs, ws, (stride_h, stride_w), padding, rhs_dilation=dil,
+                    dimension_numbers=("NHWC", "OHWI", "NHWC"),
+                    preferred_element_type=jnp.int32)
+            else:
+                act = scalar_opt(4, "<b", 0)
+                dil = (scalar_opt(6, "<i", 1), scalar_opt(5, "<i", 1))
+                cin = x.shape[-1]
+                w_zp_b = w_zp.astype(np.int32).reshape(1, 1, 1, -1) \
+                    if w_zp.size > 1 else int(w_zp.reshape(-1)[0])
+                ws = w.astype(jnp.int32) - w_zp_b            # (1,KH,KW,C*M)
+                acc = lax.conv_general_dilated(
+                    xs, jnp.transpose(ws, (1, 2, 0, 3)),
+                    (stride_h, stride_w), padding, rhs_dilation=dil,
+                    feature_group_count=cin,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+            if b is not None:
+                acc = acc + jnp.asarray(b).astype(jnp.int32)
+            qm, sh = self._requant_consts(
+                in_scale * w_scale.reshape(-1) / out_scale)
+            y = qmath.multiply_by_quantized_multiplier(acc, qm, sh) + out_zp
+            env[outs[0]] = self._act_clamp_q(y, act, outs[0])
+        elif code == _OP_MAX_POOL_2D:
+            x = jnp.asarray(a(0))
+            padding = _pad_mode(scalar_opt(0, "<b", 0))
+            strides = (1, scalar_opt(2, "<i", 1), scalar_opt(1, "<i", 1), 1)
+            win = (1, scalar_opt(4, "<i", 1), scalar_opt(3, "<i", 1), 1)
+            y = lax.reduce_window(x, np_odt(qmin), lax.max, win, strides,
+                                  padding)
+            env[outs[0]] = self._act_clamp_q(y.astype(jnp.int32),
+                                             scalar_opt(5, "<b", 0), outs[0])
+        elif code == _OP_AVERAGE_POOL_2D:
+            # int32 window sum, count of in-image positions, then LiteRT's
+            # rounded division: (acc +/- count/2) / count, trunc toward zero
+            x = jnp.asarray(a(0)).astype(jnp.int32)
+            padding = _pad_mode(scalar_opt(0, "<b", 0))
+            strides = (1, scalar_opt(2, "<i", 1), scalar_opt(1, "<i", 1), 1)
+            win = (1, scalar_opt(4, "<i", 1), scalar_opt(3, "<i", 1), 1)
+            s = lax.reduce_window(x, jnp.int32(0), lax.add, win, strides,
+                                  padding)
+            n = lax.reduce_window(jnp.ones_like(x), jnp.int32(0), lax.add,
+                                  win, strides, padding)
+            y = jnp.sign(s) * ((jnp.abs(s) + n // 2) // n)
+            env[outs[0]] = self._act_clamp_q(y, scalar_opt(5, "<b", 0),
+                                             outs[0])
+        elif code == _OP_MEAN:
+            x = jnp.asarray(a(0))
+            axes = tuple(int(v) % x.ndim
+                         for v in np.atleast_1d(_static(a(1), "reduce axes")))
+            keep = bool(scalar_opt(0, "<b", 0))
+            in_scale, in_zp = self._qp_scalar(ins[0])
+            out_scale, out_zp = self._qp_scalar(outs[0])
+            num = int(np.prod([x.shape[d] for d in axes]))
+            s = jnp.sum(x.astype(jnp.int32), axis=axes, keepdims=keep)
+            if in_scale == out_scale and in_zp == out_zp:
+                # reference_ops::Mean int path: rounded integer division
+                y = jnp.sign(s) * ((jnp.abs(s) + num // 2) // num)
+            else:
+                # QuantizedMeanOrSum float path with TfLiteRound
+                scale = in_scale / out_scale
+                bias = -in_zp * scale
+                y = qmath.round_half_away(
+                    s.astype(jnp.float32) * scale / num + bias) \
+                    .astype(jnp.int32) + out_zp
+            env[outs[0]] = jnp.clip(y, qmin, qmax).astype(np_odt)
+        elif code in (_OP_LOGISTIC, _OP_TANH):
+            # the default op resolver's int8 kernels evaluate the float
+            # function over all 256 input codes into a lookup table
+            # (lite/kernels/activations.cc PopulateLookupTable)
+            in_scale, in_zp = self._qp_scalar(ins[0])
+            out_scale, out_zp = self._qp_scalar(outs[0])
+            codes = np.arange(qmin, qmax + 1, dtype=np.int64)
+            deq = (np.float32(in_scale)
+                   * (codes - in_zp).astype(np.float32))
+            f = (1.0 / (1.0 + np.exp(-deq, dtype=np.float32))
+                 if code == _OP_LOGISTIC else np.tanh(deq, dtype=np.float32))
+            vals = qmath.round_half_away_host(
+                f / np.float32(out_scale)).astype(np.int64) + out_zp
+            table = jnp.asarray(np.clip(vals, qmin, qmax).astype(np_odt))
+            x = jnp.asarray(a(0))
+            env[outs[0]] = jnp.take(table,
+                                    x.astype(jnp.int32) - qmin, axis=0)
+        elif code in (_OP_ADD, _OP_SUB):
+            # reference_integer_ops::Add: rescale both operands into a
+            # shared <<20 fixed-point domain, add, requantize
+            left_shift = 20
+            s1, z1 = self._qp_scalar(ins[0])
+            s2, z2 = self._qp_scalar(ins[1])
+            so, zo = self._qp_scalar(outs[0])
+            twice_max = 2.0 * max(s1, s2)
+            qm1, sh1 = self._requant_consts(s1 / twice_max)
+            qm2, sh2 = self._requant_consts(s2 / twice_max)
+            qmo, sho = self._requant_consts(
+                twice_max / ((1 << left_shift) * so))
+            v1 = (jnp.asarray(a(0)).astype(jnp.int32) - z1) * (1 << left_shift)
+            v2 = (jnp.asarray(a(1)).astype(jnp.int32) - z2) * (1 << left_shift)
+            sc1 = qmath.multiply_by_quantized_multiplier(v1, qm1, sh1)
+            sc2 = qmath.multiply_by_quantized_multiplier(v2, qm2, sh2)
+            raw = sc1 + sc2 if code == _OP_ADD else sc1 - sc2
+            y = qmath.multiply_by_quantized_multiplier(raw, qmo, sho) + zo
+            env[outs[0]] = self._act_clamp_q(y, scalar_opt(0, "<b", 0),
+                                             outs[0])
+        elif code == _OP_MUL:
+            s1, z1 = self._qp_scalar(ins[0])
+            s2, z2 = self._qp_scalar(ins[1])
+            so, zo = self._qp_scalar(outs[0])
+            raw = (jnp.asarray(a(0)).astype(jnp.int32) - z1) \
+                * (jnp.asarray(a(1)).astype(jnp.int32) - z2)
+            qm, sh = self._requant_consts(s1 * s2 / so)
+            y = qmath.multiply_by_quantized_multiplier(raw, qm, sh) + zo
+            env[outs[0]] = self._act_clamp_q(y, scalar_opt(0, "<b", 0),
+                                             outs[0])
+        elif code == _OP_CONCATENATION:
+            so, zo = self._qp_scalar(outs[0])
+            for i in range(len(ins)):
+                si, zi = self._qp_scalar(ins[i])
+                if si != so or zi != zo:
+                    raise NotImplementedError(
+                        "TFLite executor (exact): CONCATENATION with "
+                        "mismatched input/output quantization is "
+                        "unsupported; use quantized='dequant'")
+            axis = scalar_opt(0, "<i", 0)
+            if scalar_opt(1, "<b", 0):
+                raise NotImplementedError(
+                    "TFLite executor (exact): CONCATENATION with a fused "
+                    "activation is unsupported")
+            env[outs[0]] = jnp.concatenate(
+                [jnp.asarray(a(i)) for i in range(len(ins))], axis=axis)
+        elif code in (_OP_PAD, _OP_PADV2):
+            x = jnp.asarray(a(0))
+            pads = _static(a(1), "Pad paddings").astype(int)
+            if code == _OP_PADV2 and len(ins) > 2 and ins[2] >= 0:
+                cval = int(np.asarray(_static(a(2), "Pad value")))
+            else:
+                _, cval = self._qp_scalar(ins[0])    # pad with the zero point
+            env[outs[0]] = jnp.pad(x, [(int(lo), int(hi)) for lo, hi in pads],
+                                   constant_values=np_odt(cval))
+        else:
+            raise NotImplementedError(
+                f"TFLite executor: op {_OP_NAMES.get(code, code)} has a "
+                "quantized output, which is unsupported under "
+                "quantized='exact'; run with quantized='dequant' "
+                "(float emulation)")
+        return True
+
     def _uni_lstm(self, op, env):
         """UNIDIRECTIONAL_SEQUENCE_LSTM, float path, gate order i,f,c,o
         (input indices per lite/kernels/lstm.cc; matches this package's
@@ -450,16 +771,19 @@ class TfliteProgram:
         return jnp.swapaxes(out, 0, 1) if time_major else out
 
 
-def import_graph_head_tflite(path: str, model: Optional[Dict] = None):
+def import_graph_head_tflite(path: str, model: Optional[Dict] = None,
+                             quantized: str = "dequant"):
     """Arbitrary-architecture .tflite classifier -> generic 'graph' head
     (the TFLite twin of io.onnx_import.import_graph_head_onnx; same
-    (B, F, 96) / (B, F*96) window contract, same 'graph' model_type)."""
+    (B, F, 96) / (B, F*96) window contract, same 'graph' model_type).
+    ``quantized='exact'`` runs int8 graphs with LiteRT integer-kernel
+    semantics instead of the default dequantized-float emulation."""
     from openwakeword_tpu.io.graph_head import build_graph_head
     from openwakeword_tpu.io.tflite_import import load_tflite
 
     if model is None:
         model = load_tflite(path)
-    prog = TfliteProgram(model)
+    prog = TfliteProgram(model, quantized=quantized)
     dims = list(model["tensors"][model["inputs"][0]]["shape"]) \
         if model["inputs"] else []
     return build_graph_head(prog, dims, path)

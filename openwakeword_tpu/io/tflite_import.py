@@ -441,10 +441,22 @@ def import_head_tflite(path: str, model: Dict = None) -> Tuple[Dict, Dict]:
     return params, {"kind": "head", "output_names": out_names}
 
 
-def import_tflite_model(path: str) -> Tuple[str, Dict, Dict]:
-    """Entry point used by io.loaders: (kind, params, meta)."""
+def import_tflite_model(path: str, quantized: str = "dequant"
+                        ) -> Tuple[str, Dict, Dict]:
+    """Entry point used by io.loaders: (kind, params, meta). ``quantized``
+    selects the execution mode for int8-quantized graphs (io.tflite_graph)."""
     model = load_tflite(path)
     ops = [o["opcode"] for o in model["operators"]]
+    if quantized == "exact" and any(
+            t["dtype"] in (3, 7, 9) and t.get("quant")
+            for t in model["tensors"]):
+        # exact integer semantics are only defined by the general executor;
+        # the family extractors rebuild float heads, which would silently
+        # drop the int8 rounding the caller explicitly asked to keep
+        from openwakeword_tpu.io.tflite_graph import import_graph_head_tflite
+        params, meta = import_graph_head_tflite(path, model,
+                                                quantized="exact")
+        return "head", params, meta
     if ops.count(OP_CONV_2D) > 10:
         try:
             return "embedding", import_embedding_tflite(path, model), {

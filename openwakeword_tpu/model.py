@@ -58,6 +58,7 @@ class Model():
             custom_verifier_models: dict = {},
             custom_verifier_threshold: float = 0.1,
             inference_framework: str = "jax",
+            quantized_execution: str = "dequant",
             **kwargs,
             ):
         """Args mirror the reference constructor (model.py:37-82).
@@ -65,7 +66,11 @@ class Model():
         ``wakeword_models`` entries may be native .npz checkpoints, upstream
         .onnx/.tflite artifacts (imported on the fly), or pretrained model
         names. ``inference_framework`` is accepted for compatibility; all
-        execution is JAX/XLA.
+        execution is JAX/XLA. ``quantized_execution`` selects how
+        int8-quantized .tflite heads run: 'dequant' (float emulation, fast
+        default) or 'exact' (LiteRT integer-kernel score parity — the
+        reference interpreter executes int8 graphs natively,
+        reference utils.py:112-161).
         """
         wakeword_models, wakeword_model_names = registry.resolve_wakeword_models(wakeword_models)
 
@@ -79,7 +84,8 @@ class Model():
         head_frontends: Dict[str, str] = {}        # name -> training frontend
 
         for mdl_path, mdl_name in zip(wakeword_models, wakeword_model_names):
-            params, meta = self._load_head(mdl_path, mdl_name)
+            params, meta = self._load_head(mdl_path, mdl_name,
+                                           quantized_execution)
             # heads trained by train_cli record which feature frontend
             # produced their training features; checked against the RESOLVED
             # frontend after the preprocessor is built (below) — the kwarg
@@ -185,14 +191,16 @@ class Model():
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _load_head(mdl_path: str, mdl_name: str):
+    def _load_head(mdl_path: str, mdl_name: str,
+                   quantized_execution: str = "dequant"):
         """Load a head checkpoint, importing .onnx/.tflite if needed. When a
         known pretrained name has no artifact on disk (zero-egress installs),
         fall back to a deterministic random init with the published
         architecture so the pipeline stays runnable."""
         if os.path.exists(mdl_path):
             from openwakeword_tpu.io.loaders import load_model_file
-            kind, params, meta = load_model_file(mdl_path)
+            kind, params, meta = load_model_file(
+                mdl_path, quantized=quantized_execution)
             if kind not in ("head", "unknown"):
                 raise ValueError(f"Model file {mdl_path} is a '{kind}' checkpoint, expected a wakeword head")
             if "__meta__" not in params:

@@ -73,7 +73,8 @@ def _as_device_pcm(chunks) -> jnp.ndarray:
         arr = arr.astype(np.float32, copy=False)
     return jnp.asarray(arr)
 
-def _resolve_heads(wakeword_models: Sequence[str]
+def _resolve_heads(wakeword_models: Sequence[str],
+                   quantized_execution: str = "dequant"
                    ) -> List[Tuple[str, Dict, Dict, Dict]]:
     """(name, params, class_mapping, file_meta) per head, via the shared
     resolver + Model loader."""
@@ -81,7 +82,7 @@ def _resolve_heads(wakeword_models: Sequence[str]
     resolved, names = registry.resolve_wakeword_models(list(wakeword_models))
     out = []
     for path, name in zip(resolved, names):
-        params, meta = Model._load_head(path, name)
+        params, meta = Model._load_head(path, name, quantized_execution)
         if meta.get("class_mapping"):
             mapping = dict(meta["class_mapping"])
         elif registry.model_class_mappings.get(name):
@@ -126,7 +127,8 @@ class MultiStreamEngine:
                  incremental: bool = True,
                  use_pallas_melspec: Optional[bool] = None,
                  precision: str = "high",
-                 scan_unroll: int = 2):
+                 scan_unroll: int = 2,
+                 quantized_execution: str = "dequant"):
         gating.validate_gating_args(patience, threshold, debounce_time)
 
         self.n_streams = int(n_streams)
@@ -204,7 +206,7 @@ class MultiStreamEngine:
         self.precision = precision
 
         # ---- heads ----
-        heads = _resolve_heads(wakeword_models)
+        heads = _resolve_heads(wakeword_models, quantized_execution)
         self.model_names = [h[0] for h in heads]
         self._head_metas = []
         head_params = {}
@@ -399,9 +401,14 @@ class MultiStreamEngine:
             self.params["vad"] = vad_params
         if self.precision == "bf16":
             # cast matmul/conv weights (>=2-D) to bf16; biases, norms and
-            # per-channel affines stay f32 (elementwise, accuracy-critical)
+            # per-channel affines stay f32 (elementwise, accuracy-critical).
+            # Integer leaves (exact-int8 graph heads) must stay integer —
+            # their arithmetic is fixed-point, not floating
             self.params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16) if getattr(a, "ndim", 0) >= 2 else a,
+                lambda a: a.astype(jnp.bfloat16)
+                if (getattr(a, "ndim", 0) >= 2
+                    and np.issubdtype(np.asarray(a).dtype, np.floating))
+                else a,
                 self.params)
         if self._use_verifiers:
             # Coefficients match the feature-ring dtype so the fused einsum

@@ -316,3 +316,372 @@ def test_lstm_cifg_rejected_typed():
     prog = TfliteProgram(model)
     with pytest.raises(NotImplementedError, match="CIFG"):
         prog.apply(prog.params, {"t0": np.zeros((1, 3, 2), np.float32)})
+
+
+# ======================================================================
+# quantized='exact': LiteRT integer-kernel semantics
+# ======================================================================
+
+def _qmult64(m):
+    """Test-local QuantizeMultiplier (frexp to Q31, round half away)."""
+    import math
+    if m == 0.0:
+        return 0, 0
+    q, sh = math.frexp(m)
+    qf = int(math.floor(q * (1 << 31) + 0.5))
+    if qf == (1 << 31):
+        qf //= 2
+        sh += 1
+    if sh < -31:
+        return 0, 0
+    return qf, sh
+
+
+def _srdhm64(a, b):
+    """int64 oracle of SaturatingRoundingDoublingHighMul (b positive)."""
+    ab = np.int64(a) * np.int64(b)
+    nudge = np.where(ab >= 0, np.int64(1 << 30), np.int64(1 - (1 << 30)))
+    v = ab + nudge
+    return np.where(v >= 0, v // (1 << 31), -((-v) // (1 << 31)))
+
+
+def _rdbp64(x, e):
+    """int64 oracle of RoundingDivideByPOT (nearest, ties away from 0)."""
+    x = np.int64(x)
+    mask = np.int64((1 << e) - 1)
+    rem = x & mask
+    thr = (mask >> 1) + (x < 0)
+    return (x >> e) + (rem > thr)
+
+
+def _mbqm64(x, m):
+    """int64 oracle of MultiplyByQuantizedMultiplier for real multiplier m.
+    The pre-scale left shift wraps in int32, as in the C kernels."""
+    qm, sh = _qmult64(m)
+    left, right = max(sh, 0), max(-sh, 0)
+    shifted = (np.int64(x) * (1 << left)).astype(np.int32).astype(np.int64)
+    return _rdbp64(_srdhm64(shifted, qm), right)
+
+
+class TestQmathPrimitives:
+    """ops.qmath's limb-arithmetic fixed-point primitives are bit-equal to
+    an int64 reference over the full int32 domain."""
+
+    def test_srdhm_fuzz(self):
+        from openwakeword_tpu.ops import qmath
+        rng = np.random.default_rng(7)
+        a = rng.integers(-2**31, 2**31, 50000).astype(np.int32)
+        b = rng.integers(2**30, 2**31, 50000).astype(np.int32)
+        got = np.asarray(qmath.srdhm(a, b)).astype(np.int64)
+        want = _srdhm64(a, b)
+        np.testing.assert_array_equal(got, want)
+
+    def test_srdhm_edges(self):
+        from openwakeword_tpu.ops import qmath
+        for a in (-2**31, -2**30, -1, 0, 1, 2**30, 2**31 - 1):
+            for b in (2**30, 2**30 + 1, 2**31 - 1):
+                assert int(qmath.srdhm(a, b)) == int(_srdhm64(a, b)), (a, b)
+
+    def test_rounding_divide_by_pot_fuzz(self):
+        from openwakeword_tpu.ops import qmath
+        rng = np.random.default_rng(8)
+        x = rng.integers(-2**31, 2**31, 50000).astype(np.int32)
+        e = rng.integers(0, 32, 50000).astype(np.int32)
+        got = np.asarray(qmath.rounding_divide_by_pot(x, e)).astype(np.int64)
+        want = np.asarray([_rdbp64(xi, ei) for xi, ei in zip(x, e)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_mbqm_matches_oracle_per_multiplier(self):
+        from openwakeword_tpu.ops import qmath
+        rng = np.random.default_rng(9)
+        x = rng.integers(-2**24, 2**24, 5000).astype(np.int32)
+        for m in (1e-6, 0.01, 0.25, 0.49999999, 0.5, 0.999, 1.0, 1.5,
+                  123.456, 1000.0):
+            qm, sh = qmath.quantize_multiplier(m)
+            qm2, sh2 = _qmult64(m)
+            assert (qm, sh) == (qm2, sh2), m
+            got = np.asarray(qmath.multiply_by_quantized_multiplier(
+                x, qm, sh)).astype(np.int64)
+            want = _mbqm64(x, m)
+            np.testing.assert_array_equal(got, want, err_msg=f"m={m}")
+
+
+def _oracle_exact_int8_cnn2d(model, x):
+    """Independent numpy-int64 execution of the quantized cnn2d fixture
+    (QUANTIZE -> RESHAPE -> CONV_2D+RELU -> MAX_POOL -> DW_CONV+RELU ->
+    MEAN -> FC -> LOGISTIC -> DEQUANTIZE), reading int weights and
+    quantization params straight from the parsed flatbuffer."""
+    t = {tt["name"]: tt for tt in model["tensors"]}
+
+    def q(name):
+        qq = t[name]["quant"]
+        scale = np.asarray(qq["scale"], np.float64)
+        zp = np.asarray(qq["zero_point"] or [0], np.int64)
+        return scale, zp
+
+    def rha(v):
+        return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+    in_s, _ = q("emb_q")
+    # QUANTIZE (AffineQuantize)
+    xq = np.clip(rha(x.astype(np.float64) / in_s[0]), -128, 127).astype(np.int64)
+    xq = xq.reshape(16, 96, 1)
+
+    # CONV_2D SAME 3x3 stride 1, RELU, per-channel int8 weights
+    cw = np.asarray(t["conv.w"]["data"], np.int64)          # (8,3,3,1) OHWI
+    cb = np.asarray(t["conv.b"]["data"], np.int64)
+    cs, _ = q("conv.w")
+    c0s, c0z = q("conv_out")
+    H, W, Ci = xq.shape
+    xp = np.zeros((H + 2, W + 2, Ci), np.int64)
+    xp[1:H + 1, 1:W + 1] = xq                                # in_zp == 0
+    acc = np.zeros((H, W, 8), np.int64)
+    for kh in range(3):
+        for kw in range(3):
+            acc += np.einsum("hwc,oc->hwo", xp[kh:kh + H, kw:kw + W],
+                             cw[:, kh, kw, :])
+    acc += cb
+    y = np.zeros_like(acc)
+    for o in range(8):
+        y[..., o] = _mbqm64(acc[..., o], float(in_s[0] * cs[o] / c0s[0]))
+    conv = np.clip(y + c0z[0], max(-128, int(c0z[0])), 127)  # RELU: q(0)=zp
+
+    # MAX_POOL 2x2 VALID stride 2
+    pool = conv.reshape(8, 2, 48, 2, 8).max(axis=(1, 3))
+
+    # DEPTHWISE_CONV SAME 3x3, RELU, per-channel along last dim
+    dw = np.asarray(t["dw.w"]["data"], np.int64)             # (1,3,3,8)
+    db = np.asarray(t["dw.b"]["data"], np.int64)
+    ds, _ = q("dw.w")
+    d0s, d0z = q("dw_out")
+    Hp, Wp, C = pool.shape
+    pp = np.zeros((Hp + 2, Wp + 2, C), np.int64)
+    pp[1:Hp + 1, 1:Wp + 1] = pool                            # in_zp == 0
+    acc = np.zeros((Hp, Wp, C), np.int64)
+    for kh in range(3):
+        for kw in range(3):
+            acc += pp[kh:kh + Hp, kw:kw + Wp] * dw[0, kh, kw]
+    acc += db
+    y = np.zeros_like(acc)
+    for c in range(C):
+        y[..., c] = _mbqm64(acc[..., c], float(c0s[0] * ds[c] / d0s[0]))
+    dwo = np.clip(y + d0z[0], max(-128, int(d0z[0])), 127)
+
+    # MEAN over (H, W): same scale/zp -> rounded integer division
+    num = Hp * Wp
+    s = dwo.sum(axis=(0, 1))
+    mean = np.sign(s) * ((np.abs(s) + num // 2) // num)
+    mean = np.clip(mean, -128, 127)
+
+    # FULLY_CONNECTED, uint8 weights zp 128
+    fw = np.asarray(t["fc.w"]["data"], np.int64)             # (1,8) uint8
+    fb = np.asarray(t["fc.b"]["data"], np.int64)
+    fs, fz = q("fc.w")
+    m0s, m0z = q("pooled")
+    lgs, lgz = q("logits")
+    acc = (mean - m0z[0]) @ (fw - fz[0]).T + fb
+    logits = np.clip(_mbqm64(acc, float(m0s[0] * fs[0] / lgs[0])) + lgz[0],
+                     -128, 127)
+
+    # LOGISTIC via 256-entry LUT (float32 math, as PopulateLookupTable)
+    codes = np.arange(-128, 128, dtype=np.int64)
+    deq = (np.float32(lgs[0]) * (codes - lgz[0]).astype(np.float32))
+    f = 1.0 / (1.0 + np.exp(-deq, dtype=np.float32))
+    sqs, sqz = q("score_q")
+    table = np.clip(rha(f / np.float32(sqs[0])).astype(np.int64) + sqz[0],
+                    -128, 127)
+    score_q = table[logits + 128]
+
+    # DEQUANTIZE
+    return ((score_q - sqz[0]) * sqs[0]).astype(np.float32)
+
+
+class TestExactInt8:
+    """quantized='exact' reproduces LiteRT integer-kernel scores bit-for-bit
+    against an independent numpy-int64 oracle (reference utils.py:112-161
+    executes int8 graphs natively through the interpreter)."""
+
+    @pytest.fixture(scope="class")
+    def qmodel(self, tmp_path_factory):
+        from tests import fixture_builders
+        tmp = tmp_path_factory.mktemp("tflite_exact")
+        rng = np.random.default_rng(11)
+        z = {"conv.weight": rng.normal(0, .5, (8, 1, 3, 3)).astype(np.float32),
+             "conv.bias": rng.normal(0, .1, 8).astype(np.float32),
+             "dw.weight": rng.normal(0, .5, (8, 1, 3, 3)).astype(np.float32),
+             "dw.bias": rng.normal(0, .1, 8).astype(np.float32),
+             "fc.weight": rng.normal(0, .5, (1, 8)).astype(np.float32),
+             "fc.bias": rng.normal(0, .1, 1).astype(np.float32)}
+        path = str(tmp / "cnn2d_int8.tflite")
+        fixture_builders.build_quantized_cnn2d_graph_head_tflite(path, z)
+        return load_tflite(path)
+
+    def test_bit_exact_vs_int64_oracle(self, qmodel):
+        """Whole-pipeline scores are BIT-EQUAL to the independent integer
+        oracle over random embedding windows (not merely within 1 LSB)."""
+        prog = TfliteProgram(qmodel, quantized="exact")
+        rng = np.random.default_rng(12)
+        for _ in range(8):
+            x = rng.normal(0, 1.2, (1, 16, 96)).astype(np.float32)
+            got = np.asarray(prog.apply(prog.params, {"emb": x})["score"])
+            want = _oracle_exact_int8_cnn2d(qmodel, x[0])
+            np.testing.assert_array_equal(got.ravel(), want.ravel())
+
+    def test_output_on_quantization_grid(self, qmodel):
+        """Exact-mode scores land exactly on the int8 output grid
+        (scale 1/256, zp -128) — a float emulation almost never does."""
+        prog = TfliteProgram(qmodel, quantized="exact")
+        rng = np.random.default_rng(13)
+        x = rng.normal(0, 1.0, (1, 16, 96)).astype(np.float32)
+        s = float(np.asarray(prog.apply(prog.params, {"emb": x})["score"]))
+        assert abs(s * 256 - round(s * 256)) < 1e-6
+
+    def test_jit_matches_eager(self, qmodel):
+        import jax
+        prog = TfliteProgram(qmodel, quantized="exact")
+        fn = jax.jit(lambda p, x: prog.apply(p, {"emb": x})["score"])
+        rng = np.random.default_rng(14)
+        x = rng.normal(0, 1.0, (1, 16, 96)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(fn(prog.params, x)),
+            np.asarray(prog.apply(prog.params, {"emb": x})["score"]))
+
+    def test_emulation_drift_bounded(self, qmodel):
+        """The default dequantized-float emulation tracks the exact integer
+        scores within a couple of output LSBs on this graph (measured and
+        documented in COMPATIBILITY.md #14)."""
+        pe = TfliteProgram(qmodel, quantized="exact")
+        pd = TfliteProgram(qmodel, quantized="dequant")
+        rng = np.random.default_rng(15)
+        x = rng.normal(0, 1.0, (64, 16, 96)).astype(np.float32)
+        # batch-pinned reshape: run per-sample
+        diffs = []
+        for i in range(x.shape[0]):
+            ye = float(np.asarray(pe.apply(pe.params, {"emb": x[i:i + 1]})["score"]))
+            yd = float(np.asarray(pd.apply(pd.params, {"emb": x[i:i + 1]})["score"]))
+            diffs.append(abs(ye - yd))
+        assert max(diffs) < 16.0 / 256.0, max(diffs)
+
+    def test_add_mul_ops_exact(self):
+        """ADD (shared <<20 domain) and MUL integer kernels vs the oracle."""
+        from openwakeword_tpu.ops import qmath
+
+        def mk(opcode, s1, z1, s2, z2, so, zo):
+            tensors = []
+            for name, (s, z) in (("a", (s1, z1)), ("b", (s2, z2)),
+                                 ("y", (so, zo))):
+                tensors.append({"name": name, "shape": [4], "dtype": 9,
+                                "data": None, "is_variable": False,
+                                "quant": {"scale": [s], "zero_point": [z],
+                                          "dim": 0, "details_type": 0}})
+            return {"tensors": tensors,
+                    "operators": [{"opcode": opcode, "inputs": [0, 1],
+                                   "outputs": [2], "options": None}],
+                    "inputs": [0, 1], "outputs": [2]}
+
+        rng = np.random.default_rng(16)
+        a = rng.integers(-128, 128, 256).astype(np.int8)
+        b = rng.integers(-128, 128, 256).astype(np.int8)
+        # flatbuffer scales are float32 — the oracle must derive multipliers
+        # from the same float32 values the executor reads
+        s1, s2, so = (float(np.float32(v)) for v in (0.07, 0.11, 0.2))
+        z1, z2, zo = 3, -5, 1
+
+        # ADD oracle
+        twice_max = 2.0 * max(s1, s2)
+        v1 = (a.astype(np.int64) - z1) << 20
+        v2 = (b.astype(np.int64) - z2) << 20
+        sc1 = _mbqm64(v1.astype(np.int32), s1 / twice_max)
+        sc2 = _mbqm64(v2.astype(np.int32), s2 / twice_max)
+        want_add = np.clip(_mbqm64((sc1 + sc2).astype(np.int32),
+                                   twice_max / ((1 << 20) * so)) + zo,
+                           -128, 127).astype(np.int8)
+        model = mk(0, s1, z1, s2, z2, so, zo)          # ADD
+        model["tensors"][0]["shape"] = [256]
+        model["tensors"][1]["shape"] = [256]
+        model["tensors"][2]["shape"] = [256]
+        prog = TfliteProgram(model, quantized="exact")
+        got = np.asarray(prog.apply(prog.params, {"a": a, "b": b})["y"])
+        np.testing.assert_array_equal(got, want_add)
+
+        # MUL oracle
+        raw = (a.astype(np.int64) - z1) * (b.astype(np.int64) - z2)
+        want_mul = np.clip(_mbqm64(raw.astype(np.int32), s1 * s2 / so) + zo,
+                           -128, 127).astype(np.int8)
+        model = mk(18, s1, z1, s2, z2, so, zo)         # MUL
+        model["tensors"][0]["shape"] = [256]
+        model["tensors"][1]["shape"] = [256]
+        model["tensors"][2]["shape"] = [256]
+        prog = TfliteProgram(model, quantized="exact")
+        got = np.asarray(prog.apply(prog.params, {"a": a, "b": b})["y"])
+        np.testing.assert_array_equal(got, want_mul)
+        assert qmath is not None
+
+    def test_unsupported_quantized_op_typed_error(self):
+        """int8 SOFTMAX (fixed-point kernel out of scope) raises a typed
+        error pointing back at quantized='dequant'."""
+        tensors = [{"name": n, "shape": [1, 4], "dtype": 9, "data": None,
+                    "is_variable": False,
+                    "quant": {"scale": [0.1], "zero_point": [0], "dim": 0,
+                              "details_type": 0}} for n in ("x", "y")]
+        model = {"tensors": tensors,
+                 "operators": [{"opcode": 25, "inputs": [0], "outputs": [1],
+                                "options": None}],
+                 "inputs": [0], "outputs": [1]}
+        prog = TfliteProgram(model, quantized="exact")
+        with pytest.raises(NotImplementedError, match="dequant"):
+            prog.apply(prog.params, {"x": np.zeros((1, 4), np.int8)})
+
+    def test_dequant_mode_unchanged_default(self, qmodel):
+        """The default constructor still runs dequantized-float emulation
+        (params are float leaves, not int)."""
+        prog = TfliteProgram(qmodel)
+        assert all(np.issubdtype(np.asarray(v).dtype, np.floating)
+                   for v in prog.params.values())
+        proge = TfliteProgram(qmodel, quantized="exact")
+        assert any(np.issubdtype(np.asarray(v).dtype, np.integer)
+                   for v in proge.params.values())
+
+
+class TestExactInt8Serving:
+    """quantized_execution='exact' plumbs end-to-end: Model and
+    MultiStreamEngine serve int8 graphs with integer-kernel scores (every
+    emitted score sits exactly on the graph's output quantization grid)."""
+
+    @pytest.fixture(scope="class")
+    def qpath(self, tmp_path_factory):
+        from tests import fixture_builders
+        tmp = tmp_path_factory.mktemp("tflite_exact_serve")
+        rng = np.random.default_rng(21)
+        z = {"conv.weight": rng.normal(0, .5, (8, 1, 3, 3)).astype(np.float32),
+             "conv.bias": rng.normal(0, .1, 8).astype(np.float32),
+             "dw.weight": rng.normal(0, .5, (8, 1, 3, 3)).astype(np.float32),
+             "dw.bias": rng.normal(0, .1, 8).astype(np.float32),
+             "fc.weight": rng.normal(0, .5, (1, 8)).astype(np.float32),
+             "fc.bias": rng.normal(0, .1, 1).astype(np.float32)}
+        path = str(tmp / "cnn2d_int8.tflite")
+        fixture_builders.build_quantized_cnn2d_graph_head_tflite(path, z)
+        return path
+
+    def test_model_serves_exact(self, qpath, test_clips):
+        import openwakeword_tpu as oww
+        m = oww.Model(wakeword_models=[qpath],
+                      quantized_execution="exact")
+        preds = m.predict_clip(test_clips["alexa"])
+        assert len(preds) > 10
+        scores = np.asarray([float(v) for fr in preds for v in fr.values()])
+        # the int8 logistic output grid is 1/256 with zp -128; a score off
+        # the grid would mean float arithmetic leaked into the head
+        on_grid = np.abs(scores * 256 - np.round(scores * 256)) < 1e-4
+        assert on_grid.all(), scores[~on_grid][:5]
+
+    def test_engine_serves_exact(self, qpath):
+        from openwakeword_tpu.parallel.engine import MultiStreamEngine
+        eng = MultiStreamEngine(wakeword_models=[qpath], n_streams=3,
+                                quantized_execution="exact")
+        rng = np.random.default_rng(22)
+        frames = rng.integers(-3000, 3000, (4, 3, 1280)).astype(np.int16)
+        scores = np.asarray(eng.predict_frames(frames))
+        assert scores.shape == (4, 3, len(eng.labels))
+        on_grid = np.abs(scores * 256 - np.round(scores * 256)) < 1e-3
+        assert on_grid.all()
