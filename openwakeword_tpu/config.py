@@ -33,6 +33,12 @@ MEL_BUFFER_MAX_FRAMES = 970      # reference melspectrogram_max_len (10*97)
 FEATURE_BUFFER_MAX = 120         # reference feature_buffer_max_len (~10 s)
 FEATURE_SEED_SECONDS = 4         # feature buffer seeded with 4 s of noise
 PREDICTION_BUFFER_MAX = 30       # per-label score history (reference model.py:198)
+
+# Stream-block size for the engine's conv-cache prime branch: the full-window
+# CNN's stem activation is (S, 74, 32, 24) f32 — unchunked it needs ~10.6 GB
+# of HBM temps at 50k streams (cond branches are allocated up front). 4096
+# streams/block keeps the prime's temps under ~1 GB at any pool size.
+PRIME_BLOCK_STREAMS = 4096
 WARMUP_FRAMES = 5                # scores zeroed for first 5 predictions
 
 # VAD (reference vad.py)

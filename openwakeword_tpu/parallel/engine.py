@@ -128,7 +128,9 @@ class MultiStreamEngine:
                  use_pallas_melspec: Optional[bool] = None,
                  precision: str = "high",
                  scan_unroll: int = 2,
-                 quantized_execution: str = "dequant"):
+                 quantized_execution: str = "dequant",
+                 realtime_guard: Optional[str] = None,
+                 frame_budget_s: float = 0.08):
         gating.validate_gating_args(patience, threshold, debounce_time)
 
         self.n_streams = int(n_streams)
@@ -431,6 +433,40 @@ class MultiStreamEngine:
         if mesh is not None:
             self.shard(mesh)
 
+        # ---- serving-capacity guardrails ----
+        self._frame_budget_s = float(frame_budget_s)
+        pinned = [n for n, m, _ in self._head_metas
+                  if m.get("model_type") == "graph" and m.get("batch1_only")]
+        if pinned and self.n_streams > 1:
+            # the reference serves arbitrary user graphs at interpreter speed
+            # (reference model.py:112-141); here a batch-pinned graph runs
+            # per-sample under vmap inside the fused step — XLA batches it,
+            # but the imported graph's own cost is unknown a priori and can
+            # dominate the step (measured ladder: PERF_NOTES.md, graph-head
+            # serving)
+            logging.warning(
+                "Graph head(s) %s have pinned batch-1 shapes and serve "
+                "per-sample under vmap; their step cost is not covered by "
+                "the native-head capacity ladder. Verify the configured %d "
+                "streams are real-time on this device with "
+                "measure_realtime(), or construct with "
+                "realtime_guard='warn'|'error'.", pinned, self.n_streams)
+        if realtime_guard is not None:
+            if realtime_guard not in ("warn", "error"):
+                raise ValueError(
+                    "realtime_guard must be None, 'warn', or 'error'; got "
+                    f"{realtime_guard!r}")
+            m = self.measure_realtime()
+            if not m["realtime"]:
+                msg = (f"engine is NOT real-time at {self.n_streams} "
+                       f"streams: measured {m['per_frame_s'] * 1e3:.2f} ms "
+                       f"per {self._frame_budget_s * 1e3:.0f} ms frame "
+                       f"(capacity ~{m['rt_streams']:,.0f} streams on this "
+                       "device)")
+                if realtime_guard == "error":
+                    raise RuntimeError(msg)
+                logging.warning(msg)
+
     # ------------------------------------------------------------------
 
     def init_state(self, n_streams: int, rng_seed: Optional[int] = None):
@@ -666,8 +702,37 @@ class MultiStreamEngine:
                 any_first = jnp.any(is_first & valid) if masked else jnp.any(is_first)
 
                 def prime(_):
-                    return emb_init_caches(params["embedding"], mel_ring,
-                                           precision=mm_prec)
+                    # The full 76-row CNN over ALL S streams materializes an
+                    # (S, 74, 32, 24) stem activation — 10.6 GB at 50k
+                    # streams, blowing HBM even though the branch runs once
+                    # per stream lifetime (XLA allocates cond branches up
+                    # front). Chunk the prime over stream blocks with
+                    # lax.map so its temps stay bounded; the remainder runs
+                    # as one extra static call.
+                    S = mel_ring.shape[0]
+                    blk = int(config.PRIME_BLOCK_STREAMS)
+                    if S <= blk:
+                        return emb_init_caches(params["embedding"], mel_ring,
+                                               precision=mm_prec)
+                    n_full = (S // blk) * blk
+
+                    def one(block_ring):
+                        return emb_init_caches(params["embedding"], block_ring,
+                                               precision=mm_prec)
+
+                    caches_a, emb_a = jax.lax.map(
+                        one, mel_ring[:n_full].reshape(
+                            n_full // blk, blk, *mel_ring.shape[1:]))
+                    caches_a = jax.tree.map(
+                        lambda a: a.reshape(n_full, *a.shape[2:]), caches_a)
+                    emb_a = emb_a.reshape(n_full, *emb_a.shape[2:])
+                    if n_full == S:
+                        return caches_a, emb_a
+                    caches_b, emb_b = one(mel_ring[n_full:])
+                    caches = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b], axis=0),
+                        caches_a, caches_b)
+                    return caches, jnp.concatenate([emb_a, emb_b], axis=0)
 
                 def stream(_):
                     return emb_step(params["embedding"],
@@ -935,6 +1000,38 @@ class MultiStreamEngine:
             ids = jax.device_put(ids, sharding)
         self.state, scores = self._step_packets_fn(self.params, self.state, x, ids)
         return np.asarray(scores)
+
+    def measure_realtime(self, n_frames: int = 25, repeats: int = 3,
+                         frame_budget_s: Optional[float] = None) -> Dict:
+        """Measure the compiled steady-state step cost on the current device
+        against the real-time budget (one 80 ms frame per stream per 80 ms
+        wall — the reference's bar, reference model.py:237-241).
+
+        Runs the engine's own multi-frame scan program on zero PCM; serving
+        state is snapshotted and restored, so the measurement is
+        side-effect free. Returns ``{"wall_s", "per_frame_s", "rt_streams",
+        "realtime"}`` where ``rt_streams`` is the stream count this device
+        sustains in real time at the measured per-stream cost.
+        """
+        import time as _time
+        budget = self._frame_budget_s if frame_budget_s is None \
+            else float(frame_budget_s)
+        # the scan donates state buffers — keep a real copy, not a reference
+        saved = jax.tree.map(jnp.copy, self.state)
+        frames = np.zeros((n_frames, self.n_streams, 1280), np.int16)
+        try:
+            self.predict_frames(frames)               # compile + warm
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = _time.perf_counter()
+                self.predict_frames(frames)           # np.asarray = sync fetch
+                best = min(best, _time.perf_counter() - t0)
+        finally:
+            self.state = saved
+        per_frame = best / n_frames
+        return {"wall_s": best, "per_frame_s": per_frame,
+                "rt_streams": self.n_streams * budget / per_frame,
+                "realtime": per_frame <= budget}
 
     def predict_frames(self, frames: np.ndarray) -> np.ndarray:
         """Advance every stream by T frames in one device program.

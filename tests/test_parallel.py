@@ -443,3 +443,47 @@ class TestEngineNoiseSuppression:
         scores = engine.predict_clips(np.stack([data, data]))
         assert np.all((scores >= 0) & (scores <= 1))
         np.testing.assert_allclose(scores[:, 0, 0], scores[:, 1, 0], atol=1e-6)
+
+
+class TestChunkedPrime:
+    """The conv-cache prime branch chunks over stream blocks (the unchunked
+    full-window CNN materializes an (S, 74, 32, 24) temp — 10.6 GB at 50k
+    streams, OOMing the packet step; engine.py prime())."""
+
+    def test_chunked_prime_bit_identical(self, monkeypatch):
+        from openwakeword_tpu import config
+        from openwakeword_tpu.parallel.engine import MultiStreamEngine
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(-3000, 3000, (3, 8, 1280)).astype(np.int16)
+        eng_a = MultiStreamEngine(wakeword_models=["alexa"], n_streams=8,
+                                  rng_seed=0)
+        sa = np.asarray(eng_a.predict_frames(frames))
+        # 8 streams with block 3 -> lax.map over 2 blocks + remainder of 2
+        monkeypatch.setattr(config, "PRIME_BLOCK_STREAMS", 3)
+        eng_b = MultiStreamEngine(wakeword_models=["alexa"], n_streams=8,
+                                  rng_seed=0)
+        sb = np.asarray(eng_b.predict_frames(frames))
+        np.testing.assert_array_equal(sa, sb)
+
+    def test_measure_realtime_and_guard(self, monkeypatch, caplog):
+        from openwakeword_tpu.parallel.engine import MultiStreamEngine
+
+        eng = MultiStreamEngine(wakeword_models=["alexa"], n_streams=4)
+        m = eng.measure_realtime(n_frames=4, repeats=1)
+        assert set(m) == {"wall_s", "per_frame_s", "rt_streams", "realtime"}
+        assert m["per_frame_s"] > 0
+        # state untouched by the measurement (snapshot/restore; the original
+        # buffers are donated, so compare host copies)
+        before = np.asarray(jax.tree.leaves(eng.state)[0])
+        eng.measure_realtime(n_frames=2, repeats=1)
+        np.testing.assert_array_equal(before,
+                                      np.asarray(jax.tree.leaves(eng.state)[0]))
+
+        # guard trips on an impossible budget
+        with pytest.raises(RuntimeError, match="NOT real-time"):
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=4,
+                              realtime_guard="error", frame_budget_s=1e-12)
+        with pytest.raises(ValueError, match="realtime_guard"):
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=4,
+                              realtime_guard="maybe")
