@@ -179,17 +179,109 @@ def measure_drift(student_params: Dict, teacher_params: Dict,
     }
 
 
+def _as_int16_pcm(clip) -> np.ndarray:
+    """Accept int16 PCM, [-1, 1] float audio (data.read_audio's contract),
+    or a file path; return int16 PCM for Model.predict_clip."""
+    if isinstance(clip, str):
+        from openwakeword_tpu.data import read_audio
+        clip = read_audio(clip)
+    clip = np.asarray(clip)
+    if clip.dtype == np.int16:
+        return clip
+    peak = float(np.max(np.abs(clip))) if clip.size else 0.0
+    if peak <= 1.0 + 1e-6:   # normalized float audio
+        clip = clip * 32767.0
+    return np.clip(np.round(clip), -32768, 32767).astype(np.int16)
+
+
+def measure_served_score_drift(student_params: Dict,
+                               teacher_params: Optional[Dict] = None,
+                               wakeword_models: Optional[Sequence[str]] = None,
+                               wavs: Optional[Sequence] = None,
+                               noise_seconds: float = 20.0,
+                               seed: int = 0,
+                               threshold: float = 0.5) -> Dict:
+    """SCORE-level teacher-vs-student drift: the number a deployer of
+    teacher-trained heads needs before switching to ``embedding='student'``
+    (COMPATIBILITY.md #13 quantifies "approximate" with this).
+
+    Runs two full pipelines — one serving the teacher embedding, one the
+    student — over identical audio (caller-supplied WAVs/arrays plus
+    ``noise_seconds`` of random noise) and reports, per served label:
+    max/mean |Δscore| per frame and activation flips at ``threshold``.
+    Embedding-level drift (:func:`measure_drift`) bounds nothing a head
+    nonlinearity can amplify; this measures the served behavior itself.
+    """
+    from openwakeword_tpu import registry
+    from openwakeword_tpu.model import Model
+
+    if wakeword_models is None:
+        wakeword_models = list(registry.MODELS.keys())
+    rng = np.random.default_rng(seed)
+    clips = [_as_int16_pcm(c) for c in (wavs or [])]
+    if noise_seconds > 0:
+        clips.append(rng.integers(-12000, 12000,
+                                  int(noise_seconds * 16000)).astype(np.int16))
+
+    m_teacher = Model(wakeword_models=list(wakeword_models),
+                      embedding_params=teacher_params)
+    m_student = Model(wakeword_models=list(wakeword_models),
+                      embedding_params=student_params)
+    stats: Dict[str, Dict] = {}
+    for clip in clips:
+        m_teacher.reset()
+        m_student.reset()
+        preds_t = m_teacher.predict_clip(clip)
+        preds_s = m_student.predict_clip(clip)
+        for ft, fs in zip(preds_t, preds_s):
+            for label in ft:
+                d = abs(float(ft[label]) - float(fs[label]))
+                rec = stats.setdefault(label, {"max": 0.0, "sum": 0.0,
+                                               "n": 0, "flips": 0})
+                rec["max"] = max(rec["max"], d)
+                rec["sum"] += d
+                rec["n"] += 1
+                rec["flips"] += int((float(ft[label]) >= threshold)
+                                    != (float(fs[label]) >= threshold))
+    per_label = {
+        label: {"max_abs_dscore": round(r["max"], 5),
+                "mean_abs_dscore": round(r["sum"] / max(r["n"], 1), 5),
+                "activation_flips": r["flips"],
+                "frames": r["n"]}
+        for label, r in stats.items()}
+    return {
+        "per_label": per_label,
+        "max_abs_dscore": round(max((r["max"] for r in stats.values()),
+                                    default=0.0), 5),
+        "total_activation_flips": sum(r["flips"] for r in stats.values()),
+        "total_frames": sum(r["n"] for r in stats.values()),
+        "threshold": threshold,
+    }
+
+
 def distill_default_student(output_path: str,
                             speech_wavs: Optional[Sequence[str]] = None,
+                            score_drift_models: Optional[Sequence[str]] = None,
                             **kwargs) -> Tuple[Dict, Dict]:
     """Distill against the installed teacher and save a registry-compatible
-    student checkpoint (resources/models/embedding_student.npz by default)."""
+    student checkpoint (resources/models/embedding_student.npz by default).
+
+    The saved meta carries BOTH drift levels: embedding-space drift from the
+    distillation run and the per-head served-score drift
+    (:func:`measure_served_score_drift`) against the same teacher on the
+    installed pretrained heads — printed by ``train.py --distill_student``.
+    """
     from openwakeword_tpu.io.checkpoints import save_checkpoint
     clips = None
     if speech_wavs:
         from openwakeword_tpu.data import read_audio
         clips = [read_audio(p) for p in speech_wavs]
     params, report = distill(speech_clips=clips, **kwargs)
+    report["served_score_drift"] = measure_served_score_drift(
+        params, teacher_params=kwargs.get("teacher_params"),
+        wakeword_models=score_drift_models,
+        wavs=clips[:4] if clips else None,
+        seed=kwargs.get("seed", 0))
     save_checkpoint(output_path, "embedding_student", params,
                     {"distilled": True, "drift": report})
     logging.info("student checkpoint saved to %s (drift: %s)", output_path, report)

