@@ -73,6 +73,46 @@ def _as_device_pcm(chunks) -> jnp.ndarray:
         arr = arr.astype(np.float32, copy=False)
     return jnp.asarray(arr)
 
+
+def put_sharded(x: np.ndarray, mesh: Mesh, spec) -> jax.Array:
+    """Host array -> global sharded device array, assembled from PER-DEVICE
+    shards (the multi-host-ready feed path).
+
+    ``jax.device_put(x, NamedSharding(mesh, spec))`` is correct on one host
+    but impossible on a multi-host pod: it needs the full global array in
+    every process. This helper does what a multi-host feed must do instead:
+    each process slices out only the rows its ADDRESSABLE devices own, ships
+    those shards device-by-device, and declares the global array with
+    ``jax.make_array_from_single_device_arrays`` — a metadata-only assembly,
+    no cross-host traffic. On a single host it is numerically identical to
+    the device_put form and moves the same bytes.
+
+    ``x`` is indexed with GLOBAL indices: a multi-host caller keeps a
+    global-shape staging buffer per host but only has to populate the rows
+    its shard covers — rows owned by other hosts are never read (see
+    docs/serving.md, multi-host serving).
+    """
+    sharding = NamedSharding(mesh, spec)
+    x = np.asarray(x)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
+    shards = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, shards)
+
+
+def fetch_sharded(arr: jax.Array) -> np.ndarray:
+    """Device array -> host numpy without assuming full addressability.
+
+    Single-host arrays fetch whole. On a multi-host pod each process reads
+    back only its addressable shards into a global-shape buffer; rows owned
+    by other hosts stay zero (a serving host only polls activations for the
+    slots its shard serves)."""
+    if arr.is_fully_addressable:
+        return np.asarray(arr)
+    out = np.zeros(arr.shape, arr.dtype)
+    for sh in arr.addressable_shards:
+        out[sh.index] = np.asarray(sh.data)
+    return out
+
 def _resolve_heads(wakeword_models: Sequence[str],
                    quantized_execution: str = "dequant"
                    ) -> List[Tuple[str, Dict, Dict, Dict]]:
@@ -593,11 +633,17 @@ class MultiStreamEngine:
 
     def shard(self, mesh: Mesh):
         """Lay out state (and replicate params) over a 1-D stream mesh; the
-        jitted step then runs SPMD over ICI with no collectives."""
+        jitted step then runs SPMD over ICI with no collectives.
+
+        State shards assemble per-device (put_sharded), so sharding works in
+        a multi-host process too: each process ships only the slot rows its
+        devices own. Params are replicated with plain device_put — replication
+        means every device holds the full array, and every host loads the
+        same checkpoint, so there is nothing to split."""
         self.mesh = mesh
-        stream_sharding = NamedSharding(mesh, P("streams"))
         replicated = NamedSharding(mesh, P())
-        self.state = jax.tree.map(lambda x: jax.device_put(x, stream_sharding), self.state)
+        self.state = jax.tree.map(
+            lambda x: put_sharded(np.asarray(x), mesh, P("streams")), self.state)
         self.params = jax.tree.map(lambda x: jax.device_put(x, replicated), self.params)
 
     # ------------------------------------------------------------------
@@ -920,6 +966,19 @@ class MultiStreamEngine:
 
     # ------------------------------------------------------------------
 
+    def _feed(self, arr, spec) -> jax.Array:
+        """Host array -> device input for the jitted step. Unsharded engines
+        transfer whole; mesh engines assemble from per-device shards
+        (put_sharded), so the same feed path works on a multi-host pod where
+        no process holds remote devices."""
+        arr = np.asarray(arr)
+        if arr.dtype not in (np.dtype(np.int16), np.dtype(bool),
+                             np.dtype(np.int64)):
+            arr = arr.astype(np.float32, copy=False)
+        if self.mesh is not None:
+            return put_sharded(arr, self.mesh, spec)
+        return jnp.asarray(arr)
+
     def predict(self, chunks: np.ndarray) -> np.ndarray:
         """Advance every stream by one 80 ms frame.
 
@@ -928,11 +987,9 @@ class MultiStreamEngine:
         Returns:
             (n_streams, n_labels) float32 scores, ordered like ``self.labels``.
         """
-        x = _as_device_pcm(chunks)
-        if self.mesh is not None:
-            x = jax.device_put(x, NamedSharding(self.mesh, P("streams")))
+        x = self._feed(chunks, P("streams"))
         self.state, scores = self._step_fn(self.params, self.state, x)
-        return np.asarray(scores)
+        return fetch_sharded(scores)
 
     def predict_masked(self, chunks: np.ndarray, valid: np.ndarray) -> np.ndarray:
         """Advance only the streams with a complete frame (packetized
@@ -949,14 +1006,10 @@ class MultiStreamEngine:
         if not hasattr(self, "_step_masked_fn"):
             self._step_masked_fn = jax.jit(self._build_step(masked=True),
                                            donate_argnums=(1,))
-        x = _as_device_pcm(chunks)
-        v = jnp.asarray(np.asarray(valid, dtype=bool))
-        if self.mesh is not None:
-            sharding = NamedSharding(self.mesh, P("streams"))
-            x = jax.device_put(x, sharding)
-            v = jax.device_put(v, sharding)
+        x = self._feed(chunks, P("streams"))
+        v = self._feed(np.asarray(valid, dtype=bool), P("streams"))
         self.state, scores = self._step_masked_fn(self.params, self.state, x, v)
-        return np.asarray(scores)
+        return fetch_sharded(scores)
 
     def predict_packets(self, stage: np.ndarray, slot_ids: np.ndarray) -> np.ndarray:
         """Masked step fed by a *compact staging buffer* instead of a
@@ -992,14 +1045,10 @@ class MultiStreamEngine:
                 return masked_step(params, state, chunk, valid)
 
             self._step_packets_fn = jax.jit(packet_step, donate_argnums=(1,))
-        x = _as_device_pcm(stage)
-        ids = jnp.asarray(np.asarray(slot_ids, np.int64))
-        if self.mesh is not None:
-            sharding = NamedSharding(self.mesh, P("streams"))
-            x = jax.device_put(x, sharding)
-            ids = jax.device_put(ids, sharding)
+        x = self._feed(stage, P("streams"))
+        ids = self._feed(np.asarray(slot_ids, np.int64), P("streams"))
         self.state, scores = self._step_packets_fn(self.params, self.state, x, ids)
-        return np.asarray(scores)
+        return fetch_sharded(scores)
 
     def measure_realtime(self, n_frames: int = 25, repeats: int = 3,
                          frame_budget_s: Optional[float] = None) -> Dict:
@@ -1041,11 +1090,9 @@ class MultiStreamEngine:
         Returns:
             (T, n_streams, n_labels) scores.
         """
-        x = _as_device_pcm(frames)
-        if self.mesh is not None:
-            x = jax.device_put(x, NamedSharding(self.mesh, P(None, "streams")))
+        x = self._feed(frames, P(None, "streams"))
         self.state, scores = self._scan_fn(self.params, self.state, x)
-        return np.asarray(scores)
+        return fetch_sharded(scores)
 
     def predict_clips(self, clips: np.ndarray, padding: int = 1) -> np.ndarray:
         """Score a batch of equal-length clips (n_streams, samples), with the

@@ -154,6 +154,43 @@ class TestSharding:
         out = e.predict_frames(frames)
         assert out.shape == (6, 8, 1)
 
+    def test_per_shard_feed_assembly(self):
+        """The mesh feed path assembles inputs from PER-DEVICE shards
+        (multi-host contract: a process ships only rows its devices own) and
+        is bit-identical to a whole-array device_put."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from openwakeword_tpu.parallel.engine import put_sharded, fetch_sharded
+
+        mesh = Mesh(np.array(jax.devices()), ("streams",))
+        x = np.arange(16 * 5, dtype=np.int16).reshape(16, 5)
+        a = put_sharded(x, mesh, P("streams"))
+        b = jax.device_put(x, NamedSharding(mesh, P("streams")))
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # each addressable device received exactly its own slice
+        for sh in a.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(sh.data), x[sh.index])
+        np.testing.assert_array_equal(fetch_sharded(a), x)
+
+    def test_masked_and_packet_steps_sharded(self, audio):
+        """predict_masked / predict_packets run on the mesh through the
+        per-shard feed with scores identical to the unsharded engine."""
+        mesh = Mesh(np.array(jax.devices()), ("streams",))
+        e1 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=8,
+                               rng_seed=0, mesh=mesh)
+        e2 = MultiStreamEngine(wakeword_models=["alexa"], n_streams=8,
+                               rng_seed=0)
+        valid = np.array([True, False] * 4)
+        ids = np.array([3, 1, 6, 0, -1, -1, -1, -1], np.int64)
+        for t in range(3):
+            c = np.tile(audio[0, t * 1280:(t + 1) * 1280], (8, 1))
+            s1 = e1.predict_masked(c, valid)
+            s2 = e2.predict_masked(c, valid)
+            np.testing.assert_allclose(s1, s2, atol=1e-5)
+            p1 = e1.predict_packets(c, ids)
+            p2 = e2.predict_packets(c, ids)
+            np.testing.assert_allclose(p1, p2, atol=1e-5)
+
 
 class TestBulkPredict:
     def test_bulk_matches_predict_clip(self, test_clips):
