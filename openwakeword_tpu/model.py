@@ -54,6 +54,7 @@ class Model():
             wakeword_models: List[str] = [],
             class_mapping_dicts: List[dict] = [],
             enable_speex_noise_suppression: bool = False,
+            noise_suppression_algorithm: str = "spectral",
             vad_threshold: float = 0,
             custom_verifier_models: dict = {},
             custom_verifier_threshold: float = 0.1,
@@ -155,17 +156,27 @@ class Model():
 
         # Noise suppression (native C++ spectral-subtraction module; the
         # reference binds SpeexDSP here, model.py:200-205)
+        if noise_suppression_algorithm not in ("spectral", "mmse"):
+            raise ValueError(
+                "noise_suppression_algorithm must be 'spectral' or 'mmse'; "
+                f"got {noise_suppression_algorithm!r}")
         if enable_speex_noise_suppression:
             from openwakeword_tpu.ns import JaxNoiseSuppression, NoiseSuppression
-            try:
-                self.speex_ns = NoiseSuppression(frame_size=160, sample_rate=16000)
-            except (ImportError, OSError, RuntimeError) as e:
-                # hosts without a C++ toolchain fall back to the XLA
-                # implementation of the same suppressor (<=1 LSB difference)
-                logging.warning(
-                    "native noise-suppression library unavailable (%s); "
-                    "falling back to the XLA suppressor (ops.ns_jax)", e)
-                self.speex_ns = JaxNoiseSuppression()
+            if noise_suppression_algorithm == "mmse":
+                # the MMSE profile (the SpeexDSP preprocessor's update rules)
+                # exists as XLA ops only; the native library is spectral-only
+                self.speex_ns = JaxNoiseSuppression(algorithm="mmse")
+            else:
+                try:
+                    self.speex_ns = NoiseSuppression(frame_size=160,
+                                                     sample_rate=16000)
+                except (ImportError, OSError, RuntimeError) as e:
+                    # hosts without a C++ toolchain fall back to the XLA
+                    # implementation of the same suppressor (<=1 LSB apart)
+                    logging.warning(
+                        "native noise-suppression library unavailable (%s); "
+                        "falling back to the XLA suppressor (ops.ns_jax)", e)
+                    self.speex_ns = JaxNoiseSuppression()
         else:
             self.speex_ns = None
 

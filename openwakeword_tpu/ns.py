@@ -80,16 +80,21 @@ class JaxNoiseSuppression:
     interface the Model consumes. The multi-stream engine uses ops.ns_jax
     directly inside its fused step."""
 
-    def __init__(self, frame_size: int = 160, sample_rate: int = 16000):
+    def __init__(self, frame_size: int = 160, sample_rate: int = 16000,
+                 algorithm: str = "spectral"):
         from openwakeword_tpu.ops import ns_jax
         if frame_size != ns_jax.FRAME or sample_rate != 16000:
             raise ValueError("JaxNoiseSuppression supports the 160-sample "
                              "16 kHz frame contract only")
+        import functools
+
         import jax
         self.frame_size = frame_size
+        self.algorithm = algorithm
         self._ns_jax = ns_jax
-        self._state = ns_jax.init_state(1)
-        self._step = jax.jit(ns_jax.step)   # fixed (1, 160) shape: no retraces
+        self._state = ns_jax.init_state(1, profile=algorithm)
+        self._step = jax.jit(functools.partial(
+            ns_jax.step, profile=algorithm))   # fixed (1, 160): no retraces
 
     def process(self, frame: np.ndarray) -> np.ndarray:
         frame = np.ascontiguousarray(frame, dtype=np.int16)

@@ -30,6 +30,17 @@ OVER_SUB = 1.4       # over-subtraction factor
 PSD_ALPHA = 0.82     # power smoothing
 WARMUP_FRAMES = 20   # fast initial noise adaptation window
 
+# ---- 'mmse' profile constants (the SpeexDSP preprocessor's algorithm
+# family: Ephraim-Malah MMSE-STSA gain under a decision-directed prior SNR,
+# soft-weighted by a per-bin speech-presence probability — the update rules
+# libspeexdsp's preprocess.c implements with fixed-point gain tables; here
+# they are evaluated exactly in float via scaled Bessel functions).
+# Divergence from libspeexdsp is therefore its fixed-point tables and its
+# frequency-dependent speech-absence prior (qcurve), not the update rules.
+DD_ALPHA = 0.98      # decision-directed prior-SNR smoothing (E&M 1984)
+SNR_CEIL = 100.0     # prior/post SNR clamp (Speex clamps to ~100 = 20 dB)
+Q_ABSENCE = 0.3      # prior probability of speech absence (Speex qcurve mid)
+
 
 def _tables():
     """sqrt-Hann window and DFT cos/sin tables, identical to the native
@@ -48,20 +59,77 @@ def _tables():
 _WINDOW, _COS_TAB, _SIN_TAB = _tables()
 
 
-def init_state(n_streams: int):
-    """Fresh per-stream suppressor state (ns.cpp owwns_create init values)."""
+def init_state(n_streams: int, profile: str = "spectral"):
+    """Fresh per-stream suppressor state (ns.cpp owwns_create init values).
+    The 'mmse' profile carries one extra leaf: the previous frame's clean-
+    speech power estimate (decision-directed prior SNR numerator)."""
+    if profile not in ("spectral", "mmse"):
+        raise ValueError(f"unknown NS profile {profile!r}; "
+                         "expected 'spectral' or 'mmse'")
     S = n_streams
-    return {
+    state = {
         "prev_in": jnp.zeros((S, FRAME), jnp.float32),
         "overlap": jnp.zeros((S, FRAME), jnp.float32),
         "psd": jnp.zeros((S, BINS), jnp.float32),
         "noise": jnp.full((S, BINS), 1e6, jnp.float32),   # start high, adapt down
         "frames_seen": jnp.zeros((S,), jnp.int32),
     }
+    if profile == "mmse":
+        state["prev_amp2"] = jnp.zeros((S, BINS), jnp.float32)
+    return state
 
 
-def step(state, frame, precision=jax.lax.Precision.HIGHEST):
+def _mmse_gain(p, psd, noise, prev_amp2):
+    """Speex-family MMSE gain for one frame.
+
+    Args:
+        p: (S, BINS) instantaneous power |X|^2.
+        psd: smoothed power (drives the speech-presence prior like Speex's
+            smoothed post SNR).
+        noise: tracked noise floor.
+        prev_amp2: previous clean-speech power estimate (A_{t-1}^2).
+    Returns:
+        (gain, amp2'): amplitude-domain gain in [GAIN_FLOOR, 1] and the
+        updated clean-speech power estimate.
+    """
+    from jax.scipy.special import i0e, i1e
+
+    nz = jnp.maximum(noise, 1e-10)
+    gamma = jnp.clip(p / nz, 1e-6, SNR_CEIL)                 # post SNR
+    # decision-directed prior SNR (Ephraim & Malah 1984, eq. 51)
+    xi = jnp.clip(DD_ALPHA * prev_amp2 / nz
+                  + (1.0 - DD_ALPHA) * jnp.maximum(gamma - 1.0, 0.0),
+                  1e-6, SNR_CEIL)
+    v = xi / (1.0 + xi) * gamma
+    # MMSE-STSA amplitude gain (E&M 1984, eq. 7), evaluated with
+    # exponentially-scaled Bessels: exp(-v/2)*I_n(v/2) = i_ne(v/2), so the
+    # exp(-v/2) factor cancels exactly and nothing overflows at large v
+    g = (jnp.sqrt(jnp.pi * v) / (2.0 * gamma)) * (
+        (1.0 + v) * i0e(v / 2.0) + v * i1e(v / 2.0))
+    g = jnp.clip(g, 1e-6, 1.0)
+    # speech-presence probability under the smoothed-SNR prior; soft-weight
+    # the gain OM-LSA style (Speex applies its probability the same way,
+    # blending toward the floor where speech is unlikely)
+    gamma_s = jnp.clip(psd / nz, 1e-6, SNR_CEIL)
+    v_s = xi / (1.0 + xi) * gamma_s
+    odds = (Q_ABSENCE / (1.0 - Q_ABSENCE)) * (1.0 + xi) \
+        * jnp.exp(-jnp.minimum(v_s, 50.0))
+    p_speech = 1.0 / (1.0 + odds)
+    g = jnp.exp(p_speech * jnp.log(g)
+                + (1.0 - p_speech) * jnp.log(jnp.float32(GAIN_FLOOR)))
+    g = jnp.clip(g, GAIN_FLOOR, 1.0)
+    return g, (g * g) * p
+
+
+def step(state, frame, precision=jax.lax.Precision.HIGHEST,
+         profile: str = "spectral"):
     """Suppress one (S, 160) float32 frame of int16-range PCM.
+
+    ``profile='spectral'`` (default) is the native library's Wiener-style
+    spectral subtraction (ns.cpp twin, <=1 LSB apart). ``profile='mmse'``
+    swaps only the gain rule for the SpeexDSP preprocessor's MMSE-STSA /
+    decision-directed / speech-probability update rules (_mmse_gain);
+    analysis, noise tracking, and synthesis are shared.
 
     Returns (state', (S, 160) suppressed samples, rounded and clipped to the
     int16 grid like the native path's output short cast).
@@ -85,8 +153,11 @@ def step(state, frame, precision=jax.lax.Precision.HIGHEST):
     noise_run = jnp.where(psd < state["noise"], psd, state["noise"] * NOISE_RISE)
     noise = jnp.where(warmup, noise_warm, noise_run)
 
-    g = jnp.where(psd > 1e-12, (psd - OVER_SUB * noise) / psd, 0.0)
-    g = jnp.clip(g, GAIN_FLOOR, 1.0)
+    if profile == "mmse":
+        g, amp2 = _mmse_gain(p, psd, noise, state["prev_amp2"])
+    else:
+        g = jnp.where(psd > 1e-12, (psd - OVER_SUB * noise) / psd, 0.0)
+        g = jnp.clip(g, GAIN_FLOOR, 1.0)
     re = re * g
     im = im * g
 
@@ -106,10 +177,13 @@ def step(state, frame, precision=jax.lax.Precision.HIGHEST):
         "noise": noise,
         "frames_seen": frames_seen,
     }
+    if profile == "mmse":
+        new_state["prev_amp2"] = amp2
     return new_state, out
 
 
-def process_chunk(state, chunk, precision=jax.lax.Precision.HIGHEST):
+def process_chunk(state, chunk, precision=jax.lax.Precision.HIGHEST,
+                  profile: str = "spectral"):
     """Suppress a (S, k*160) chunk frame by frame (the engine's 1280-sample
     step = 8 suppressor frames). Returns (state', suppressed chunk)."""
     S, n = chunk.shape
@@ -118,7 +192,7 @@ def process_chunk(state, chunk, precision=jax.lax.Precision.HIGHEST):
     frames = chunk.reshape(S, n // FRAME, FRAME)
 
     def body(st, fr):
-        st, out = step(st, fr, precision=precision)
+        st, out = step(st, fr, precision=precision, profile=profile)
         return st, out
 
     state, outs = jax.lax.scan(body, state, jnp.swapaxes(frames, 0, 1))

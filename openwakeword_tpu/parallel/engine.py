@@ -159,6 +159,7 @@ class MultiStreamEngine:
                  custom_verifier_models: Optional[Dict[str, object]] = None,
                  custom_verifier_threshold: float = 0.1,
                  enable_noise_suppression: bool = False,
+                 noise_suppression_algorithm: str = "spectral",
                  embedding_params=None,
                  embedding: str = "default",
                  vad_params=None,
@@ -182,7 +183,14 @@ class MultiStreamEngine:
         # scales with the stream axis instead of running 10 ms frames one at
         # a time on the host. The VAD still hears the RAW audio (host
         # contract: Model.predict suppresses the preprocessor input only).
+        # Algorithm: 'spectral' (native ns.cpp twin) or 'mmse' (the SpeexDSP
+        # preprocessor's MMSE-STSA update rules — ops/ns_jax._mmse_gain).
         self.enable_noise_suppression = bool(enable_noise_suppression)
+        if noise_suppression_algorithm not in ("spectral", "mmse"):
+            raise ValueError(
+                "noise_suppression_algorithm must be 'spectral' or 'mmse'; "
+                f"got {noise_suppression_algorithm!r}")
+        self.noise_suppression_algorithm = noise_suppression_algorithm
         self.mesh = mesh
         # incremental: stream the embedding CNN with per-layer activation
         # caches (~8x fewer FLOPs, bit-identical scores -- embedding_stream);
@@ -583,7 +591,8 @@ class MultiStreamEngine:
         if self.enable_noise_suppression:
             # suppressor state stays f32 even in bf16 mode: the PSD / noise
             # floor span ~12 orders of magnitude and feed a ratio
-            state["ns"] = ns_jax.init_state(S)
+            state["ns"] = ns_jax.init_state(
+                S, profile=self.noise_suppression_algorithm)
         return state
 
     def reset(self):
@@ -689,6 +698,7 @@ class MultiStreamEngine:
         emb_apply, emb_init_caches, emb_step = (
             self._emb_apply, self._emb_init_caches, self._emb_step)
         ns_on = self.enable_noise_suppression
+        ns_profile = self.noise_suppression_algorithm
         use_verifiers = self._use_verifiers
         if use_verifiers:
             verifier_mask = jnp.asarray(self._verifier_mask)
@@ -704,7 +714,8 @@ class MultiStreamEngine:
             chunk = chunk.astype(jnp.float32)
             raw_chunk = chunk   # the VAD hears unsuppressed audio (host contract)
             if ns_on:
-                ns_state, chunk = ns_jax.process_chunk(state["ns"], chunk)
+                ns_state, chunk = ns_jax.process_chunk(state["ns"], chunk,
+                                                       profile=ns_profile)
             window = jnp.concatenate([state["pcm_tail"], chunk], axis=-1)     # (S, 1760)
             if use_pallas:
                 from openwakeword_tpu.ops.melspec_pallas import melspectrogram_pallas
