@@ -32,23 +32,25 @@ import numpy as np
 from openwakeword_tpu.metrics import get_false_positives
 
 
-def score_files(file_paths: Sequence[str], wakeword_models: Sequence[str],
-                label: Optional[str] = None, padding: int = 1,
-                batch_size: int = 1024,
-                segment_seconds: Optional[float] = None,
-                **kwargs) -> Dict[str, np.ndarray]:
-    """Score WAV files through the batched engine.
+def score_files_multi(file_paths: Sequence[str],
+                      wakeword_models: Sequence[str],
+                      padding: int = 1,
+                      batch_size: int = 1024,
+                      segment_seconds: Optional[float] = None,
+                      **kwargs):
+    """Score WAV files through the batched engine, keeping EVERY label.
+
+    The multiclass primitive (a timer-style model serves many labels from
+    one forward pass — scoring the corpus once per label would multiply
+    engine work by the label count). Returns
+    ``({path: (n_frames, n_labels) float array}, labels)``.
 
     With ``segment_seconds`` set, files stream through the engine in
     bounded windows with carried state (fixed memory regardless of file
     length — required for multi-hour negative corpora like the reference's
     ~5.5 h DipCo set); scores match the one-shot path to < 1e-6 (same
     frames and carried state; only XLA fusion-order rounding differs).
-
-    Returns {path: (n_frames,) float array} of per-frame scores for
-    ``label`` (default: the first label of the first model).
     """
-    out: Dict[str, np.ndarray] = {}
     if segment_seconds is not None:
         from openwakeword_tpu.parallel.bulk import bulk_predict_streaming
         # the streaming path holds (streams x segment) decoded PCM int16 on
@@ -66,27 +68,43 @@ def score_files(file_paths: Sequence[str], wakeword_models: Sequence[str],
                 "lower segment_seconds to raise the cap, or pass "
                 "segment_seconds=None for the one-shot batch path",
                 seg_streams, batch_size)
-        mats, labels = bulk_predict_streaming(
+        return bulk_predict_streaming(
             list(file_paths), wakeword_models=list(wakeword_models),
             padding=padding, batch_size=seg_streams,
             segment_seconds=segment_seconds, **kwargs)
-        if label is not None and label not in labels:
-            raise KeyError(label)
-        col = labels.index(label) if label is not None else 0
-        for path, mat in mats.items():
-            out[path] = np.ascontiguousarray(mat[:, col])
-        return out
     from openwakeword_tpu.parallel.bulk import bulk_predict
     preds = bulk_predict(list(file_paths), wakeword_models=list(wakeword_models),
                          padding=padding, batch_size=batch_size, **kwargs)
+    mats: Dict[str, np.ndarray] = {}
+    labels: Optional[list] = None
     for path, frames in preds.items():
-        if not frames:
-            out[path] = np.zeros(0, np.float32)
-            continue
-        if label is None:
-            label = next(iter(frames[0]))
-        out[path] = np.array([f[label] for f in frames], dtype=np.float32)
-    return out
+        if labels is None and frames:
+            labels = list(frames[0])
+        cols = labels or []
+        mats[path] = np.array([[f[c] for c in cols] for f in frames],
+                              dtype=np.float32).reshape(len(frames), len(cols))
+    return mats, (labels or [])
+
+
+def score_files(file_paths: Sequence[str], wakeword_models: Sequence[str],
+                label: Optional[str] = None, padding: int = 1,
+                batch_size: int = 1024,
+                segment_seconds: Optional[float] = None,
+                **kwargs) -> Dict[str, np.ndarray]:
+    """Single-label convenience over :func:`score_files_multi`.
+
+    Returns {path: (n_frames,) float array} of per-frame scores for
+    ``label`` (default: the first label of the first model).
+    """
+    mats, labels = score_files_multi(
+        file_paths, wakeword_models, padding=padding, batch_size=batch_size,
+        segment_seconds=segment_seconds, **kwargs)
+    if label is not None and labels and label not in labels:
+        raise KeyError(label)
+    col = labels.index(label) if (label is not None and labels) else 0
+    return {path: (np.ascontiguousarray(mat[:, col]) if mat.size
+                   else np.zeros(0, np.float32))
+            for path, mat in mats.items()}
 
 
 def _as_streams(negative_scores) -> list:
@@ -162,51 +180,128 @@ def far_tar_curve(negative_scores,
 
 def evaluate_model(wakeword_model: str,
                    negative_files: Sequence[str],
-                   positive_files: Sequence[str],
+                   positive_files,
                    label: Optional[str] = None,
+                   labels: Optional[Sequence[str]] = None,
                    threshold: float = 0.5,
                    padding: int = 2,
                    thresholds: Optional[Sequence[float]] = None,
                    segment_seconds: Optional[float] = 60.0,
                    **kwargs) -> Dict:
-    """End-to-end evaluation: scores both corpora through the engine and
-    reports the headline numbers plus the full curve.
+    """End-to-end evaluation: scores both corpora through the engine ONCE
+    and reports headline numbers plus the full curve — per label.
 
-    Returns a dict with ``far_per_hour`` / ``frr`` at ``threshold``, the
-    swept ``curve``, the corpus ``negative_hours``, and ``rejected_clips``
-    (the positive files the model missed at ``threshold`` — the notebook's
-    listen-to-the-failures list). ``padding`` applies to positive clips
-    only (it exists so short utterances fill the scoring windows);
-    negatives are always scored unpadded so the FAR/hr denominator equals
-    the real corpus duration. With no positive files, ``frr`` is NaN.
+    Single-label models return the flat dict of prior rounds
+    (``far_per_hour`` / ``frr`` at ``threshold``, the swept ``curve``,
+    ``negative_hours``, ``rejected_clips`` — the notebook's
+    listen-to-the-failures list). Multiclass heads (the timer model serves
+    many labels from one forward pass) evaluate every label from the same
+    two engine passes: pass ``labels`` (or leave None for all served
+    labels) and, when positives differ per class, make ``positive_files``
+    a ``{label: [files]}`` dict; the result then carries ``per_label``
+    with one flat result per label plus the single-label fields for the
+    first requested label (so existing callers keep working).
+
+    ``padding`` applies to positive clips only (it exists so short
+    utterances fill the scoring windows); negatives are always scored
+    unpadded so the FAR/hr denominator equals the real corpus duration.
+    With no positive files for a label, its ``frr`` is NaN.
 
     ``segment_seconds`` (default 60) streams the negative corpus through
     the engine in bounded windows, so multi-hour recordings evaluate under
     a fixed memory budget; pass None to force the one-shot batch path.
     """
+    pos_by_label = dict(positive_files) if isinstance(positive_files, dict) \
+        else None
+    all_pos_files = sorted({f for fs in pos_by_label.values() for f in fs}) \
+        if pos_by_label is not None else list(positive_files)
+
     # negatives are scored UNPADDED: padding silence would count toward the
     # FAR denominator (negative_hours) without being part of the corpus,
     # systematically under-reporting false accepts per hour
-    neg = score_files(negative_files, [wakeword_model], label=label,
-                      padding=0, segment_seconds=segment_seconds, **kwargs)
-    pos = score_files(positive_files, [wakeword_model], label=label,
-                      padding=padding, **kwargs)
-    # per-file streams: the 4 s activation-grouping window must not
-    # suppress an event at the start of one file because another file
-    # ended with an activation
-    neg_streams = [neg[p] for p in negative_files]
-    pos_clips = [pos[p] for p in positive_files]
+    neg_mats, served = score_files_multi(
+        negative_files, [wakeword_model], padding=0,
+        segment_seconds=segment_seconds, **kwargs)
+    pos_mats, served_p = score_files_multi(
+        all_pos_files, [wakeword_model], padding=padding, **kwargs)
+    served = served or served_p
 
-    curve = far_tar_curve(neg_streams, pos_clips, thresholds=thresholds)
-    maxima = np.array([np.max(c) if c.size else 0.0 for c in pos_clips]) \
-        if pos_clips else np.zeros(0)
-    rejected = [p for p, mx in zip(positive_files, maxima) if mx < threshold]
-    return {
-        "threshold": threshold,
-        "far_per_hour": false_accepts_per_hour(neg_streams, threshold),
-        "frr": false_reject_rate(pos_clips, threshold),
-        "negative_hours": sum(s.size for s in neg_streams) * 0.08 / 3600.0,
-        "n_positive_clips": len(pos_clips),
-        "rejected_clips": rejected,
-        "curve": curve,
-    }
+    if labels is None:
+        labels = [label] if label is not None else \
+            (list(pos_by_label) if pos_by_label is not None else list(served))
+    unknown = [lb for lb in labels if lb not in served]
+    if unknown:
+        raise KeyError(f"label(s) {unknown} not served by "
+                       f"{wakeword_model!r} (labels: {served})")
+
+    per_label: Dict[str, Dict] = {}
+    for lbl in labels:
+        col = served.index(lbl)
+        # per-file streams: the 4 s activation-grouping window must not
+        # suppress an event at the start of one file because another file
+        # ended with an activation
+        neg_streams = [np.ascontiguousarray(neg_mats[p][:, col])
+                       if neg_mats[p].size else np.zeros(0, np.float32)
+                       for p in negative_files]
+        lbl_pos = pos_by_label.get(lbl, []) if pos_by_label is not None \
+            else all_pos_files
+        pos_clips = [np.ascontiguousarray(pos_mats[p][:, col])
+                     if pos_mats[p].size else np.zeros(0, np.float32)
+                     for p in lbl_pos]
+        curve = far_tar_curve(neg_streams, pos_clips, thresholds=thresholds)
+        maxima = np.array([np.max(c) if c.size else 0.0 for c in pos_clips]) \
+            if pos_clips else np.zeros(0)
+        rejected = [p for p, mx in zip(lbl_pos, maxima) if mx < threshold]
+        per_label[lbl] = {
+            "threshold": threshold,
+            "far_per_hour": false_accepts_per_hour(neg_streams, threshold),
+            "frr": false_reject_rate(pos_clips, threshold),
+            "negative_hours": sum(s.size for s in neg_streams) * 0.08 / 3600.0,
+            "n_positive_clips": len(pos_clips),
+            "rejected_clips": rejected,
+            "curve": curve,
+        }
+
+    out = dict(per_label[labels[0]])
+    if len(per_label) > 1 or pos_by_label is not None:
+        out["per_label"] = per_label
+    return out
+
+
+def render_model_page(model_name: str, results: Dict,
+                      path: Optional[str] = None,
+                      curve_points: int = 8) -> str:
+    """Render an evaluation result into the markdown performance section
+    the reference publishes for every pretrained model (reference
+    docs/models/*.md, e.g. alexa.md's FAR/hr-vs-recall table) — so a
+    multiclass evaluation assembles its per-model curve page with one
+    call instead of by hand.
+
+    ``results`` is an :func:`evaluate_model` return value (per-label pages
+    are emitted when it carries ``per_label``). Writes to ``path`` when
+    given; returns the markdown either way.
+    """
+    blocks = []
+    per_label = results.get("per_label") or {"": results}
+    for lbl, r in per_label.items():
+        title = f"## Performance — {lbl}" if lbl else "## Performance"
+        c = r["curve"]
+        idx = np.linspace(0, len(c["thresholds"]) - 1,
+                          min(curve_points, len(c["thresholds"]))).astype(int)
+        rows = "\n".join(
+            f"| {c['thresholds'][i]:.2f} | {c['far_per_hour'][i]:.2f} "
+            f"| {100 * c['tar'][i]:.1f}% |" for i in idx)
+        blocks.append(
+            f"{title}\n\n"
+            f"Measured on {r['negative_hours']:.2f} h of negative audio and "
+            f"{r['n_positive_clips']} positive clips "
+            f"(threshold {r['threshold']}): "
+            f"**{r['far_per_hour']:.2f} false accepts/hr**, "
+            f"**{100 * r['frr']:.1f}% false-reject rate**.\n\n"
+            f"| threshold | false accepts / hour | recall |\n"
+            f"|---|---|---|\n{rows}\n")
+    md = f"# {model_name}\n\n" + "\n".join(blocks)
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(md)
+    return md

