@@ -54,6 +54,7 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
         enable_noise_suppression=os.environ.get("BENCH_NS", "0") == "1",
         vad_threshold=float(os.environ.get("BENCH_VAD", "0")),
         embedding=os.environ.get("BENCH_EMBEDDING", "default"),
+        mel_dft=os.environ.get("BENCH_MEL_DFT", "direct"),
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "2")))
     if os.environ.get("BENCH_VERIFIER", "0") == "1":
         # fully-loaded config: a folded verifier on every model (same

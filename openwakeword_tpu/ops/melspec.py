@@ -126,6 +126,79 @@ def stft_power_basis(n_fft: int = config.N_FFT,
     return basis
 
 
+RADIX = 4  # factored-DFT branch count (512 = 4 * 128: K=128 is MXU-exact)
+
+
+@functools.lru_cache(maxsize=None)
+def factored_dft_bases(n_fft: int = config.N_FFT,
+                       win_length: int = config.WIN_LENGTH):
+    """Stage-1 bases of the radix-4 factored DFT, shape (4, n_fft//4, 2*(n_fft//4)).
+
+    Decimation n = 4a + b splits the length-512 windowed DFT into four
+    length-128 sub-DFTs plus a constant radix-4 butterfly:
+
+        X[128c + d] = sum_b e^{-2pi i bc/4} * Z[b, d]
+        Z[b, d]     = sum_a x[4a + b] * w[4a + b] * e^{-2pi i ad/128}
+                                                  * e^{-2pi i bd/512}
+
+    Both the Hann window and the (b, d) twiddle fold into the per-branch
+    basis ``B_b[a, d]``, so stage 1 is four (T, 128) x (128, 256) matmuls —
+    K = 128 contractions that map exactly onto the MXU (the direct
+    (512, 514) basis pads its 514 output columns to 640 lanes; this form
+    does ~2.5x fewer padded MACs). Column 2d holds Re, 2d+1 holds -Im
+    (matching stft_power_basis' interleave convention). The butterfly that
+    completes X from Z is pure adds/subs (see _factored_power).
+    """
+    assert n_fft % RADIX == 0
+    m = n_fft // RADIX                      # 128 sub-DFT length / output bins
+    w = hann_window(win_length, n_fft)      # (512,) float64
+    a = np.arange(m, dtype=np.float64)
+    d = np.arange(m, dtype=np.float64)
+    bases = np.empty((RADIX, m, 2 * m), dtype=np.float64)
+    for b in range(RADIX):
+        ang = 2.0 * np.pi * (np.outer(a, d) / m + b * d[None, :] / n_fft)
+        wb = w[b::RADIX][:, None]           # window samples of branch b
+        bases[b, :, 0::2] = wb * np.cos(ang)
+        bases[b, :, 1::2] = wb * -np.sin(ang)
+    return bases
+
+
+def deinterleave_branches(frames: jnp.ndarray) -> jnp.ndarray:
+    """(..., n_fft) frames -> (..., RADIX, n_fft//RADIX) branch slices
+    (branch b = samples b::RADIX), the stage-1 operand layout."""
+    n = frames.shape[-1]
+    return jnp.swapaxes(frames.reshape(frames.shape[:-1] + (n // RADIX, RADIX)),
+                        -1, -2)
+
+
+def _factored_power(z: jnp.ndarray) -> jnp.ndarray:
+    """Radix-4 butterfly + |X|^2 for the one-sided spectrum.
+
+    ``z``: (..., 4, 2*m) interleaved per-branch sub-spectra — column 2d is
+    Re(Z_b[d]), column 2d+1 is Im(Z_b[d]) (the -sin basis column of a
+    e^{-i ang} kernel IS the imaginary part, same convention as
+    stft_power_basis). Returns (..., n_fft//2 + 1) power. Only c = 0, 1 and
+    the single c = 2, d = 0 bin (k = 256) are needed for k in [0, 256]:
+
+        c=0: X[d]     = Z0 + Z1 + Z2 + Z3
+        c=1: X[128+d] = (Z0 - Z2) - i(Z1 - Z3)
+        k=256:        = (Z0 + Z2) - (Z1 + Z3) at d = 0
+    """
+    re, im = z[..., 0::2], z[..., 1::2]
+    e_re, e_im = re[..., 0, :] + re[..., 2, :], im[..., 0, :] + im[..., 2, :]
+    o_re, o_im = re[..., 1, :] + re[..., 3, :], im[..., 1, :] + im[..., 3, :]
+    # c = 0: straight sum
+    p0 = (e_re + o_re) ** 2 + (e_im + o_im) ** 2
+    # c = 1: D - iF with D = Z0 - Z2, F = Z1 - Z3:
+    #   Re = D_re + F_im,  Im = D_im - F_re
+    d_re, d_im = re[..., 0, :] - re[..., 2, :], im[..., 0, :] - im[..., 2, :]
+    f_re, f_im = re[..., 1, :] - re[..., 3, :], im[..., 1, :] - im[..., 3, :]
+    p1 = (d_re + f_im) ** 2 + (d_im - f_re) ** 2
+    # k = 256: even - odd at d = 0
+    p2 = ((e_re - o_re) ** 2 + (e_im - o_im) ** 2)[..., :1]
+    return jnp.concatenate([p0, p1, p2], axis=-1)
+
+
 def _f32(x):
     return jnp.asarray(np.asarray(x, dtype=np.float32))
 
@@ -201,7 +274,8 @@ def melspectrogram(x: jnp.ndarray,
                    apply_transform: bool = True,
                    top_db: float = config.MEL_TOP_DB,
                    compute_dtype=jnp.float32,
-                   precision=None) -> jnp.ndarray:
+                   precision=None,
+                   dft: str = "direct") -> jnp.ndarray:
     """Log-mel spectrogram of raw int16-range audio, shape (..., T, 32).
 
     With ``apply_transform`` the downstream affine spec/10 + 2 (reference
@@ -211,16 +285,30 @@ def melspectrogram(x: jnp.ndarray,
     ``compute_dtype=jnp.bfloat16`` runs the DFT/mel matmuls in bf16 with f32
     accumulation (~0.4% relative power error -> ~0.02 dB; the serving-speed
     path). float32 uses HIGHEST precision for exact parity.
+
+    ``dft='factored'`` computes the spectrum via the radix-4 factored DFT
+    (factored_dft_bases): ~2.5x fewer padded MACs at equal-or-better
+    rounding (K = 128 accumulation chains instead of 512). f32-rounding
+    equivalent to 'direct', not bit-equal — parity paths keep 'direct'.
     """
     bf16 = compute_dtype == jnp.bfloat16
     prec = precision if precision is not None \
         else (None if bf16 else jax.lax.Precision.HIGHEST)
     x = x.astype(jnp.float32)
     frames = frame_signal(x).astype(compute_dtype)             # (..., T, 512)
-    basis = _f32(stft_power_basis()).astype(compute_dtype)     # (512, 514)
-    spec = jnp.matmul(frames, basis, precision=prec,
-                      preferred_element_type=jnp.float32)
-    power = spec[..., 0::2] ** 2 + spec[..., 1::2] ** 2        # (..., T, 257)
+    if dft == "factored":
+        branches = deinterleave_branches(frames)               # (..., T, 4, 128)
+        bases = _f32(factored_dft_bases()).astype(compute_dtype)  # (4, 128, 256)
+        z = jnp.einsum("...ba,bad->...bd", branches, bases,
+                       precision=prec, preferred_element_type=jnp.float32)
+        power = _factored_power(z)                             # (..., T, 257)
+    elif dft == "direct":
+        basis = _f32(stft_power_basis()).astype(compute_dtype)  # (512, 514)
+        spec = jnp.matmul(frames, basis, precision=prec,
+                          preferred_element_type=jnp.float32)
+        power = spec[..., 0::2] ** 2 + spec[..., 1::2] ** 2    # (..., T, 257)
+    else:
+        raise ValueError(f"unknown dft mode {dft!r} (expected 'direct' or 'factored')")
     melw = _f32(mel_filterbank())                              # (257, 32)
     mel = jnp.matmul(power, melw, precision=jax.lax.Precision.HIGHEST)
     out = power_to_db(mel, top_db=top_db)

@@ -167,6 +167,7 @@ class MultiStreamEngine:
                  rng_seed: int = 0,
                  incremental: bool = True,
                  use_pallas_melspec: Optional[bool] = None,
+                 mel_dft: str = "direct",
                  precision: str = "high",
                  scan_unroll: int = 2,
                  quantized_execution: str = "dequant",
@@ -211,6 +212,13 @@ class MultiStreamEngine:
             use_pallas_melspec = (jax.default_backend() == "tpu"
                                   and mel_mode != "highest")
         self.use_pallas_melspec = bool(use_pallas_melspec)
+        # mel_dft: 'direct' = the (512, 514) windowed-basis matmul;
+        # 'factored' = radix-4 factored DFT (four K=128 matmuls + VPU
+        # butterfly, ~2.5x fewer padded MACs — ops.melspec.factored_dft_bases).
+        # f32-rounding equivalent, not bit-equal: parity paths keep 'direct'.
+        if mel_dft not in ("direct", "factored"):
+            raise ValueError(f"mel_dft must be 'direct' or 'factored'; got {mel_dft!r}")
+        self.mel_dft = mel_dft
         # scan_unroll: unroll factor for the multi-frame scan (predict_frames
         # / predict_clips). 2 software-pipelines consecutive frames so XLA
         # overlaps the many small CNN ops across iterations: measured +15%
@@ -681,6 +689,7 @@ class MultiStreamEngine:
         vad_apply = self._vad_apply
         incremental = self.incremental
         use_pallas = self.use_pallas_melspec
+        mel_dft = self.mel_dft
         mel_dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
         # per-stage MXU precision ('bf16' runs on bf16 weights: pass None so
         # the helpers take the native bf16 path)
@@ -719,12 +728,14 @@ class MultiStreamEngine:
             window = jnp.concatenate([state["pcm_tail"], chunk], axis=-1)     # (S, 1760)
             if use_pallas:
                 from openwakeword_tpu.ops.melspec_pallas import melspectrogram_pallas
-                mel_raw = melspectrogram_pallas(window, precision=mel_prec)   # (S, 8, 32) dB
+                mel_raw = melspectrogram_pallas(window, precision=mel_prec,
+                                                dft=mel_dft)                  # (S, 8, 32) dB
             else:
                 mel_raw = melspec_ops.melspectrogram(window, apply_transform=False,
                                                      top_db=None,
                                                      compute_dtype=mel_dtype,
-                                                     precision=mel_prec)      # (S, 8, 32) dB
+                                                     precision=mel_prec,
+                                                     dft=mel_dft)             # (S, 8, 32) dB
 
             # First call after init/reset has no PCM look-back: the reference
             # computes only 5 frames there (utils.py:393-397, window shorter

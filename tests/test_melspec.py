@@ -78,3 +78,40 @@ def test_mel_filterbank_properties():
     freqs = np.linspace(0, 8000, 257)
     nz = fb.sum(axis=1) > 0
     assert freqs[nz].min() >= 40 and freqs[nz].max() <= 3900
+
+
+@pytest.mark.parametrize("n_samples", [1760, 16000])
+def test_factored_dft_matches_oracle(rng, n_samples):
+    """Radix-4 factored DFT (four K=128 matmuls + butterfly) against the
+    same independent FFT oracle as the direct basis — equal tolerance."""
+    x = (rng.uniform(-1, 1, n_samples) * 30000).astype(np.int16)
+    ours = np.asarray(M.melspectrogram(jnp.asarray(x), dft="factored"))
+    np.testing.assert_allclose(ours, oracle_melspec(x), atol=1e-4)
+
+
+def test_factored_matches_direct(rng):
+    x = (rng.uniform(-1, 1, (3, 3200)) * 30000).astype(np.float32)
+    direct = np.asarray(M.melspectrogram(jnp.asarray(x)))
+    fact = np.asarray(M.melspectrogram(jnp.asarray(x), dft="factored"))
+    np.testing.assert_allclose(fact, direct, atol=5e-5)
+
+
+def test_factored_power_spectrum_exact(rng):
+    """The butterfly recombination itself (before mel/log compression) must
+    reproduce the rfft power spectrum: frame the signal, run stage 1 + the
+    butterfly, compare |X|^2 bin-by-bin at float64-oracle tolerance."""
+    x = (rng.uniform(-1, 1, 512) * 20000).astype(np.float64)
+    want = np.abs(np.fft.rfft(x * M.hann_window())) ** 2
+    branches = M.deinterleave_branches(jnp.asarray(x, jnp.float32)[None, :])
+    bases = jnp.asarray(M.factored_dft_bases(), jnp.float32)
+    import jax
+    z = jnp.einsum("...ba,bad->...bd", branches, bases,
+                   precision=jax.lax.Precision.HIGHEST)
+    got = np.asarray(M._factored_power(z))[0]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-2)
+
+
+def test_unknown_dft_mode_raises(rng):
+    x = (rng.uniform(-1, 1, 1760) * 100).astype(np.float32)
+    with pytest.raises(ValueError, match="dft"):
+        M.melspectrogram(jnp.asarray(x), dft="fft")

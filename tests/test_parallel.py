@@ -524,3 +524,27 @@ class TestChunkedPrime:
         with pytest.raises(ValueError, match="realtime_guard"):
             MultiStreamEngine(wakeword_models=["alexa"], n_streams=4,
                               realtime_guard="maybe")
+
+
+class TestFactoredMelDft:
+    """mel_dft='factored' (radix-4 factored DFT, ops.melspec) must serve
+    scores at f32-reassociation distance from the direct-basis engine."""
+
+    def test_factored_engine_scores_match_direct(self):
+        from openwakeword_tpu.parallel.engine import MultiStreamEngine
+
+        rng = np.random.default_rng(3)
+        frames = rng.integers(-8000, 8000, (6, 4, 1280)).astype(np.int16)
+        direct = MultiStreamEngine(wakeword_models=["alexa"], n_streams=4,
+                                   rng_seed=0)
+        fact = MultiStreamEngine(wakeword_models=["alexa"], n_streams=4,
+                                 rng_seed=0, mel_dft="factored")
+        sd = np.asarray(direct.predict_frames(frames))
+        sf = np.asarray(fact.predict_frames(frames))
+        np.testing.assert_allclose(sf, sd, atol=2e-5)
+
+    def test_bad_mel_dft_rejected(self):
+        from openwakeword_tpu.parallel.engine import MultiStreamEngine
+        with pytest.raises(ValueError, match="mel_dft"):
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                              mel_dft="fft")
