@@ -48,6 +48,12 @@ parser.add_argument("--latency", action="store_true",
 parser.add_argument("--period", type=float, default=0.080,
                     help="tick period in seconds for --latency (default: "
                          "the 80 ms real-time frame)")
+parser.add_argument("--pipelined", action="store_true",
+                    help="with --latency: use step_async (overlapped "
+                         "stepping — the fetcher thread materializes scores "
+                         "while the host ingests the next window), so a "
+                         "packet's verdict lands at arrival + device step "
+                         "instead of at the next synchronous tick's end")
 args = parser.parse_args()
 
 
@@ -71,12 +77,12 @@ class _StubEngine:
     def init_state(self, n):
         return {"ticks": np.zeros(n)}
 
-    def predict_masked(self, chunks, valid):
+    def predict_masked(self, chunks, valid, sync=True):
         # touch the chunk matrix like a transfer would, without a device
         _ = chunks[0, 0]
         return self._scores
 
-    def predict_packets(self, stage, slot_ids):
+    def predict_packets(self, stage, slot_ids, sync=True):
         _ = stage[0, 0], slot_ids[0]
         return self._scores
 
@@ -176,7 +182,8 @@ def bench_capacity(capacity: int, n_ticks: int, occupancy: float,
 
 def bench_latency(capacity: int, n_ticks: int, occupancy: float,
                   host_only: bool = False, ingest_mode: str = "push",
-                  period: float = 0.080, seed: int = 0):
+                  period: float = 0.080, seed: int = 0,
+                  pipelined: bool = False):
     """Packet-arrival -> activation-poll latency under jittered arrival.
 
     Clients send one 80 ms packet per period with uniform jitter inside the
@@ -202,13 +209,16 @@ def bench_latency(capacity: int, n_ticks: int, occupancy: float,
     rng = np.random.default_rng(seed)
     packet = rng.integers(-2000, 2000, (capacity, 1280)).astype(np.int16)
 
-    def one_tick(n_k):
+    def ingest(n_k):
         if ingest_mode == "zero":
             view = srv.acquire_block(n_k)
             view[...] = packet[:n_k]
             srv.commit_block(sids[:n_k])
         else:
             srv.push_block(sids[:n_k], packet[:n_k])
+
+    def one_tick(n_k):
+        ingest(n_k)
         scores = srv.step()
         acts = srv.poll_all()
         # sync: activation extraction inside step() already fetched scores;
@@ -227,21 +237,51 @@ def bench_latency(capacity: int, n_ticks: int, occupancy: float,
 
     lat_ms: list = []
     overruns = 0
-    t0 = time.perf_counter()
-    for k in range(n_ticks):
-        window_start = t0 + k * period
-        boundary = window_start + period
-        n_k = min(capacity, int(rng.poisson(rate)))
-        n_k = max(n_k, 1)
-        arrivals = window_start + rng.random(n_k) * period
-        now = time.perf_counter()
-        if now < boundary:
-            time.sleep(boundary - now)
-        one_tick(n_k)
-        done = time.perf_counter()
-        lat_ms.extend(((done - arrivals) * 1e3).tolist())
-        if done > boundary + period:
-            overruns += 1
+    if pipelined:
+        # overlapped stepping: the loop dispatches at each boundary and never
+        # waits for the device; a packet's verdict is available when the
+        # fetcher thread finishes that tick's score fetch + extraction. The
+        # server logs that moment (fetch_log) — latency is measured against
+        # it, not against the loop's position.
+        tick_arrivals = {}
+        t0 = time.perf_counter()
+        for k in range(n_ticks):
+            window_start = t0 + k * period
+            boundary = window_start + period
+            n_k = max(min(capacity, int(rng.poisson(rate))), 1)
+            arrivals = window_start + rng.random(n_k) * period
+            now = time.perf_counter()
+            if now < boundary:
+                time.sleep(boundary - now)
+            ingest(n_k)
+            frame = srv.step_async()
+            tick_arrivals[frame] = arrivals
+            srv.poll_all()       # drain whatever completed; cost is real
+            if time.perf_counter() > boundary + period:
+                overruns += 1
+        srv.drain()
+        done_times = dict(srv.fetch_log)
+        for frame, arrivals in tick_arrivals.items():
+            done = done_times.get(frame)
+            if done is None:     # evicted from the bounded log (huge runs)
+                continue
+            lat_ms.extend(((done - arrivals) * 1e3).tolist())
+    else:
+        t0 = time.perf_counter()
+        for k in range(n_ticks):
+            window_start = t0 + k * period
+            boundary = window_start + period
+            n_k = min(capacity, int(rng.poisson(rate)))
+            n_k = max(n_k, 1)
+            arrivals = window_start + rng.random(n_k) * period
+            now = time.perf_counter()
+            if now < boundary:
+                time.sleep(boundary - now)
+            one_tick(n_k)
+            done = time.perf_counter()
+            lat_ms.extend(((done - arrivals) * 1e3).tolist())
+            if done > boundary + period:
+                overruns += 1
     lat = np.asarray(lat_ms)
     return {
         "mode": "latency",
@@ -257,6 +297,7 @@ def bench_latency(capacity: int, n_ticks: int, occupancy: float,
         "overrun_ticks": overruns,
         "ingest": ingest_mode,
         "host_only": host_only,
+        "pipelined": pipelined,
     }
 
 
@@ -265,7 +306,8 @@ def main():
         if args.latency:
             r = bench_latency(cap, args.ticks, args.occupancy,
                               host_only=args.host_only,
-                              ingest_mode=args.ingest, period=args.period)
+                              ingest_mode=args.ingest, period=args.period,
+                              pipelined=args.pipelined)
         else:
             r = bench_capacity(cap, args.ticks, args.occupancy,
                                host_only=args.host_only,

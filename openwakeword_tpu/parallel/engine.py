@@ -106,8 +106,8 @@ def fetch_sharded(arr: jax.Array) -> np.ndarray:
     back only its addressable shards into a global-shape buffer; rows owned
     by other hosts stay zero (a serving host only polls activations for the
     slots its shard serves)."""
-    if arr.is_fully_addressable:
-        return np.asarray(arr)
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)     # incl. plain numpy (host-only test stubs)
     out = np.zeros(arr.shape, arr.dtype)
     for sh in arr.addressable_shards:
         out[sh.index] = np.asarray(sh.data)
@@ -1013,7 +1013,8 @@ class MultiStreamEngine:
         self.state, scores = self._step_fn(self.params, self.state, x)
         return fetch_sharded(scores)
 
-    def predict_masked(self, chunks: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    def predict_masked(self, chunks: np.ndarray, valid: np.ndarray,
+                       sync: bool = True) -> np.ndarray:
         """Advance only the streams with a complete frame (packetized
         serving). Streams with ``valid[i] == False`` keep their audio state
         and recycle their previous score exactly like the single-stream
@@ -1022,6 +1023,10 @@ class MultiStreamEngine:
         Args:
             chunks: (n_streams, 1280) PCM (rows of invalid streams ignored).
             valid: (n_streams,) bool.
+            sync: fetch scores to host numpy (default). ``sync=False``
+                returns the device array un-synchronized — the pipelined
+                serving path (StreamServer.step_async) fetches it on a
+                worker thread while the host ingests the next tick.
         Returns:
             (n_streams, n_labels) float32 scores.
         """
@@ -1031,9 +1036,10 @@ class MultiStreamEngine:
         x = self._feed(chunks, P("streams"))
         v = self._feed(np.asarray(valid, dtype=bool), P("streams"))
         self.state, scores = self._step_masked_fn(self.params, self.state, x, v)
-        return fetch_sharded(scores)
+        return fetch_sharded(scores) if sync else scores
 
-    def predict_packets(self, stage: np.ndarray, slot_ids: np.ndarray) -> np.ndarray:
+    def predict_packets(self, stage: np.ndarray, slot_ids: np.ndarray,
+                        sync: bool = True) -> np.ndarray:
         """Masked step fed by a *compact staging buffer* instead of a
         slot-ordered chunk matrix: row j of ``stage`` is the frame for slot
         ``slot_ids[j]``; rows with ``slot_ids[j] < 0`` are padding. The
@@ -1070,7 +1076,7 @@ class MultiStreamEngine:
         x = self._feed(stage, P("streams"))
         ids = self._feed(np.asarray(slot_ids, np.int64), P("streams"))
         self.state, scores = self._step_packets_fn(self.params, self.state, x, ids)
-        return fetch_sharded(scores)
+        return fetch_sharded(scores) if sync else scores
 
     def measure_realtime(self, n_frames: int = 25, repeats: int = 3,
                          frame_budget_s: Optional[float] = None) -> Dict:

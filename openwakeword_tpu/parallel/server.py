@@ -30,6 +30,9 @@ caches from the mel rings, which is exact for every stream (the prime path
 computes the same full-window values the incremental path maintains).
 """
 
+import queue
+import threading
+import time
 from collections import deque
 from typing import Dict, List, Optional, Tuple
 
@@ -39,7 +42,7 @@ import jax.numpy as jnp
 
 from openwakeword_tpu import config
 from openwakeword_tpu.parallel import ingest
-from openwakeword_tpu.parallel.engine import MultiStreamEngine
+from openwakeword_tpu.parallel.engine import MultiStreamEngine, fetch_sharded
 
 
 class StreamServer:
@@ -93,6 +96,18 @@ class StreamServer:
         self._frame_counter = 0
         self._align_head = 0      # common read cursor for the fast path
 
+        # pipelined stepping (step_async): activation structures are shared
+        # with the fetcher thread; everything else stays main-thread-only
+        self._act_lock = threading.Lock()
+        self._inflight: deque = deque()
+        self._fetcher = None
+        self._fetch_queue = None
+        #: (frame_index, perf_counter time) appended when a tick's scores are
+        #: materialized and its activations became pollable — the moment a
+        #: packet's verdict is available (sync step() and the step_async
+        #: fetcher both log it; bench_server --latency reads this)
+        self.fetch_log: deque = deque(maxlen=4096)
+
         # zero-scatter staging: in the steady case (one packet per slot per
         # tick, no queue depth) packets append *contiguously* here and the
         # engine scatters them to slot order on device
@@ -102,6 +117,13 @@ class StreamServer:
         self._stage_ids = np.full(C, -1, np.int64)
         self._staged_mask = np.zeros(C, bool)
         self._n_staged = 0
+        # step_async rotates through 3 (stage, ids) buffer pairs so a
+        # dispatched tick's host buffers are never written while the device
+        # (or a zero-copy device_put aliasing them) may still read them:
+        # with PIPELINE_DEPTH=2, the buffer dispatched at tick k is provably
+        # fetched before tick k+3 makes it current again. Allocated lazily on
+        # first step_async (sync-only servers pay nothing).
+        self._stage_pool = None
         self._reserved: Optional[int] = None   # open acquire_block size
         # build/load the native copy library now, not inside a serving tick
         # (a lazy first-use g++ compile would blow the 80 ms budget)
@@ -141,6 +163,9 @@ class StreamServer:
     def remove_stream(self, sid: int):
         self._check_no_reservation()
         self._check_active(sid)
+        # settle in-flight async steps: a pending fetch must not attribute an
+        # old tick's activation to this slot's NEXT lease
+        self.drain()
         self._active_mask[sid] = False
         # drop buffered audio now: a lingering q_len would hold this slot's
         # stale cursor out of alignment (and run_pending would ignore it)
@@ -157,8 +182,9 @@ class StreamServer:
             self._stage_ids[:m] = self._stage_ids[:n][keep]
             self._stage_ids[m:n] = -1
             self._n_staged = m
-        self._activations.pop(sid)
-        self._dirty.discard(sid)
+        with self._act_lock:
+            self._activations.pop(sid)
+            self._dirty.discard(sid)
         self._free.append(sid)
 
     # -- zero-copy ingest ----------------------------------------------
@@ -352,10 +378,15 @@ class StreamServer:
         self.engine.predict_masked(zeros, np.zeros(self.capacity, bool))
         self.engine.predict_packets(zeros, np.full(self.capacity, -1, np.int64))
 
-    def step(self) -> np.ndarray:
-        """One serving tick: advance every slot holding a complete frame
-        (staged packets and/or queued frames); starved and inactive slots
-        are untouched. Returns the full (capacity, L) score matrix."""
+    def _dispatch(self, async_: bool = False):
+        """Shared tick front half: consume staged/queued frames and dispatch
+        the device step WITHOUT synchronizing. Returns (scores_device,
+        valid_mask, frame_index); the caller materializes scores (jax async
+        dispatch makes the return immediately, the device computes behind
+        it). In async mode the dispatched host buffers must stay untouched
+        until the fetch completes — device_put may alias them zero-copy on
+        some backends — so the stage rotates to a fresh buffer pair
+        (_rotate_stage) and the aligned-slab chunk is copied."""
         self._check_no_reservation()
         heads = self._q_head
         queued = self._active_mask & (self._q_len > 0) & ~self._staged_mask
@@ -371,18 +402,25 @@ class StreamServer:
                 self._q_head[qidx] = (heads[qidx] + 1) % self.queue_frames
                 self._q_len[qidx] -= 1
             valid = self._staged_mask | queued
-            scores = np.asarray(self.engine.predict_packets(
-                self._stage, self._stage_ids))
+            scores = self.engine.predict_packets(self._stage, self._stage_ids,
+                                                 sync=False)
             ids = self._stage_ids[:self._n_staged]
             self._staged_mask[ids] = False
-            self._stage_ids[:self._n_staged] = -1
             self._n_staged = 0
+            if async_:
+                self._rotate_stage()   # dispatched pair stays frozen
+            else:
+                self._stage_ids[:ids.size] = -1
         else:
             valid = queued
             h0 = int(heads[valid][0]) if valid.any() else 0
             if (heads[valid] == h0).all():
                 # aligned cursors: the tick's chunks are one contiguous slab
                 chunk = self._queue[h0]                             # (C, 1280) view
+                if async_:
+                    # a queued burst could wrap onto this depth while the
+                    # step is in flight
+                    chunk = chunk.copy()
                 # re-align empty slots to where the consumers will be next
                 # tick, keeping the fast path alive across starvation/churn
                 self._q_head[self._q_len == 0] = (h0 + 1) % self.queue_frames
@@ -391,16 +429,110 @@ class StreamServer:
                 chunk = self._queue[heads, self._slot_ids]          # (C, 1280) gather
             self._q_head[valid] = (heads[valid] + 1) % self.queue_frames
             self._q_len[valid] -= 1
-            scores = np.asarray(self.engine.predict_masked(chunk, valid))
+            scores = self.engine.predict_masked(chunk, valid, sync=False)
         self._frame_counter += 1
+        return scores, valid.copy(), self._frame_counter
+
+    def _rotate_stage(self):
+        """Swap in the next of 3 (stage, ids) buffer pairs. With
+        PIPELINE_DEPTH=2 the pair dispatched at tick k is fetched before
+        tick k+3 makes it current again, so the swapped-in pair is free;
+        its ids are cleared here (stale PCM rows are ignored by ids=-1)."""
+        if self._stage_pool is None:
+            self._stage_pool = [
+                (self._stage, self._stage_ids),
+                (np.zeros_like(self._stage), np.full_like(self._stage_ids, -1)),
+                (np.zeros_like(self._stage), np.full_like(self._stage_ids, -1))]
+            self._stage_idx = 0
+        self._stage_idx = (self._stage_idx + 1) % len(self._stage_pool)
+        self._stage, self._stage_ids = self._stage_pool[self._stage_idx]
+        self._stage_ids.fill(-1)
+
+    def _extract_activations(self, scores: np.ndarray, valid: np.ndarray,
+                             frame_index: int):
         # Python work is per *activation* (sparse), never per slot
         hits = np.argwhere((scores >= self.threshold) & valid[:, None])
-        for sid, k in hits:
-            sid = int(sid)
-            self._activations[sid].append(
-                (self.labels[k], self._frame_counter, float(scores[sid, k])))
-            self._dirty.add(sid)
+        with self._act_lock:
+            for sid, k in hits:
+                sid = int(sid)
+                acts = self._activations.get(sid)
+                if acts is None:       # slot removed while the step was in flight
+                    continue
+                acts.append(
+                    (self.labels[k], frame_index, float(scores[sid, k])))
+                self._dirty.add(sid)
+        self.fetch_log.append((frame_index, time.perf_counter()))
+
+    def step(self) -> np.ndarray:
+        """One serving tick: advance every slot holding a complete frame
+        (staged packets and/or queued frames); starved and inactive slots
+        are untouched. Returns the full (capacity, L) score matrix."""
+        self.drain()                   # keep sync/async activation order
+        scores_dev, valid, frame_index = self._dispatch()
+        scores = fetch_sharded(scores_dev)
+        self._extract_activations(scores, valid, frame_index)
         return scores
+
+    def step_async(self) -> int:
+        """Pipelined serving tick: dispatch the device step and return
+        immediately; a fetcher thread materializes the scores and extracts
+        activations the moment the device finishes, so ``poll``/``poll_all``
+        serve them at arrival + device-step latency instead of at the next
+        tick boundary. The host can ingest the NEXT window's packets while
+        the device computes this one — steady-state throughput becomes
+        max(host tick cost, device step) instead of their sum.
+
+        At most ``PIPELINE_DEPTH`` (2) steps run ahead; a third call blocks
+        on the oldest fetch. Returns this tick's frame index. ``drain()``
+        waits for every in-flight fetch (``step``/``remove_stream`` call it
+        implicitly; call it yourself before ``engine.save_state`` so the
+        snapshot's frame counter matches the drained activation log).
+        """
+        self._ensure_fetcher()
+        if len(self._inflight) >= self.PIPELINE_DEPTH:
+            self._inflight[0][3].wait()     # bound the pipeline
+            self._reap_done()
+        scores_dev, valid, frame_index = self._dispatch(async_=True)
+        done = threading.Event()
+        item = (scores_dev, valid, frame_index, done)
+        self._inflight.append(item)
+        self._fetch_queue.put(item)
+        return frame_index
+
+    def drain(self):
+        """Block until every ``step_async`` fetch has completed and its
+        activations are visible to ``poll``/``poll_all``."""
+        for item in list(self._inflight):
+            item[3].wait()
+        self._reap_done()
+
+    def _reap_done(self):
+        while self._inflight and self._inflight[0][3].is_set():
+            self._inflight.popleft()
+
+    PIPELINE_DEPTH = 2
+
+    def _ensure_fetcher(self):
+        if self._fetcher is not None:
+            return
+        self._fetch_queue = queue.Queue()
+
+        def _run():
+            while True:
+                item = self._fetch_queue.get()
+                if item is None:
+                    return
+                scores_dev, valid, frame_index, done = item
+                try:
+                    # blocking device fetch; releases the GIL while waiting
+                    self._extract_activations(fetch_sharded(scores_dev),
+                                              valid, frame_index)
+                finally:
+                    done.set()
+
+        self._fetcher = threading.Thread(target=_run, daemon=True,
+                                         name="StreamServer-fetch")
+        self._fetcher.start()
 
     def run_pending(self) -> int:
         """Step until no active stream has a full frame buffered. Returns the
@@ -414,9 +546,10 @@ class StreamServer:
     def poll(self, sid: int) -> List[Tuple[str, int, float]]:
         """Drain (label, frame_index, score) activations for a stream."""
         self._check_active(sid)
-        out = list(self._activations[sid])
-        self._activations[sid].clear()
-        self._dirty.discard(sid)
+        with self._act_lock:
+            out = list(self._activations[sid])
+            self._activations[sid].clear()
+            self._dirty.discard(sid)
         return out
 
     def poll_all(self) -> Dict[int, List[Tuple[str, int, float]]]:
@@ -428,12 +561,13 @@ class StreamServer:
         sweep would cost 50k Python calls per tick for a handful of events.
         """
         out: Dict[int, List[Tuple[str, int, float]]] = {}
-        for sid in self._dirty:
-            acts = self._activations.get(sid)
-            if acts:
-                out[sid] = list(acts)
-                acts.clear()
-        self._dirty.clear()
+        with self._act_lock:
+            for sid in self._dirty:
+                acts = self._activations.get(sid)
+                if acts:
+                    out[sid] = list(acts)
+                    acts.clear()
+            self._dirty.clear()
         return out
 
     # ------------------------------------------------------------------

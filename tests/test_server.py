@@ -577,3 +577,69 @@ def test_poll_all_drains_only_activated_slots(rng):
     srv.run_pending()
     srv.remove_stream(sids[1])
     assert sids[1] not in srv.poll_all()
+
+
+class TestAsyncStepping:
+    """step_async pipelined ticks: identical verdicts to sync step(),
+    bounded in-flight depth, safe interleave with slot churn."""
+
+    def test_async_matches_sync(self, rng):
+        audio = rng.integers(-4000, 4000, (4, 8, 1280)).astype(np.int16)
+        results = []
+        for mode in ("sync", "async"):
+            srv = StreamServer(wakeword_models=["alexa"], capacity=4,
+                               threshold=0.3, rng_seed=0)
+            sids = np.array([srv.add_stream() for _ in range(4)])
+            acts = []
+            for t in range(8):
+                srv.push_block(sids, audio[:, t])
+                if mode == "sync":
+                    srv.step()
+                else:
+                    srv.step_async()
+            srv.drain()
+            for sid in sids:
+                acts.append(srv.poll(int(sid)))
+            results.append(acts)
+        assert results[0] == results[1]
+
+    def test_pipeline_depth_bounded(self, rng):
+        srv = StreamServer(wakeword_models=["alexa"], capacity=2,
+                           threshold=0.3, rng_seed=0)
+        sids = np.array([srv.add_stream() for _ in range(2)])
+        for t in range(6):   # more ticks than PIPELINE_DEPTH
+            srv.push_block(sids, rng.integers(-2000, 2000, (2, 1280))
+                           .astype(np.int16))
+            srv.step_async()
+            assert len(srv._inflight) <= srv.PIPELINE_DEPTH
+        srv.drain()
+        assert len(srv._inflight) == 0
+        assert len(srv.fetch_log) == 6
+
+    def test_remove_stream_settles_inflight(self, rng):
+        srv = StreamServer(wakeword_models=["alexa"], capacity=2,
+                           threshold=0.0, rng_seed=0)
+        a = srv.add_stream()
+        b = srv.add_stream()
+        pkt = rng.integers(-2000, 2000, (2, 1280)).astype(np.int16)
+        for _ in range(6):   # past warm-up zeroing so scores activate
+            srv.push_block(np.array([a, b]), pkt)
+            srv.step_async()
+        srv.remove_stream(a)            # drains in-flight fetches first
+        assert len(srv._inflight) == 0
+        a2 = srv.add_stream()           # re-lease
+        assert a2 == a
+        assert srv.poll(a2) == []       # no stale activations on the new lease
+
+    def test_sync_step_after_async_keeps_order(self, rng):
+        srv = StreamServer(wakeword_models=["alexa"], capacity=2,
+                           threshold=0.0, rng_seed=0)
+        sids = np.array([srv.add_stream() for _ in range(2)])
+        pkt = rng.integers(-2000, 2000, (2, 1280)).astype(np.int16)
+        srv.push_block(sids, pkt)
+        srv.step_async()
+        srv.push_block(sids, pkt)
+        srv.step()                      # implicit drain keeps frame order
+        acts = srv.poll(int(sids[0]))
+        frames = [f for _lbl, f, _s in acts]
+        assert frames == sorted(frames)
