@@ -54,19 +54,53 @@ parser.add_argument("--pipelined", action="store_true",
                          "while the host ingests the next window), so a "
                          "packet's verdict lands at arrival + device step "
                          "instead of at the next synchronous tick's end")
+parser.add_argument("--device-ms", type=float, default=0.0,
+                    help="with --host-only: simulate an asynchronous device "
+                         "step of this many ms — predict returns instantly "
+                         "(dispatch) and the scores only materialize "
+                         "(np.asarray, as fetch_sharded does) once the "
+                         "simulated step completes, queued FIFO behind "
+                         "earlier steps like a real device. This is how the "
+                         "sync-vs-pipelined comparison isolates the overlap "
+                         "win: sync pays host + device serially per tick, "
+                         "step_async pays max(host, device)")
 args = parser.parse_args()
+
+
+class _DelayedScores:
+    """Async-device stand-in: the object returns from dispatch immediately,
+    and materialization (``np.asarray``, the only thing ``fetch_sharded``
+    does to a fully-addressable array) blocks until the simulated device
+    step completes — exactly a jax.Array's sync=False contract."""
+
+    def __init__(self, data, ready_at):
+        self._data = data
+        self._ready_at = ready_at
+        self.shape = data.shape
+        self.dtype = data.dtype
+        self.size = data.size
+        self.is_fully_addressable = True
+
+    def __array__(self, dtype=None, copy=None):
+        wait = self._ready_at - time.perf_counter()
+        if wait > 0:
+            time.sleep(wait)
+        return self._data if dtype is None else self._data.astype(dtype)
 
 
 class _StubEngine:
     """Engine stand-in for --host-only: same predict_masked surface, no
     device. Scores are a deterministic random matrix so the activation-
-    extraction path does real work."""
+    extraction path does real work. ``device_ms > 0`` adds a simulated
+    FIFO device queue (see --device-ms)."""
 
-    def __init__(self, capacity, n_labels=6):
+    def __init__(self, capacity, n_labels=6, device_ms=0.0):
         self.n_streams = capacity
         self.labels = [f"label_{i}" for i in range(n_labels)]
         self.state = {"ticks": np.zeros(capacity)}
         self._rng = np.random.default_rng(0)
+        self._device_s = device_ms * 1e-3
+        self._busy_until = 0.0
         # sparse activations (the wake-word reality): ~0.1% of scores cross
         # a 0.5 threshold; a dense score matrix would measure the Python
         # activation loop instead of the data path
@@ -77,14 +111,22 @@ class _StubEngine:
     def init_state(self, n):
         return {"ticks": np.zeros(n)}
 
+    def _result(self):
+        if self._device_s <= 0:
+            return self._scores
+        # one device: step k+1 starts when step k finishes
+        start = max(time.perf_counter(), self._busy_until)
+        self._busy_until = start + self._device_s
+        return _DelayedScores(self._scores, self._busy_until)
+
     def predict_masked(self, chunks, valid, sync=True):
         # touch the chunk matrix like a transfer would, without a device
         _ = chunks[0, 0]
-        return self._scores
+        return self._result()
 
     def predict_packets(self, stage, slot_ids, sync=True):
         _ = stage[0, 0], slot_ids[0]
-        return self._scores
+        return self._result()
 
 
 def bench_capacity(capacity: int, n_ticks: int, occupancy: float,
@@ -183,7 +225,7 @@ def bench_capacity(capacity: int, n_ticks: int, occupancy: float,
 def bench_latency(capacity: int, n_ticks: int, occupancy: float,
                   host_only: bool = False, ingest_mode: str = "push",
                   period: float = 0.080, seed: int = 0,
-                  pipelined: bool = False):
+                  pipelined: bool = False, device_ms: float = 0.0):
     """Packet-arrival -> activation-poll latency under jittered arrival.
 
     Clients send one 80 ms packet per period with uniform jitter inside the
@@ -201,7 +243,8 @@ def bench_latency(capacity: int, n_ticks: int, occupancy: float,
     from openwakeword_tpu.parallel.server import StreamServer
 
     if host_only:
-        srv = StreamServer(engine=_StubEngine(capacity), threshold=0.5)
+        srv = StreamServer(engine=_StubEngine(capacity, device_ms=device_ms),
+                           threshold=0.5)
     else:
         srv = StreamServer(wakeword_models=[], capacity=capacity,
                            threshold=0.5)
@@ -298,6 +341,7 @@ def bench_latency(capacity: int, n_ticks: int, occupancy: float,
         "ingest": ingest_mode,
         "host_only": host_only,
         "pipelined": pipelined,
+        "device_ms": device_ms,
     }
 
 
@@ -307,7 +351,8 @@ def main():
             r = bench_latency(cap, args.ticks, args.occupancy,
                               host_only=args.host_only,
                               ingest_mode=args.ingest, period=args.period,
-                              pipelined=args.pipelined)
+                              pipelined=args.pipelined,
+                              device_ms=args.device_ms)
         else:
             r = bench_capacity(cap, args.ticks, args.occupancy,
                                host_only=args.host_only,
