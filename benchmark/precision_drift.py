@@ -43,6 +43,14 @@ def main():
                         help="measure drift within this embedding mode (the "
                              "'highest' reference uses the same mode, so student "
                              "drift is vs the student-exact pipeline, not the teacher)")
+    parser.add_argument("--cnn-probe", action="store_true",
+                        help="per-conv-layer probe: measure drift with exactly "
+                             "one CNN conv at 'fast' (1-pass bf16) and the rest "
+                             "at 'high', for every conv — the data behind the "
+                             "mixed-precision 'cnn' tier (PERF_NOTES round 5)")
+    parser.add_argument("--cnn-fast-layers", type=str, default=None,
+                        help="comma-separated conv indices to run at 'fast' "
+                             "(rest 'high'): measure one combined mixed config")
     args = parser.parse_args()
 
     import jax
@@ -67,6 +75,28 @@ def main():
         return e.predict_frames(frames)
 
     ref = run(precision="highest", use_pallas_melspec=False)
+
+    if args.cnn_probe or args.cnn_fast_layers is not None:
+        from openwakeword_tpu.models import embedding as E
+        n = E.n_convs()
+
+        def mixed(fast_idx):
+            cnn = tuple("fast" if i in fast_idx else "high" for i in range(n))
+            return dict(precision={"mel": "high", "cnn": cnn, "heads": "high"},
+                        use_pallas_melspec=True)
+
+        if args.cnn_fast_layers is not None:
+            idx = {int(t) for t in args.cnn_fast_layers.split(",") if t}
+            out = run(**mixed(idx))
+            print(f"cnn fast@{sorted(idx)}: max|dScore| vs highest = "
+                  f"{np.abs(out - ref).max():.3e}", flush=True)
+        else:
+            for i in range(n):
+                out = run(**mixed({i}))
+                print(f"cnn fast@{i:>2}: max|dScore| vs highest = "
+                      f"{np.abs(out - ref).max():.3e}", flush=True)
+        return
+
     configs = [
         ("high, XLA mel", dict(precision="high", use_pallas_melspec=False)),
         ("high, Pallas mel", dict(precision="high", use_pallas_melspec=True)),

@@ -200,6 +200,24 @@ def fold_batchnorm(params: Dict) -> Dict:
     return folded
 
 
+def n_convs() -> int:
+    """Number of conv layers in the embedding program (mixed-precision
+    serving addresses convs by this index order)."""
+    return sum(1 for layer in _SPEC if layer[0] == "conv")
+
+
+def layer_precision(precision, conv_i: int):
+    """Resolve the precision for conv ``conv_i``.
+
+    ``precision`` is either one precision for every conv (the existing
+    contract) or a sequence of per-conv precisions indexed by program order
+    (mixed-precision serving: spend 3-pass HIGH only on the drift-dominant
+    layers, 1-pass bf16 on the rest — PERF_NOTES round 5)."""
+    if isinstance(precision, (list, tuple)):
+        return precision[conv_i]
+    return precision
+
+
 def is_folded(params: Dict) -> bool:
     """True if params are already in BN-folded form (e.g. imported from a
     TFLite artifact whose converter folded the BatchNorms)."""
@@ -225,7 +243,7 @@ def apply_folded(folded: Dict, x: jnp.ndarray, precision=None) -> jnp.ndarray:
         elif kind == "conv":
             _, _, _, padding, act = op
             c = folded[f"conv_{conv_i}"]
-            x = _conv(x, c["w"], padding, precision) + c["b"]
+            x = _conv(x, c["w"], padding, layer_precision(precision, conv_i)) + c["b"]
             if act == "relu":
                 x = jnp.maximum(x, 0.0)
             conv_i += 1

@@ -68,7 +68,7 @@ def init_caches(folded: Dict, mel_window: jnp.ndarray, precision=None) -> Tuple[
             if kh > 1:
                 caches[f"cache_{conv_i}"] = x[:, -2:]
             c = folded[f"conv_{conv_i}"]
-            x = _conv(x, c["w"], padding, precision) + c["b"]
+            x = _conv(x, c["w"], padding, E.layer_precision(precision, conv_i)) + c["b"]
             if act == "relu":
                 x = jnp.maximum(x, 0.0)
             conv_i += 1
@@ -128,7 +128,7 @@ def step(folded: Dict, caches: Dict, new_mel: jnp.ndarray, precision=None) -> Tu
             else:
                 pad_mode = padding
             c = folded[f"conv_{conv_i}"]
-            x = _conv(x, c["w"], pad_mode, precision) + c["b"]
+            x = _conv(x, c["w"], pad_mode, E.layer_precision(precision, conv_i)) + c["b"]
             if act == "relu":
                 x = jnp.maximum(x, 0.0)
             conv_i += 1
@@ -217,7 +217,7 @@ def _forward_t(folded: Dict, x: jnp.ndarray, caches: Dict = None,
                     x = jnp.concatenate([caches[f"cache_{conv_i}"], x], axis=1)
                     new_caches[f"cache_{conv_i}"] = x[:, -2:]
             c = folded[f"conv_{conv_i}"]
-            x = _conv_t(x, c["w"], kh, kw, precision) \
+            x = _conv_t(x, c["w"], kh, kw, E.layer_precision(precision, conv_i)) \
                 + c["b"].astype(jnp.float32)[:, None, None, None]
             if act == "relu":
                 x = jnp.maximum(x, 0.0)

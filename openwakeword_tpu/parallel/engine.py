@@ -248,13 +248,32 @@ class MultiStreamEngine:
         # the mel DFT dominates 1-pass error, so 'fast' on all stages costs
         # no more drift than {'mel': 'fast'} alone (PERF_NOTES.md round 4).
         _modes = ("highest", "high", "fast", "bf16")
+
+        def _valid_cnn_mode(v):
+            # 'cnn' additionally takes a per-conv sequence of modes (mixed
+            # precision: HIGH on the drift-dominant layers, 1-pass bf16 on
+            # the rest — PERF_NOTES round 5), default embedding only.
+            if isinstance(v, (list, tuple)):
+                from openwakeword_tpu.models import embedding as _E
+                return (embedding == "default"
+                        and len(v) == _E.n_convs()
+                        and all(m in _modes[:3] for m in v))
+            return v in _modes[:3]
+
         if isinstance(precision, dict):
             bad = set(precision) - {"mel", "cnn", "heads"}
-            if bad or not all(v in _modes[:3] for v in precision.values()):
+            if (bad
+                    or not all(v in _modes[:3] for k, v in precision.items()
+                               if k != "cnn")
+                    or not _valid_cnn_mode(precision.get("cnn", "high"))):
                 raise ValueError("per-stage precision takes keys mel/cnn/heads "
-                                 f"with values {_modes[:3]}, got {precision!r}")
+                                 f"with values {_modes[:3]} ('cnn' also takes "
+                                 "a per-conv sequence of those modes, default "
+                                 f"embedding only), got {precision!r}")
             self._stage_modes = {k: precision.get(k, "high")
                                  for k in ("mel", "cnn", "heads")}
+            if isinstance(self._stage_modes["cnn"], list):
+                self._stage_modes["cnn"] = tuple(self._stage_modes["cnn"])
             precision = "high"   # storage/dtype behavior of the f32 modes
         elif precision in _modes:
             self._stage_modes = {k: precision for k in ("mel", "cnn", "heads")}
@@ -697,7 +716,9 @@ class MultiStreamEngine:
                "high": jax.lax.Precision.HIGH,
                "fast": jax.lax.Precision.DEFAULT,
                "bf16": None}
-        mm_prec = _mm[self._stage_modes["cnn"]]
+        cnn_mode = self._stage_modes["cnn"]
+        mm_prec = (tuple(_mm[m] for m in cnn_mode)
+                   if isinstance(cnn_mode, tuple) else _mm[cnn_mode])
         head_prec = _mm[self._stage_modes["heads"]]
         mel_prec = {"highest": jax.lax.Precision.HIGHEST,
                     "high": jax.lax.Precision.HIGH,

@@ -304,6 +304,42 @@ class TestPrecisionModes:
             MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
                               precision={"vad": "high"})
 
+    def test_per_layer_cnn_precision(self, audio):
+        """'cnn' takes a per-conv sequence of modes (mixed precision). On CPU
+        every f32 mode computes identically, so an all-'high'-tuple engine
+        must score exactly like the plain 'high' engine — proving the tuple
+        threads through to each conv without changing program structure."""
+        from openwakeword_tpu.models import embedding as E
+        n = E.n_convs()
+        e_hi = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0,
+                                 precision="high")
+        e_tup = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0,
+                                  precision={"cnn": ("high",) * n})
+        e_mix = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2, rng_seed=0,
+                                  precision={"cnn": tuple(
+                                      "fast" if i < 10 else "high" for i in range(n))})
+        for t in range(8):
+            chunk = audio[:, t * 1280:(t + 1) * 1280]
+            s_hi = e_hi.predict(chunk)
+            s_tup = e_tup.predict(chunk)
+            s_mix = e_mix.predict(chunk)
+        np.testing.assert_array_equal(s_hi, s_tup)
+        assert np.abs(s_hi - s_mix).max() < 0.05   # CPU: modes numerically alike
+
+    def test_per_layer_cnn_precision_rejected(self):
+        from openwakeword_tpu.models import embedding as E
+        n = E.n_convs()
+        with pytest.raises(ValueError):   # wrong length
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                              precision={"cnn": ("fast",) * (n - 1)})
+        with pytest.raises(ValueError):   # bad mode inside
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                              precision={"cnn": ("bf16",) * n})
+        with pytest.raises(ValueError):   # student embedding has its own CNN
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                              embedding="student",
+                              precision={"cnn": ("fast",) * n})
+
 
 class TestReviewRegressions:
     def test_engine_head_with_long_context(self, tmp_path):
