@@ -40,8 +40,9 @@ def _bench_streams(n_streams: int, n_frames: int, repeats: int = 3):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from openwakeword_tpu.parallel.engine import MultiStreamEngine
 
-    # BENCH_PRECISION accepts a mode name or a per-stage JSON dict,
-    # e.g. '{"mel": "fast"}' (unset stages default to 'high')
+    # BENCH_PRECISION accepts a mode name (incl. 'mixed', the measured
+    # per-conv parity tier) or a per-stage JSON dict, e.g. '{"mel": "fast"}'
+    # (unset stages default to 'high'; 'cnn' also takes a per-conv list)
     precision = os.environ.get("BENCH_PRECISION", "high")
     if precision.startswith("{"):
         precision = json.loads(precision)

@@ -10,6 +10,9 @@ collected lines to BENCH_TIERS.json (override with --out).
 Tiers (docs/serving.md's ladder):
   parity        — precision='high', defaults: the exact-parity config and
                   the BENCH_r*.json headline
+  mixed         — precision='mixed': the measured per-conv assignment —
+                  still inside the 1e-3 parity budget (7.9e-4), ~60% of
+                  CNN MACs at 1-pass (PERF_NOTES round 5)
   bf16          — precision='bf16': max-throughput native pipeline
   student-fast  — embedding='student', precision='fast': the recommended
                   high-capacity tier (drift 1.3e-3, PERF_NOTES round 4)
@@ -30,6 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TIERS = {
     "parity": {},
+    "mixed": {"BENCH_PRECISION": "mixed"},
     "bf16": {"BENCH_PRECISION": "bf16"},
     "student-fast": {"BENCH_EMBEDDING": "student", "BENCH_PRECISION": "fast"},
     "loaded-student-fast": {"BENCH_EMBEDDING": "student",

@@ -206,6 +206,25 @@ def n_convs() -> int:
     return sum(1 for layer in _SPEC if layer[0] == "conv")
 
 
+# The measured per-conv mixed-precision assignment behind the engine's
+# ``precision='mixed'`` tier: these convs run 1-pass bf16 MXU matmuls
+# ('fast'), the rest 3-pass ('high'). Chosen by a FLOPs-per-drift knapsack
+# over the per-layer drift probe (benchmark/precision_drift.py --cnn-probe)
+# and validated by direct combined measurement on real audio + noise:
+# max |dScore| vs 'highest' = 7.9e-4 — inside the 1e-3 parity budget —
+# while putting ~60% of the CNN MACs on the 1-pass path. Adding conv 8
+# (the next knapsack pick) measures 1.11e-3: over budget, interactions are
+# super-RMS, so the set is pinned by measurement, not by the model
+# (PERF_NOTES.md round 5).
+MIXED_FAST_CONVS = (1, 2, 5, 6, 9)
+
+
+def mixed_precision() -> tuple:
+    """The per-conv mode tuple for the measured 'mixed' serving tier."""
+    return tuple("fast" if i in MIXED_FAST_CONVS else "high"
+                 for i in range(n_convs()))
+
+
 def layer_precision(precision, conv_i: int):
     """Resolve the precision for conv ``conv_i``.
 

@@ -260,6 +260,20 @@ class MultiStreamEngine:
                         and all(m in _modes[:3] for m in v))
             return v in _modes[:3]
 
+        if precision == "mixed":
+            # measured mixed-precision parity tier: mel/heads 'high', the
+            # per-conv assignment embedding.MIXED_FAST_CONVS at 1-pass —
+            # max |dScore| 7.9e-4 vs 'highest', inside the 1e-3 parity
+            # budget (PERF_NOTES.md round 5). The assignment is measured
+            # for the default CNN; the student's recommended tier is 'fast'.
+            if embedding != "default":
+                raise ValueError(
+                    "precision='mixed' is the measured per-conv assignment "
+                    "for the default embedding CNN; with "
+                    f"embedding={embedding!r} use 'fast' (recommended "
+                    "student tier) or a per-stage dict")
+            from openwakeword_tpu.models import embedding as _E_mixed
+            precision = {"cnn": _E_mixed.mixed_precision()}
         if isinstance(precision, dict):
             bad = set(precision) - {"mel", "cnn", "heads"}
             if (bad
@@ -278,8 +292,9 @@ class MultiStreamEngine:
         elif precision in _modes:
             self._stage_modes = {k: precision for k in ("mel", "cnn", "heads")}
         else:
-            raise ValueError("precision must be 'highest', 'high', 'fast', "
-                             f"'bf16', or a per-stage dict; got {precision!r}")
+            raise ValueError("precision must be 'highest', 'high', 'mixed', "
+                             f"'fast', 'bf16', or a per-stage dict; got "
+                             f"{precision!r}")
         self.precision = precision
 
         # ---- heads ----

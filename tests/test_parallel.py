@@ -340,6 +340,32 @@ class TestPrecisionModes:
                               embedding="student",
                               precision={"cnn": ("fast",) * n})
 
+    def test_mixed_alias(self, audio):
+        """precision='mixed' expands to the measured per-conv assignment —
+        identical scores to the explicit dict form (CPU: f32 modes are
+        numerically alike, so this proves the plumbing, not the drift)."""
+        from openwakeword_tpu.models import embedding as E
+        e_alias = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                    rng_seed=0, precision="mixed")
+        e_dict = MultiStreamEngine(wakeword_models=["alexa"], n_streams=2,
+                                   rng_seed=0,
+                                   precision={"cnn": E.mixed_precision()})
+        assert e_alias._stage_modes == e_dict._stage_modes
+        assert e_alias._stage_modes["mel"] == "high"
+        assert e_alias._stage_modes["heads"] == "high"
+        cnn = e_alias._stage_modes["cnn"]
+        assert isinstance(cnn, tuple) and len(cnn) == E.n_convs()
+        assert {i for i, m in enumerate(cnn) if m == "fast"} \
+            == set(E.MIXED_FAST_CONVS)
+        for t in range(4):
+            chunk = audio[:, t * 1280:(t + 1) * 1280]
+            s_a = e_alias.predict(chunk)
+            s_d = e_dict.predict(chunk)
+        np.testing.assert_array_equal(s_a, s_d)
+        with pytest.raises(ValueError):   # measured for the default CNN only
+            MultiStreamEngine(wakeword_models=["alexa"], n_streams=1,
+                              embedding="student", precision="mixed")
+
 
 class TestReviewRegressions:
     def test_engine_head_with_long_context(self, tmp_path):
