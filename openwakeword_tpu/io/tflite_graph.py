@@ -370,24 +370,28 @@ class TfliteProgram:
             strides = _static(a(3), "StridedSlice strides").astype(int)
             bm = scalar_opt(0, "<i", 0)
             em = scalar_opt(1, "<i", 0)
-            # ellipsis_mask / new_axis_mask change the rank mapping; the
-            # loop below assumes one slice spec per input dim, so executing
-            # with either set would produce wrong shapes silently. (Per-op
-            # options — the constructor's opcode pre-screen can't catch it.)
             ellipsis = scalar_opt(2, "<i", 0)
             new_axis = scalar_opt(3, "<i", 0)
-            if ellipsis or new_axis:
+            if bin(ellipsis).count("1") > 1:
                 raise NotImplementedError(
-                    "TFLite executor: STRIDED_SLICE ellipsis_mask/"
-                    "new_axis_mask are unsupported")
+                    "TFLite executor: STRIDED_SLICE with more than one "
+                    "ellipsis_mask bit is malformed")
             shrink = scalar_opt(4, "<i", 0)
+            # one index entry per SPEC position (TF strided-slice semantics:
+            # a new_axis entry inserts a dim, an ellipsis entry expands to
+            # however many full slices the rank needs, any missing trailing
+            # entries are full slices — numpy indexing implements all three)
             idx = []
             for d in range(len(begin)):
-                b0 = None if (bm >> d) & 1 else int(begin[d])
-                e0 = None if (em >> d) & 1 else int(end[d])
-                if (shrink >> d) & 1:
+                if (new_axis >> d) & 1:
+                    idx.append(None)
+                elif (ellipsis >> d) & 1:
+                    idx.append(Ellipsis)
+                elif (shrink >> d) & 1:
                     idx.append(int(begin[d]))
                 else:
+                    b0 = None if (bm >> d) & 1 else int(begin[d])
+                    e0 = None if (em >> d) & 1 else int(end[d])
                     idx.append(slice(b0, e0, int(strides[d])))
             env[outs[0]] = x[tuple(idx)]
         elif code == _OP_SLICE:
@@ -732,11 +736,14 @@ class TfliteProgram:
         w_i, w_f, w_c, w_o = g(1), g(2), g(3), g(4)       # (H, I)
         r_i, r_f, r_c, r_o = g(5), g(6), g(7), g(8)       # (H, H)
         b_i, b_f, b_c, b_o = g(12), g(13), g(14), g(15)
-        if w_i is None or r_i is None:
-            # CIFG variant: input-gate weights absent (tensor index -1) and
-            # the input gate is coupled to 1 - forget
+        # CIFG variant: input-gate tensors absent (index -1); the input gate
+        # is coupled to the forget gate as i = 1 - f (lite/kernels/
+        # lstm_eval.cc, use_cifg). All three must be absent together.
+        cifg = w_i is None
+        if cifg != (r_i is None) or (cifg and b_i is not None):
             raise NotImplementedError(
-                "TFLite LSTM: CIFG (coupled input-forget gate) unsupported")
+                "TFLite LSTM: malformed CIFG tensor set (input-gate "
+                "weights/bias must all be absent together)")
         if any(v is not None for v in (g(9), g(10), g(11))):
             raise NotImplementedError("TFLite LSTM: peephole weights unsupported")
         if g(16) is not None:
@@ -745,13 +752,17 @@ class TfliteProgram:
             # only meaningful with projection weights, which are rejected
             # above — unreachable in practice, kept for clarity
             raise NotImplementedError("TFLite LSTM: proj_clip unsupported")
-        B, H = x.shape[0], w_i.shape[0]
+        B, H = x.shape[0], w_f.shape[0]
         h0 = jnp.zeros((B, H), x.dtype)
         c0 = jnp.zeros((B, H), x.dtype)
-        wx = jnp.concatenate([w_i, w_f, w_c, w_o], axis=0)     # (4H, I)
-        wh = jnp.concatenate([r_i, r_f, r_c, r_o], axis=0)     # (4H, H)
-        bias = jnp.concatenate([b_i, b_f, b_c, b_o]) \
-            if b_i is not None else jnp.zeros(4 * H, x.dtype)
+        gates_x = [w_f, w_c, w_o] if cifg else [w_i, w_f, w_c, w_o]
+        gates_h = [r_f, r_c, r_o] if cifg else [r_i, r_f, r_c, r_o]
+        gates_b = [b_f, b_c, b_o] if cifg else [b_i, b_f, b_c, b_o]
+        n_gates = len(gates_x)
+        wx = jnp.concatenate(gates_x, axis=0)                  # (GH, I)
+        wh = jnp.concatenate(gates_h, axis=0)                  # (GH, H)
+        bias = jnp.concatenate(gates_b) \
+            if gates_b[0] is not None else jnp.zeros(n_gates * H, x.dtype)
         xs = jnp.swapaxes(x, 0, 1)                             # (T, B, I)
         pre_x = jnp.einsum("tbi,gi->tbg", xs, wx,
                            precision=lax.Precision.HIGHEST) + bias
@@ -759,8 +770,13 @@ class TfliteProgram:
         def step(carry, px):
             h, c = carry
             z = px + jnp.matmul(h, wh.T, precision=lax.Precision.HIGHEST)
-            i, f, cc, o = jnp.split(z, 4, axis=-1)
-            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(cc)
+            if cifg:
+                f, cc, o = jnp.split(z, 3, axis=-1)
+                f_s = jax.nn.sigmoid(f)
+                c = f_s * c + (1.0 - f_s) * jnp.tanh(cc)
+            else:
+                i, f, cc, o = jnp.split(z, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(cc)
             if cell_clip > 0.0:
                 c = jnp.clip(c, -cell_clip, cell_clip)
             h = jax.nn.sigmoid(o) * jnp.tanh(c)

@@ -197,30 +197,66 @@ def test_unknown_opcode_rejected(tmp_path):
         TfliteProgram(load_tflite(path))
 
 
-def test_strided_slice_ellipsis_new_axis_masks_rejected(tmp_path):
-    """ellipsis_mask / new_axis_mask change the rank mapping the executor's
-    per-dim slice loop assumes — a graph using either must raise a typed
-    error instead of executing with silently wrong shapes."""
+def _strided_slice_prog(tmp_path, in_shape, out_shape, spec_len, begin, end,
+                        strides, **kwargs):
     from openwakeword_tpu.io.tflite_export import _TfliteBuilder
     from openwakeword_tpu.io import tflite_import as TL
 
-    for kwargs in ({"ellipsis_mask": 1}, {"new_axis_mask": 2}):
-        tb = _TfliteBuilder()
-        x = tb.add_tensor((1, 4, 4), "in")
-        begin = tb.add_tensor((3,), "begin", np.zeros(3, np.int32), ttype=2)
-        end = tb.add_tensor((3,), "end", np.asarray([1, 4, 4], np.int32),
-                            ttype=2)
-        strd = tb.add_tensor((3,), "strides", np.ones(3, np.int32), ttype=2)
-        y = tb.add_tensor((1, 4, 4), "out")
-        tb.add_op(TL.OP_STRIDED_SLICE, [x, begin, end, strd], [y],
-                  tb.OPT_STRIDED_SLICE, tb._strided_slice_options(**kwargs))
-        path = str(tmp_path / "ss.tflite")
-        with open(path, "wb") as f:
-            f.write(tb.finish([x], [y]))
-        prog = TfliteProgram(load_tflite(path))
-        with pytest.raises(NotImplementedError, match="mask"):
-            prog.apply(prog.params, {prog.input_names[0]:
-                                     np.zeros((1, 4, 4), np.float32)})
+    tb = _TfliteBuilder()
+    x = tb.add_tensor(in_shape, "in")
+    b = tb.add_tensor((spec_len,), "begin",
+                      np.asarray(begin, np.int32), ttype=2)
+    e = tb.add_tensor((spec_len,), "end", np.asarray(end, np.int32), ttype=2)
+    s = tb.add_tensor((spec_len,), "strides",
+                      np.asarray(strides, np.int32), ttype=2)
+    y = tb.add_tensor(out_shape, "out")
+    tb.add_op(TL.OP_STRIDED_SLICE, [x, b, e, s], [y],
+              tb.OPT_STRIDED_SLICE, tb._strided_slice_options(**kwargs))
+    path = str(tmp_path / "ss.tflite")
+    with open(path, "wb") as f:
+        f.write(tb.finish([x], [y]))
+    return TfliteProgram(load_tflite(path))
+
+
+def test_strided_slice_ellipsis_and_new_axis_masks(tmp_path):
+    """ellipsis_mask expands one spec entry to however many full slices the
+    rank needs; new_axis_mask inserts a dim (TF strided-slice semantics) —
+    oracle is numpy's own mixed Ellipsis/None indexing."""
+    x = np.arange(2 * 3 * 4 * 5, dtype=np.float32).reshape(2, 3, 4, 5)
+
+    # spec (a, ..., c): ellipsis at position 1 covers dims 1..2
+    prog = _strided_slice_prog(tmp_path, x.shape, (1, 3, 4, 2), 3,
+                               [0, 0, 1], [1, 0, 5], [1, 1, 2],
+                               ellipsis_mask=0b010)
+    got = np.asarray(prog.apply(prog.params, {"in": x})["out"])
+    np.testing.assert_array_equal(got, x[0:1, ..., 1:5:2])
+
+    # spec (a, newaxis, b): inserts a length-1 dim between dims 0 and 1,
+    # trailing dims get implicit full slices
+    prog = _strided_slice_prog(tmp_path, x.shape, (1, 1, 2, 4, 5), 3,
+                               [1, 0, 0], [2, 0, 2], [1, 1, 1],
+                               new_axis_mask=0b010)
+    got = np.asarray(prog.apply(prog.params, {"in": x})["out"])
+    np.testing.assert_array_equal(got, x[1:2, None, 0:2])
+
+    # combined with shrink: (shrink, ..., newaxis)
+    prog = _strided_slice_prog(tmp_path, x.shape, (3, 4, 5, 1), 3,
+                               [1, 0, 0], [2, 0, 0], [1, 1, 1],
+                               ellipsis_mask=0b010, new_axis_mask=0b100,
+                               shrink_axis_mask=0b001)
+    got = np.asarray(prog.apply(prog.params, {"in": x})["out"])
+    np.testing.assert_array_equal(got, x[1, ..., None])
+
+
+def test_strided_slice_double_ellipsis_rejected(tmp_path):
+    """More than one ellipsis bit is a malformed graph — typed error, not a
+    silently wrong execution."""
+    x = np.zeros((2, 3, 4), np.float32)
+    prog = _strided_slice_prog(tmp_path, x.shape, x.shape, 3,
+                               [0, 0, 0], [0, 0, 0], [1, 1, 1],
+                               ellipsis_mask=0b011)
+    with pytest.raises(NotImplementedError, match="ellipsis"):
+        prog.apply(prog.params, {"in": x})
 
 
 class _FakeLstmOpts:
@@ -265,19 +301,23 @@ def _craft_lstm_model(rng, hidden=4, t=3, inp=2, cifg=False, cell_clip=0.0):
     return model, weights
 
 
-def _numpy_lstm(x, weights, cell_clip=0.0):
-    """Independent float LSTM (gate order i,f,c,o) with optional cell clip."""
+def _numpy_lstm(x, weights, cell_clip=0.0, cifg=False):
+    """Independent float LSTM (gate order i,f,c,o) with optional cell clip;
+    cifg couples the input gate as i = 1 - f (lite/kernels/lstm_eval.cc)."""
     def sig(v):
         return 1.0 / (1.0 + np.exp(-v))
     B, T, _ = x.shape
-    H = weights[1].shape[0]
+    H = weights[2].shape[0]
     h = np.zeros((B, H), np.float64)
     c = np.zeros((B, H), np.float64)
     outs = []
     for t in range(T):
         xt = x[:, t].astype(np.float64)
-        i = sig(xt @ weights[1].T + h @ weights[5].T + weights[12])
         f = sig(xt @ weights[2].T + h @ weights[6].T + weights[13])
+        if cifg:
+            i = 1.0 - f
+        else:
+            i = sig(xt @ weights[1].T + h @ weights[5].T + weights[12])
         g = np.tanh(xt @ weights[3].T + h @ weights[7].T + weights[14])
         o = sig(xt @ weights[4].T + h @ weights[8].T + weights[15])
         c = f * c + i * g
@@ -308,11 +348,27 @@ def test_lstm_cell_clip_applied():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_lstm_cifg_rejected_typed():
-    """CIFG models (input-gate tensors absent, index -1) raise a typed
-    NotImplementedError instead of crashing on a None concatenate."""
+def test_lstm_cifg_matches_numpy_oracle():
+    """CIFG models (input-gate tensors absent, index -1) execute with the
+    coupled gate i = 1 - f, checked against an independent numpy LSTM."""
     rng = np.random.default_rng(4)
+    model, weights = _craft_lstm_model(rng, cifg=True)
+    prog = TfliteProgram(model)
+    x = rng.normal(0, 2, (2, 3, 2)).astype(np.float32)
+    got = np.asarray(prog.apply(prog.params, {"t0": x})["t21"])
+    want = _numpy_lstm(x, weights, cifg=True)
+    want_full = _numpy_lstm(x, weights, cifg=False)
+    assert np.abs(want - want_full).max() > 1e-3, \
+        "fixture too tame: coupled and full gates coincide"
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_lstm_partial_cifg_rejected_typed():
+    """Input-gate weights absent but the recurrent input-gate tensor present
+    (or vice versa) is a malformed graph — typed error."""
+    rng = np.random.default_rng(5)
     model, _ = _craft_lstm_model(rng, cifg=True)
+    model["operators"][0]["inputs"][5] = 5      # r_i back, w_i still absent
     prog = TfliteProgram(model)
     with pytest.raises(NotImplementedError, match="CIFG"):
         prog.apply(prog.params, {"t0": np.zeros((1, 3, 2), np.float32)})
