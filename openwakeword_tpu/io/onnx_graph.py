@@ -164,7 +164,10 @@ def _op_lstm(node, vals):
     """ONNX LSTM (layout=0, gate order iofc, default activations).
 
     X: (T, B, I); W: (D, 4H, I); R: (D, 4H, H); B: (D, 8H);
-    initial_h/c: (D, B, H). Outputs Y (T, D, B, H), Y_h, Y_c (D, B, H).
+    initial_h/c: (D, B, H); P: (D, 3H) peepholes (order Pi, Po, Pf).
+    Supports the `clip` (pre-activation bound) and `input_forget`
+    (f = 1 - i coupling) attributes. Outputs Y (T, D, B, H), Y_h, Y_c
+    (D, B, H).
     """
     x, w, r = vals[0], jnp.asarray(vals[1]), jnp.asarray(vals[2])
     hidden = int(_attr(node, "hidden_size", r.shape[-1]))
@@ -185,31 +188,56 @@ def _op_lstm(node, vals):
     batch = x.shape[1]
     h0 = vals[5] if len(vals) > 5 and vals[5] is not None else jnp.zeros((n_dirs, batch, hidden), x.dtype)
     c0 = vals[6] if len(vals) > 6 and vals[6] is not None else jnp.zeros((n_dirs, batch, hidden), x.dtype)
+    # P: peephole weights (D, 3H) in ONNX order Pi, Po, Pf — diagonal
+    # contributions of the cell state to the i/f gates (C_{t-1}) and the
+    # o gate (C_t)
+    p = jnp.asarray(vals[7]) if len(vals) > 7 and vals[7] is not None else None
+    # clip: bounds every pre-activation gate value to [-clip, clip]
+    # ("applied to the input of activations")
+    clip_v = _attr(node, "clip", None)
+    clip_v = float(clip_v) if clip_v is not None else None
+    # input_forget=1 couples the gates: f_t = 1 - i_t (post-activation)
+    input_forget = bool(_attr(node, "input_forget", 0))
     x, h0, c0, b = jnp.asarray(x), jnp.asarray(h0), jnp.asarray(c0), jnp.asarray(b)
 
-    def run_dir(xs, wd, rd, bd, h_init, c_init):
+    def run_dir(xs, wd, rd, bd, pd, h_init, c_init):
         wb, rb = bd[: 4 * hidden], bd[4 * hidden:]
         w_t, r_t = wd.T, rd.T                      # (I, 4H), (H, 4H)
         bias = wb + rb
+        if pd is not None:
+            p_i, p_o, p_f = (pd[:hidden], pd[hidden:2 * hidden],
+                             pd[2 * hidden:])
+
+        def pre(v):
+            return jnp.clip(v, -clip_v, clip_v) if clip_v is not None else v
 
         def step(carry, x_t):
             h, c = carry
             gates = (jnp.matmul(x_t, w_t, precision=lax.Precision.HIGHEST)
                      + jnp.matmul(h, r_t, precision=lax.Precision.HIGHEST) + bias)
             i, o, f, g = jnp.split(gates, 4, axis=-1)     # ONNX order: iofc
-            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            if pd is not None:
+                i = i + p_i * c
+                f = f + p_f * c
+            i_act = jax.nn.sigmoid(pre(i))
+            f_act = 1.0 - i_act if input_forget else jax.nn.sigmoid(pre(f))
+            c_new = f_act * c + i_act * jnp.tanh(pre(g))
+            if pd is not None:
+                o = o + p_o * c_new
+            h_new = jax.nn.sigmoid(pre(o)) * jnp.tanh(c_new)
             return (h_new, c_new), h_new
 
         (h_fin, c_fin), ys = lax.scan(step, (h_init, c_init), xs)
         return ys, h_fin, c_fin
 
     ys_f, h_f, c_f = run_dir(x if direction != "reverse" else x[::-1],
-                             w[0], r[0], b[0], h0[0], c0[0])
+                             w[0], r[0], b[0], None if p is None else p[0],
+                             h0[0], c0[0])
     if direction == "reverse":
         ys_f = ys_f[::-1]
     if direction == "bidirectional":
-        ys_b, h_b, c_b = run_dir(x[::-1], w[1], r[1], b[1], h0[1], c0[1])
+        ys_b, h_b, c_b = run_dir(x[::-1], w[1], r[1], b[1],
+                                 None if p is None else p[1], h0[1], c0[1])
         y = jnp.stack([ys_f, ys_b[::-1]], axis=1)          # (T, 2, B, H)
         y_h = jnp.stack([h_f, h_b])
         y_c = jnp.stack([c_f, c_b])

@@ -333,6 +333,62 @@ class TestCompilerEdgeSemantics:
         with pytest.raises(NotImplementedError, match="activations"):
             prog.apply(prog.params, {"x": np.zeros((5, 1, I), np.float32)})
 
+    def test_lstm_peephole_clip_input_forget(self, tmp_path):
+        """P peephole weights (Pi/Po/Pf on c_{t-1}/c_t), the `clip`
+        pre-activation bound, and input_forget gate coupling (f = 1 - i)
+        execute with ONNX-spec semantics — numpy oracle. (Previously P,
+        clip, and input_forget were silently ignored, scoring peephole
+        graphs wrong with no error.)"""
+        rng = np.random.default_rng(45)
+        H, I, T, B = 4, 3, 6, 2
+        W = rng.normal(0, .6, (1, 4 * H, I)).astype(np.float32)
+        R = rng.normal(0, .6, (1, 4 * H, H)).astype(np.float32)
+        Bb = rng.normal(0, .6, (1, 8 * H)).astype(np.float32)
+        P = rng.normal(0, .6, (1, 3 * H)).astype(np.float32)
+        x = rng.normal(0, 1.5, (T, B, I)).astype(np.float32)
+
+        def oracle(clip=None, input_forget=False):
+            def sig(v):
+                return 1.0 / (1.0 + np.exp(-v))
+
+            def pre(v):
+                return np.clip(v, -clip, clip) if clip else v
+            wb, rb = Bb[0, :4 * H], Bb[0, 4 * H:]
+            p_i, p_o, p_f = P[0, :H], P[0, H:2 * H], P[0, 2 * H:]
+            h = np.zeros((B, H))
+            c = np.zeros((B, H))
+            ys = []
+            for t in range(T):
+                g4 = x[t] @ W[0].T + h @ R[0].T + wb + rb
+                i, o, f, g = np.split(g4, 4, axis=-1)
+                i, f = i + p_i * c, f + p_f * c
+                ia = sig(pre(i))
+                fa = 1.0 - ia if input_forget else sig(pre(f))
+                c = fa * c + ia * np.tanh(pre(g))
+                o = o + p_o * c
+                h = sig(pre(o)) * np.tanh(c)
+                ys.append(h)
+            return np.stack(ys)                     # (T, B, H)
+
+        inits = [op.encode_tensor("W", W), op.encode_tensor("R", R),
+                 op.encode_tensor("Bb", Bb), op.encode_tensor("P", P)]
+        plain = oracle()
+        for kwargs, want in (({}, plain),
+                             ({"clip": 0.5}, oracle(clip=0.5)),
+                             ({"input_forget": 1},
+                              oracle(input_forget=True))):
+            nodes = [op.encode_node(
+                "LSTM", ["x", "W", "R", "Bb", "", "", "", "P"], ["Y"],
+                hidden_size=H, **kwargs)]
+            prog = self._prog(tmp_path, nodes, inits,
+                              [op.encode_value_info("x", [T, B, I])],
+                              [op.encode_value_info("Y", [T, 1, B, H])])
+            got = np.asarray(prog.apply(prog.params, {"x": x})["Y"])[:, 0]
+            if kwargs:      # each attribute must actually bind on this data
+                assert np.abs(want - plain).max() > 1e-3, \
+                    f"fixture too tame for {kwargs}"
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_pool_ceil_mode_rejected(self, tmp_path):
         nodes = [op.encode_node("MaxPool", ["x"], ["y"], kernel_shape=[2],
                                 strides=[2], ceil_mode=1)]
