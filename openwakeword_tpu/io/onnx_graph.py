@@ -248,6 +248,85 @@ def _op_lstm(node, vals):
     return outs[:max(1, len(node["output"]))]
 
 
+def _op_gru(node, vals):
+    """ONNX GRU (layout=0, gate order zrh, default activations).
+
+    X: (T, B, I); W: (D, 3H, I); R: (D, 3H, H); B: (D, 6H).
+    Supports `linear_before_reset` and the `clip` pre-activation bound.
+    Outputs Y (T, D, B, H), Y_h (D, B, H).
+    """
+    x, w, r = vals[0], jnp.asarray(vals[1]), jnp.asarray(vals[2])
+    hidden = int(_attr(node, "hidden_size", r.shape[-1]))
+    direction = _attr(node, "direction", "forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    if _attr(node, "activations") is not None:
+        acts = [a.decode() if isinstance(a, bytes) else a
+                for a in _attr(node, "activations")]
+        if [a.lower() for a in acts] not in (["sigmoid", "tanh"],
+                                             ["sigmoid", "tanh"] * 2):
+            raise NotImplementedError(f"ONNX GRU custom activations {acts}")
+    n_dirs = {"forward": 1, "reverse": 1, "bidirectional": 2}[direction]
+    b = vals[3] if len(vals) > 3 and vals[3] is not None \
+        else np.zeros((n_dirs, 6 * hidden), np.float32)
+    if len(vals) > 4 and vals[4] is not None:
+        seq_lens = _concrete(vals[4], "GRU sequence_lens")
+        if not np.all(seq_lens == x.shape[0]):
+            raise NotImplementedError("ONNX GRU with ragged sequence_lens")
+    batch = x.shape[1]
+    h0 = vals[5] if len(vals) > 5 and vals[5] is not None \
+        else jnp.zeros((n_dirs, batch, hidden), x.dtype)
+    clip_v = _attr(node, "clip", None)
+    clip_v = float(clip_v) if clip_v is not None else None
+    lbr = bool(_attr(node, "linear_before_reset", 0))
+    x, h0, b = jnp.asarray(x), jnp.asarray(h0), jnp.asarray(b)
+
+    def run_dir(xs, wd, rd, bd, h_init):
+        wb, rb = bd[: 3 * hidden], bd[3 * hidden:]
+        w_t = wd.T                                  # (I, 3H)
+        rzr_t = rd[: 2 * hidden].T                  # (H, 2H) — z, r gates
+        rh_t = rd[2 * hidden:].T                    # (H, H)  — h candidate
+        rbh = rb[2 * hidden:]
+
+        def pre(v):
+            return jnp.clip(v, -clip_v, clip_v) if clip_v is not None else v
+
+        def step(h, x_t):
+            gx = jnp.matmul(x_t, w_t, precision=lax.Precision.HIGHEST) + wb
+            zr = (gx[..., : 2 * hidden]
+                  + jnp.matmul(h, rzr_t, precision=lax.Precision.HIGHEST)
+                  + rb[: 2 * hidden])
+            z, rg = jnp.split(zr, 2, axis=-1)
+            z = jax.nn.sigmoid(pre(z))
+            rg = jax.nn.sigmoid(pre(rg))
+            hx = gx[..., 2 * hidden:]
+            if lbr:    # ht = g(Xt·Wh + rt ⊙ (Ht-1·Rh + Rbh) + Wbh)
+                hh = hx + rg * (jnp.matmul(
+                    h, rh_t, precision=lax.Precision.HIGHEST) + rbh)
+            else:      # ht = g(Xt·Wh + (rt ⊙ Ht-1)·Rh + Rbh + Wbh)
+                hh = hx + jnp.matmul(
+                    rg * h, rh_t, precision=lax.Precision.HIGHEST) + rbh
+            h_new = (1.0 - z) * jnp.tanh(pre(hh)) + z * h
+            return h_new, h_new
+
+        h_fin, ys = lax.scan(step, h_init, xs)
+        return ys, h_fin
+
+    ys_f, h_f = run_dir(x if direction != "reverse" else x[::-1],
+                        w[0], r[0], b[0], h0[0])
+    if direction == "reverse":
+        ys_f = ys_f[::-1]
+    if direction == "bidirectional":
+        ys_b, h_b = run_dir(x[::-1], w[1], r[1], b[1], h0[1])
+        y = jnp.stack([ys_f, ys_b[::-1]], axis=1)          # (T, 2, B, H)
+        y_h = jnp.stack([h_f, h_b])
+    else:
+        y = ys_f[:, None]                                  # (T, 1, B, H)
+        y_h = h_f[None]
+    outs = [y, y_h]
+    return outs[:max(1, len(node["output"]))]
+
+
 def _pool_common(node, x, reducer, init):
     if _attr(node, "ceil_mode", 0):
         raise NotImplementedError("Pool with ceil_mode=1 is not supported")
@@ -588,6 +667,7 @@ _OPS = {
     "Conv": _op_conv,
     "BatchNormalization": _op_batchnorm,
     "LSTM": _op_lstm,
+    "GRU": _op_gru,
     "MaxPool": _op_maxpool,
     "AveragePool": _op_avgpool,
     "GlobalAveragePool": lambda node, vals: [jnp.mean(

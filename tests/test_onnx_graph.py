@@ -333,6 +333,108 @@ class TestCompilerEdgeSemantics:
         with pytest.raises(NotImplementedError, match="activations"):
             prog.apply(prog.params, {"x": np.zeros((5, 1, I), np.float32)})
 
+    def test_gru_torch_and_numpy_oracles(self, tmp_path):
+        """ONNX GRU (gate order zrh) against two independent oracles:
+        torch.nn.GRU in a subprocess (== linear_before_reset=1 semantics,
+        with zrh→rzn gate reordering) and a numpy spec implementation for
+        both linear_before_reset modes, clip, and bidirectional."""
+        rng = np.random.default_rng(46)
+        H, I, T, B = 5, 3, 7, 2
+        W = rng.normal(0, .6, (1, 3 * H, I)).astype(np.float32)
+        R = rng.normal(0, .6, (1, 3 * H, H)).astype(np.float32)
+        Bb = rng.normal(0, .6, (1, 6 * H)).astype(np.float32)
+        x = rng.normal(0, 1.2, (T, B, I)).astype(np.float32)
+
+        def np_gru(xs, Wd, Rd, Bd, lbr=False, clip=None):
+            def sig(v):
+                return 1.0 / (1.0 + np.exp(-v))
+
+            def pre(v):
+                return np.clip(v, -clip, clip) if clip else v
+            wb, rb = Bd[:3 * H], Bd[3 * H:]
+            Wz, Wr, Wh = np.split(Wd, 3, 0)
+            Rz, Rr, Rh = np.split(Rd, 3, 0)
+            wbz, wbr, wbh = np.split(wb, 3)
+            rbz, rbr, rbh = np.split(rb, 3)
+            h = np.zeros((xs.shape[1], H))
+            ys = []
+            for t in range(xs.shape[0]):
+                xt = xs[t]
+                zg = sig(pre(xt @ Wz.T + h @ Rz.T + wbz + rbz))
+                rg = sig(pre(xt @ Wr.T + h @ Rr.T + wbr + rbr))
+                if lbr:
+                    hh = np.tanh(pre(xt @ Wh.T + wbh
+                                     + rg * (h @ Rh.T + rbh)))
+                else:
+                    hh = np.tanh(pre(xt @ Wh.T + (rg * h) @ Rh.T
+                                     + wbh + rbh))
+                h = (1.0 - zg) * hh + zg * h
+                ys.append(h)
+            return np.stack(ys), h
+
+        def run(direction="forward", **kwargs):
+            n_dirs = 2 if direction == "bidirectional" else 1
+            inits = [op.encode_tensor("W", np.repeat(W, n_dirs, 0)),
+                     op.encode_tensor("R", np.repeat(R, n_dirs, 0)),
+                     op.encode_tensor("Bb", np.repeat(Bb, n_dirs, 0))]
+            nodes = [op.encode_node("GRU", ["x", "W", "R", "Bb"], ["Y"],
+                                    hidden_size=H, direction=direction,
+                                    **kwargs)]
+            prog = self._prog(tmp_path, nodes, inits,
+                              [op.encode_value_info("x", [T, B, I])],
+                              [op.encode_value_info("Y", [T, n_dirs, B, H])])
+            return np.asarray(prog.apply(prog.params, {"x": x})["Y"])
+
+        # linear_before_reset=0 (default) + clip, numpy oracle
+        want0, _ = np_gru(x, W[0], R[0], Bb[0], lbr=False, clip=0.6)
+        np.testing.assert_allclose(run(clip=0.6)[:, 0], want0, atol=1e-5)
+
+        # linear_before_reset=1: numpy oracle AND torch.nn.GRU subprocess
+        got1 = run(linear_before_reset=1)[:, 0]
+        want1, _ = np_gru(x, W[0], R[0], Bb[0], lbr=True)
+        assert np.abs(want1 - want0).max() > 1e-3, \
+            "fixture too tame: lbr modes coincide"
+        np.testing.assert_allclose(got1, want1, atol=1e-5)
+        oracle = textwrap.dedent("""
+            import sys
+            import numpy as np
+            import torch
+            z = np.load(sys.argv[1])
+            W, R, B, x = z["W"], z["R"], z["B"], torch.from_numpy(z["x"])
+            H = R.shape[-1]
+
+            def zrh_to_rzn(m):
+                zz, rr, hh = np.split(m.reshape(3, -1), 3, axis=0)
+                return np.concatenate([rr, zz, hh], 0).reshape(m.shape)
+            gru = torch.nn.GRU(input_size=W.shape[-1], hidden_size=H)
+            with torch.no_grad():
+                gru.weight_ih_l0.copy_(torch.from_numpy(zrh_to_rzn(W)))
+                gru.weight_hh_l0.copy_(torch.from_numpy(zrh_to_rzn(R)))
+                gru.bias_ih_l0.copy_(torch.from_numpy(zrh_to_rzn(B[:3*H])))
+                gru.bias_hh_l0.copy_(torch.from_numpy(zrh_to_rzn(B[3*H:])))
+                y, hn = gru(x)
+            np.savez(sys.argv[2], y=y.numpy())
+        """)
+        in_npz, out_npz = str(tmp_path / "gi.npz"), str(tmp_path / "go.npz")
+        script = str(tmp_path / "gru_oracle.py")
+        np.savez(in_npz, W=W[0], R=R[0], B=Bb[0], x=x)
+        with open(script, "w") as f:
+            f.write(oracle)
+        r = subprocess.run([sys.executable, script, in_npz, out_npz],
+                           capture_output=True, text=True,
+                           env=dict(os.environ, JAX_PLATFORMS=""),
+                           timeout=300)
+        assert r.returncode == 0, f"torch GRU oracle failed:\n{r.stderr[-2000:]}"
+        with np.load(out_npz) as zz:
+            np.testing.assert_allclose(got1, zz["y"], atol=1e-5)
+
+        # bidirectional (reverse leg = numpy oracle on reversed input)
+        got_bi = run(direction="bidirectional")
+        want_fwd, _ = np_gru(x, W[0], R[0], Bb[0])
+        want_bwd, _ = np_gru(x[::-1], W[0], R[0], Bb[0])
+        np.testing.assert_allclose(got_bi[:, 0], want_fwd, atol=1e-5)
+        np.testing.assert_allclose(got_bi[:, 1], want_bwd[::-1], atol=1e-5)
+
     def test_lstm_peephole_clip_input_forget(self, tmp_path):
         """P peephole weights (Pi/Po/Pf on c_{t-1}/c_t), the `clip`
         pre-activation bound, and input_forget gate coupling (f = 1 - i)
