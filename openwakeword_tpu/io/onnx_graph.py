@@ -327,6 +327,74 @@ def _op_gru(node, vals):
     return outs[:max(1, len(node["output"]))]
 
 
+def _op_rnn(node, vals):
+    """ONNX RNN (vanilla Elman cell, layout=0).
+
+    X: (T, B, I); W: (D, H, I); R: (D, H, H); B: (D, 2H).
+    ``h_t = f(X_t·W^T + Wb + h_{t-1}·R^T + Rb)`` with the ``clip``
+    pre-activation bound; f defaults to Tanh (Relu/Sigmoid accepted).
+    Outputs Y (T, D, B, H), Y_h (D, B, H).
+    """
+    x, w, r = vals[0], jnp.asarray(vals[1]), jnp.asarray(vals[2])
+    hidden = int(_attr(node, "hidden_size", r.shape[-1]))
+    direction = _attr(node, "direction", "forward")
+    if isinstance(direction, bytes):
+        direction = direction.decode()
+    n_dirs = {"forward": 1, "reverse": 1, "bidirectional": 2}[direction]
+    acts = _attr(node, "activations") or ["Tanh"] * n_dirs
+    acts = [a.decode() if isinstance(a, bytes) else a for a in acts]
+    fns = {"tanh": jnp.tanh, "relu": lambda v: jnp.maximum(v, 0.0),
+           "sigmoid": jax.nn.sigmoid}
+    if any(a.lower() not in fns for a in acts):
+        raise NotImplementedError(f"ONNX RNN activations {acts}")
+    if len({a.lower() for a in acts}) != 1:
+        raise NotImplementedError(
+            f"ONNX RNN with per-direction activations {acts}")
+    f = fns[acts[0].lower()]
+    b = vals[3] if len(vals) > 3 and vals[3] is not None \
+        else np.zeros((n_dirs, 2 * hidden), np.float32)
+    if len(vals) > 4 and vals[4] is not None:
+        seq_lens = _concrete(vals[4], "RNN sequence_lens")
+        if not np.all(seq_lens == x.shape[0]):
+            raise NotImplementedError("ONNX RNN with ragged sequence_lens")
+    batch = x.shape[1]
+    h0 = vals[5] if len(vals) > 5 and vals[5] is not None \
+        else jnp.zeros((n_dirs, batch, hidden), x.dtype)
+    clip_v = _attr(node, "clip", None)
+    clip_v = float(clip_v) if clip_v is not None else None
+    x, h0, b = jnp.asarray(x), jnp.asarray(h0), jnp.asarray(b)
+
+    def run_dir(xs, wd, rd, bd, h_init):
+        bias = bd[:hidden] + bd[hidden:]
+        pre_x = jnp.einsum("tbi,hi->tbh", xs, wd,
+                           precision=lax.Precision.HIGHEST) + bias
+        r_t = rd.T
+
+        def step(h, px):
+            z = px + jnp.matmul(h, r_t, precision=lax.Precision.HIGHEST)
+            if clip_v is not None:
+                z = jnp.clip(z, -clip_v, clip_v)
+            h_new = f(z)
+            return h_new, h_new
+
+        h_fin, ys = lax.scan(step, h_init, pre_x)
+        return ys, h_fin
+
+    ys_f, h_f = run_dir(x if direction != "reverse" else x[::-1],
+                        w[0], r[0], b[0], h0[0])
+    if direction == "reverse":
+        ys_f = ys_f[::-1]
+    if direction == "bidirectional":
+        ys_b, h_b = run_dir(x[::-1], w[1], r[1], b[1], h0[1])
+        y = jnp.stack([ys_f, ys_b[::-1]], axis=1)          # (T, 2, B, H)
+        y_h = jnp.stack([h_f, h_b])
+    else:
+        y = ys_f[:, None]                                  # (T, 1, B, H)
+        y_h = h_f[None]
+    outs = [y, y_h]
+    return outs[:max(1, len(node["output"]))]
+
+
 def _pool_common(node, x, reducer, init):
     if _attr(node, "ceil_mode", 0):
         raise NotImplementedError("Pool with ceil_mode=1 is not supported")
@@ -668,6 +736,7 @@ _OPS = {
     "BatchNormalization": _op_batchnorm,
     "LSTM": _op_lstm,
     "GRU": _op_gru,
+    "RNN": _op_rnn,
     "MaxPool": _op_maxpool,
     "AveragePool": _op_avgpool,
     "GlobalAveragePool": lambda node, vals: [jnp.mean(

@@ -56,7 +56,7 @@ _OP_EXP, _OP_SPLIT, _OP_MAXIMUM, _OP_MINIMUM, _OP_PADV2 = 47, 49, 55, 57, 60
 _OP_SLICE, _OP_SUM, _OP_SQRT, _OP_RSQRT, _OP_LOG = 65, 74, 75, 76, 73
 _OP_SQUARED_DIFFERENCE, _OP_REDUCE_MAX, _OP_LEAKY_RELU = 99, 82, 98
 _OP_REVERSE_V2, _OP_NEG, _OP_ABS, _OP_PRELU = 105, 59, 101, 54
-_OP_HARD_SWISH, _OP_GELU = 117, 150
+_OP_HARD_SWISH, _OP_GELU, _OP_SVDF = 117, 150, 27
 _OP_DEQUANTIZE, _OP_QUANTIZE = 6, 114
 
 _OP_NAMES = {
@@ -121,8 +121,11 @@ class TfliteProgram:
         output_names: graph output tensor names.
 
     ``apply(params, inputs_dict)`` evaluates the graph (wrap in ``jax.jit``);
-    variable tensors (LSTM state) read as zeros sized by the runtime batch —
-    one call is one stateless evaluation, like a fresh LiteRT interpreter.
+    variable tensors (SVDF memory, LSTM state) read as zeros sized by the
+    runtime batch — one call is one stateless evaluation, like a fresh
+    LiteRT interpreter. ``apply_stateful(params, inputs, state)`` threads
+    the variable tensors across calls like a persistent interpreter
+    (streaming KWS models).
     """
 
     def __init__(self, model: Dict, quantized: str = "dequant"):
@@ -137,6 +140,8 @@ class TfliteProgram:
         self._static_vals: Dict[int, np.ndarray] = {}
         self._input_idx: List[int] = list(model["inputs"])
         self._output_idx: List[int] = list(model["outputs"])
+        self._var_idx: List[int] = [
+            i for i, t in enumerate(self._tensors) if t["is_variable"]]
 
         for i, t in enumerate(self._tensors):
             if t["data"] is None:
@@ -193,6 +198,32 @@ class TfliteProgram:
 
     def apply(self, params: Dict, inputs: Dict[str, Any]) -> Dict[str, Any]:
         """Evaluate the graph. ``inputs`` maps input tensor names to arrays."""
+        return self._run(params, inputs, None)[0]
+
+    def apply_stateful(self, params: Dict, inputs: Dict[str, Any],
+                       state: Optional[Dict[str, Any]] = None):
+        """Evaluate the graph threading variable-tensor state across calls.
+
+        LiteRT's interpreter persists ``is_variable`` tensors (SVDF memory,
+        streaming-LSTM h/c) between ``invoke()`` calls — streaming KWS
+        models depend on it (reference runtime:
+        ``/root/reference/openwakeword/utils.py:112-161`` runs whatever the
+        .tflite contains under a persistent interpreter). ``state`` maps
+        variable tensor names to arrays (``None``/missing entries start
+        zeroed, exactly like a fresh interpreter); returns
+        ``(outputs, new_state)`` where ``new_state`` feeds the next call.
+        Jit-friendly: shapes are static given a fixed batch.
+        """
+        return self._run(params, inputs, dict(state or {}))
+
+    def variable_names(self) -> List[str]:
+        """Names of persistent (``is_variable``) tensors, ``apply_stateful``
+        state-dict keys; empty for stateless graphs."""
+        return [self._tensors[i]["name"] or f"tensor_{i}"
+                for i in self._var_idx]
+
+    def _run(self, params: Dict, inputs: Dict[str, Any],
+             state: Optional[Dict[str, Any]]):
         missing = [n for n in self.input_names if n not in inputs]
         if missing:
             raise ValueError(f"TFLite program missing inputs: {missing}")
@@ -200,13 +231,27 @@ class TfliteProgram:
         for i, key in self._param_key.items():
             env[i] = params[key]
         env.update(self._static_vals)
+        if state:
+            by_name = {(self._tensors[i]["name"] or f"tensor_{i}"): i
+                       for i in self._var_idx}
+            unknown = sorted(set(state) - set(by_name))
+            if unknown:
+                raise ValueError(
+                    f"TFLite program has no variable tensors named {unknown} "
+                    f"(variables: {sorted(by_name)})")
+            for name, v in state.items():
+                if v is not None:
+                    env[by_name[name]] = jnp.asarray(v)
         for name, i in zip(self.input_names, self._input_idx):
             env[i] = jnp.asarray(inputs[name])
 
         for op in self._model["operators"]:
             self._exec(op, env)
-        return {name: env[i]
+        outs = {name: env[i]
                 for name, i in zip(self.output_names, self._output_idx)}
+        new_state = {(self._tensors[i]["name"] or f"tensor_{i}"): env[i]
+                     for i in self._var_idx if i in env}
+        return outs, new_state
 
     def __call__(self, params: Dict, *args):
         out = self.apply(params, dict(zip(self.input_names, args)))
@@ -417,6 +462,36 @@ class TfliteProgram:
             # emulation every value in env is already in real (float) units,
             # so both are identity
             env[outs[0]] = jnp.asarray(a(0))
+        elif code == _OP_SVDF:
+            # lite/kernels/svdf.cc float path: per invoke, shift each
+            # filter's memory row left one slot, append the new feature
+            # activation, then time-weight, rank-sum, bias, activation.
+            x = jnp.asarray(a(0))                         # (B, I)
+            wf = jnp.asarray(a(1))                        # (F, I)
+            wt = jnp.asarray(a(2))                        # (F, M)
+            b = a(3)
+            rank = scalar_opt(0, "<i", 1)
+            act = scalar_opt(1, "<b", 0)
+            n_filters, memory = int(wt.shape[0]), int(wt.shape[1])
+            if rank <= 0 or n_filters % rank:
+                raise NotImplementedError(
+                    f"TFLite SVDF: num_filters {n_filters} not divisible "
+                    f"by rank {rank}")
+            batch = x.shape[0]
+            st = a(4)
+            st = (jnp.zeros((batch, n_filters * memory), x.dtype)
+                  if st is None else jnp.asarray(st))
+            st = st.reshape(batch, n_filters, memory)
+            feat = jnp.matmul(x, wf.T, precision=lax.Precision.HIGHEST)
+            st = jnp.concatenate([st[..., 1:], feat[..., None]], axis=-1)
+            scratch = jnp.einsum("bfm,fm->bf", st, wt,
+                                 precision=lax.Precision.HIGHEST)
+            y = scratch.reshape(batch, n_filters // rank, rank).sum(-1)
+            if b is not None:
+                y = y + jnp.asarray(b)
+            env[outs[0]] = _fused(act, y)
+            if len(ins) > 4 and ins[4] >= 0:              # persist the memory
+                env[ins[4]] = st.reshape(batch, n_filters * memory)
         elif code == _OP_UNI_LSTM:
             env[outs[0]] = self._uni_lstm(op, env)
         else:  # pragma: no cover — constructor pre-screens opcodes
@@ -753,8 +828,13 @@ class TfliteProgram:
             # above — unreachable in practice, kept for clarity
             raise NotImplementedError("TFLite LSTM: proj_clip unsupported")
         B, H = x.shape[0], w_f.shape[0]
-        h0 = jnp.zeros((B, H), x.dtype)
-        c0 = jnp.zeros((B, H), x.dtype)
+        # inputs 18/19 are the persistent activation/cell state variables
+        # (lite/kernels/unidirectional_sequence_lstm.cc); zeros on a fresh
+        # interpreter, threaded across calls under apply_stateful
+        h0 = g(18)
+        c0 = g(19)
+        h0 = jnp.zeros((B, H), x.dtype) if h0 is None else h0.reshape(B, H)
+        c0 = jnp.zeros((B, H), x.dtype) if c0 is None else c0.reshape(B, H)
         gates_x = [w_f, w_c, w_o] if cifg else [w_i, w_f, w_c, w_o]
         gates_h = [r_f, r_c, r_o] if cifg else [r_i, r_f, r_c, r_o]
         gates_b = [b_f, b_c, b_o] if cifg else [b_i, b_f, b_c, b_o]
@@ -782,7 +862,10 @@ class TfliteProgram:
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 
-        _, hs = lax.scan(step, (h0, c0), pre_x)                # (T, B, H)
+        (h_fin, c_fin), hs = lax.scan(step, (h0, c0), pre_x)   # (T, B, H)
+        if len(ins) > 19 and ins[18] >= 0 and ins[19] >= 0:    # persist state
+            env[ins[18]] = h_fin
+            env[ins[19]] = c_fin
         out = jnp.swapaxes(hs, 0, 1)                           # (B, T, H)
         return jnp.swapaxes(out, 0, 1) if time_major else out
 

@@ -435,6 +435,98 @@ class TestCompilerEdgeSemantics:
         np.testing.assert_allclose(got_bi[:, 0], want_fwd, atol=1e-5)
         np.testing.assert_allclose(got_bi[:, 1], want_bwd[::-1], atol=1e-5)
 
+    def test_rnn_torch_and_numpy_oracles(self, tmp_path):
+        """ONNX vanilla RNN against torch.nn.RNN in a subprocess (weights
+        map 1:1, no gate reorder) plus a numpy spec implementation for
+        clip, Relu activation, and bidirectional."""
+        rng = np.random.default_rng(47)
+        H, I, T, B = 5, 3, 7, 2
+        W = rng.normal(0, .6, (1, H, I)).astype(np.float32)
+        R = rng.normal(0, .6, (1, H, H)).astype(np.float32)
+        Bb = rng.normal(0, .6, (1, 2 * H)).astype(np.float32)
+        x = rng.normal(0, 1.2, (T, B, I)).astype(np.float32)
+
+        def np_rnn(xs, Wd, Rd, Bd, f=np.tanh, clip=None):
+            h = np.zeros((xs.shape[1], H))
+            ys = []
+            for t in range(xs.shape[0]):
+                z = xs[t] @ Wd.T + h @ Rd.T + Bd[:H] + Bd[H:]
+                if clip:
+                    z = np.clip(z, -clip, clip)
+                h = f(z)
+                ys.append(h)
+            return np.stack(ys)
+
+        def run(direction="forward", **kwargs):
+            n_dirs = 2 if direction == "bidirectional" else 1
+            inits = [op.encode_tensor("W", np.repeat(W, n_dirs, 0)),
+                     op.encode_tensor("R", np.repeat(R, n_dirs, 0)),
+                     op.encode_tensor("Bb", np.repeat(Bb, n_dirs, 0))]
+            nodes = [op.encode_node("RNN", ["x", "W", "R", "Bb"], ["Y"],
+                                    hidden_size=H, direction=direction,
+                                    **kwargs)]
+            prog = self._prog(tmp_path, nodes, inits,
+                              [op.encode_value_info("x", [T, B, I])],
+                              [op.encode_value_info("Y", [T, n_dirs, B, H])])
+            return np.asarray(prog.apply(prog.params, {"x": x})["Y"])
+
+        # default Tanh vs torch.nn.RNN subprocess oracle
+        got = run()[:, 0]
+        np.testing.assert_allclose(got, np_rnn(x, W[0], R[0], Bb[0]),
+                                   atol=1e-5)
+        oracle = textwrap.dedent("""
+            import sys
+            import numpy as np
+            import torch
+            z = np.load(sys.argv[1])
+            W, R, B, x = z["W"], z["R"], z["B"], torch.from_numpy(z["x"])
+            H = R.shape[-1]
+            rnn = torch.nn.RNN(input_size=W.shape[-1], hidden_size=H)
+            with torch.no_grad():
+                rnn.weight_ih_l0.copy_(torch.from_numpy(W))
+                rnn.weight_hh_l0.copy_(torch.from_numpy(R))
+                rnn.bias_ih_l0.copy_(torch.from_numpy(B[:H]))
+                rnn.bias_hh_l0.copy_(torch.from_numpy(B[H:]))
+                y, hn = rnn(x)
+            np.savez(sys.argv[2], y=y.numpy())
+        """)
+        in_npz, out_npz = str(tmp_path / "ri.npz"), str(tmp_path / "ro.npz")
+        script = str(tmp_path / "rnn_oracle.py")
+        np.savez(in_npz, W=W[0], R=R[0], B=Bb[0], x=x)
+        with open(script, "w") as f:
+            f.write(oracle)
+        r = subprocess.run([sys.executable, script, in_npz, out_npz],
+                           capture_output=True, text=True,
+                           env=dict(os.environ, JAX_PLATFORMS=""),
+                           timeout=300)
+        assert r.returncode == 0, f"torch RNN oracle failed:\n{r.stderr[-2000:]}"
+        with np.load(out_npz) as zz:
+            np.testing.assert_allclose(got, zz["y"], atol=1e-5)
+
+        # Relu activation + binding clip, numpy oracle
+        got_r = run(activations=["Relu"], clip=0.8)[:, 0]
+        want_r = np_rnn(x, W[0], R[0], Bb[0],
+                        f=lambda v: np.maximum(v, 0.0), clip=0.8)
+        np.testing.assert_allclose(got_r, want_r, atol=1e-5)
+
+        # bidirectional (reverse leg = numpy oracle on reversed input)
+        got_bi = run(direction="bidirectional")
+        np.testing.assert_allclose(got_bi[:, 0], np_rnn(x, W[0], R[0], Bb[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            got_bi[:, 1], np_rnn(x[::-1], W[0], R[0], Bb[0])[::-1], atol=1e-5)
+
+        # unsupported activation is a typed error
+        nodes = [op.encode_node("RNN", ["x", "W", "R", "Bb"], ["Y"],
+                                hidden_size=H, activations=["Affine"])]
+        inits = [op.encode_tensor("W", W), op.encode_tensor("R", R),
+                 op.encode_tensor("Bb", Bb)]
+        prog = self._prog(tmp_path, nodes, inits,
+                          [op.encode_value_info("x", [T, B, I])],
+                          [op.encode_value_info("Y", [T, 1, B, H])])
+        with pytest.raises(NotImplementedError, match="activations"):
+            prog.apply(prog.params, {"x": x})
+
     def test_lstm_peephole_clip_input_forget(self, tmp_path):
         """P peephole weights (Pi/Po/Pf on c_{t-1}/c_t), the `clip`
         pre-activation bound, and input_forget gate coupling (f = 1 - i)

@@ -375,6 +375,139 @@ def test_lstm_partial_cifg_rejected_typed():
 
 
 # ======================================================================
+# SVDF + stateful (persistent-interpreter) execution
+# ======================================================================
+
+
+class _FakeSvdfOpts:
+    """SVDFOptions: field 0 = rank, field 1 = fused activation."""
+
+    def __init__(self, rank=1, act=0):
+        self._f = {0: rank, 1: act}
+
+    def scalar(self, field, fmt, default):
+        return self._f.get(field, default)
+
+
+def _craft_svdf_model(rng, inp=3, n_filters=8, memory=5, rank=2, act=0,
+                      with_bias=True):
+    """One SVDF op (the classic streaming-KWS layer) as a parsed-model
+    dict: input (B, I), weights_feature (F, I), weights_time (F, M),
+    bias (F/rank,), variable state (B, F*M)."""
+    tensors = [{"name": f"t{i}", "shape": [], "dtype": 0, "data": None,
+                "is_variable": False, "quant": None} for i in range(6)]
+    wf = rng.normal(0, 0.5, (n_filters, inp)).astype(np.float32)
+    wt = rng.normal(0, 0.5, (n_filters, memory)).astype(np.float32)
+    bias = rng.normal(0, 0.5, (n_filters // rank,)).astype(np.float32)
+    tensors[1]["data"], tensors[2]["data"] = wf, wt
+    if with_bias:
+        tensors[3]["data"] = bias
+    tensors[4]["is_variable"] = True
+    tensors[4]["name"] = "svdf_state"
+    op = {"opcode": 27, "inputs": [0, 1, 2, 3 if with_bias else -1, 4],
+          "outputs": [5], "options": _FakeSvdfOpts(rank=rank, act=act)}
+    model = {"tensors": tensors, "operators": [op],
+             "inputs": [0], "outputs": [5]}
+    return model, (wf, wt, bias if with_bias else None)
+
+
+def _numpy_svdf_stream(xs, wf, wt, bias, rank):
+    """Independent SVDF over T invokes (lite/kernels/svdf.cc float path):
+    shift each filter's memory left, append feature activation, dot with
+    weights_time, sum rank groups, add bias. Returns (T, B, U) + state."""
+    T, B = xs.shape[0], xs.shape[1]
+    F, M = wt.shape
+    state = np.zeros((B, F, M), np.float64)
+    outs = []
+    for t in range(T):
+        feat = xs[t].astype(np.float64) @ wf.T.astype(np.float64)
+        state = np.concatenate([state[..., 1:], feat[..., None]], axis=-1)
+        scratch = (state * wt[None].astype(np.float64)).sum(-1)   # (B, F)
+        y = scratch.reshape(B, F // rank, rank).sum(-1)
+        if bias is not None:
+            y = y + bias
+        outs.append(y)
+    return np.stack(outs), state.reshape(B, F * M)
+
+
+def test_svdf_streaming_matches_numpy_oracle():
+    """SVDF threads its memory across apply_stateful calls exactly like
+    LiteRT's persistent interpreter — T chained invokes against an
+    independent numpy implementation, memory long enough that early
+    invokes still shape later outputs."""
+    rng = np.random.default_rng(11)
+    model, (wf, wt, bias) = _craft_svdf_model(rng)
+    prog = TfliteProgram(model)
+    assert prog.variable_names() == ["svdf_state"]
+    T, B = 9, 2
+    xs = rng.normal(0, 1.0, (T, B, wf.shape[1])).astype(np.float32)
+    want, want_state = _numpy_svdf_stream(xs, wf, wt, bias, rank=2)
+
+    state = None
+    for t in range(T):
+        out, state = prog.apply_stateful(prog.params, {"t0": xs[t]}, state)
+        np.testing.assert_allclose(np.asarray(out["t5"]), want[t], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state["svdf_state"]), want_state,
+                               atol=1e-5)
+    # plain apply = fresh interpreter (zero state), returns step-0 scores
+    fresh = prog.apply(prog.params, {"t0": xs[3]})["t5"]
+    first, _ = _numpy_svdf_stream(xs[3:4], wf, wt, bias, rank=2)
+    np.testing.assert_allclose(np.asarray(fresh), first[0], atol=1e-5)
+
+
+def test_svdf_rank1_no_bias_relu():
+    """rank=1, absent bias (index -1), fused RELU."""
+    rng = np.random.default_rng(12)
+    model, (wf, wt, _) = _craft_svdf_model(rng, rank=1, act=1,
+                                           with_bias=False)
+    prog = TfliteProgram(model)
+    xs = rng.normal(0, 1.0, (4, 1, wf.shape[1])).astype(np.float32)
+    want, _ = _numpy_svdf_stream(xs, wf, wt, None, rank=1)
+    want = np.maximum(want, 0.0)
+    state = None
+    for t in range(4):
+        out, state = prog.apply_stateful(prog.params, {"t0": xs[t]}, state)
+    np.testing.assert_allclose(np.asarray(out["t5"]), want[-1], atol=1e-5)
+
+
+def test_svdf_bad_rank_rejected():
+    rng = np.random.default_rng(13)
+    model, _ = _craft_svdf_model(rng, n_filters=8, rank=3)
+    prog = TfliteProgram(model)
+    with pytest.raises(NotImplementedError, match="rank"):
+        prog.apply(prog.params, {"t0": np.zeros((1, 3), np.float32)})
+
+
+def test_lstm_state_threads_across_calls():
+    """UNIDIRECTIONAL_SEQUENCE_LSTM persists h/c (variable inputs 18/19)
+    under apply_stateful: a sequence split into two chunks chained through
+    the returned state scores identically to one full-sequence call."""
+    rng = np.random.default_rng(14)
+    model, weights = _craft_lstm_model(rng, t=6)
+    prog = TfliteProgram(model)
+    assert set(prog.variable_names()) == {"t18", "t19"}
+    x = rng.normal(0, 1.0, (2, 6, 2)).astype(np.float32)
+    full = np.asarray(prog.apply(prog.params, {"t0": x})["t21"])
+    np.testing.assert_allclose(full, _numpy_lstm(x, weights), atol=1e-5)
+
+    out1, st = prog.apply_stateful(prog.params, {"t0": x[:, :3]})
+    out2, st2 = prog.apply_stateful(prog.params, {"t0": x[:, 3:]}, st)
+    got = np.concatenate([np.asarray(out1["t21"]),
+                          np.asarray(out2["t21"])], axis=1)
+    np.testing.assert_allclose(got, full, atol=1e-5)
+    assert set(st2) == {"t18", "t19"}
+
+
+def test_stateful_unknown_state_key_rejected():
+    rng = np.random.default_rng(15)
+    model, _ = _craft_svdf_model(rng)
+    prog = TfliteProgram(model)
+    with pytest.raises(ValueError, match="no variable tensors"):
+        prog.apply_stateful(prog.params, {"t0": np.zeros((1, 3), np.float32)},
+                            {"nope": np.zeros(4, np.float32)})
+
+
+# ======================================================================
 # quantized='exact': LiteRT integer-kernel semantics
 # ======================================================================
 
