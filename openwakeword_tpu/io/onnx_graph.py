@@ -539,6 +539,67 @@ def _op_reduce(fn_name):
     return impl
 
 
+def _op_reduce_comp(kind):
+    """Composite Reduce* (L1/L2/LogSum/LogSumExp/SumSquare) with the same
+    absent/empty-axes semantics as _op_reduce."""
+    def impl(node, vals):
+        x = jnp.asarray(vals[0])
+        axes = _axes_arg(node, vals)
+        keep = bool(_attr(node, "keepdims", 1))
+        if axes is None or len(axes) == 0:
+            if _attr(node, "noop_with_empty_axes", 0):
+                return [vals[0]]
+            ax = None
+        else:
+            ax = tuple(a % x.ndim for a in axes)
+        if kind == "L1":
+            r = jnp.sum(jnp.abs(x), axis=ax, keepdims=keep)
+        elif kind == "L2":
+            r = jnp.sqrt(jnp.sum(x * x, axis=ax, keepdims=keep))
+        elif kind == "LogSum":
+            r = jnp.log(jnp.sum(x, axis=ax, keepdims=keep))
+        elif kind == "LogSumExp":
+            r = jax.scipy.special.logsumexp(x, axis=ax, keepdims=keep)
+        else:                                        # SumSquare
+            r = jnp.sum(x * x, axis=ax, keepdims=keep)
+        return [r]
+    return impl
+
+
+def _op_argminmax(kind):
+    def impl(node, vals):
+        x = jnp.asarray(vals[0])
+        axis = int(_attr(node, "axis", 0))
+        if _attr(node, "select_last_index", 0):
+            raise NotImplementedError(f"ONNX {kind} with select_last_index=1")
+        # ONNX specifies int64 indices; under x32 JAX these trace as int32,
+        # which every index consumer (Gather/Slice/Cast) accepts
+        r = (jnp.argmax if kind == "ArgMax" else jnp.argmin)(x, axis=axis)
+        return [jnp.expand_dims(r, axis) if _attr(node, "keepdims", 1) else r]
+    return impl
+
+
+def _op_gelu(node, vals):
+    approx = _attr(node, "approximate", "none")
+    if isinstance(approx, bytes):
+        approx = approx.decode()
+    return [jax.nn.gelu(jnp.asarray(vals[0]), approximate=approx == "tanh")]
+
+
+def _op_instancenorm(node, vals):
+    """InstanceNormalization: per-(N, C) normalization over the spatial
+    dims; scale/B are per-channel (C,)."""
+    x = jnp.asarray(vals[0])
+    scale, b = jnp.asarray(vals[1]), jnp.asarray(vals[2])
+    eps = float(_attr(node, "epsilon", 1e-5))
+    ax = tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=ax, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=ax, keepdims=True)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return [scale.reshape(shape) * (x - mean)
+            * lax.rsqrt(var + eps) + b.reshape(shape)]
+
+
 def _op_cast(node, vals):
     to = _CAST_DTYPES[int(_attr(node, "to"))]
     v = vals[0]
@@ -765,6 +826,36 @@ _OPS = {
     "ReduceMax": _op_reduce("max"),
     "ReduceMin": _op_reduce("min"),
     "ReduceProd": _op_reduce("prod"),
+    "ReduceL1": _op_reduce_comp("L1"),
+    "ReduceL2": _op_reduce_comp("L2"),
+    "ReduceLogSum": _op_reduce_comp("LogSum"),
+    "ReduceLogSumExp": _op_reduce_comp("LogSumExp"),
+    "ReduceSumSquare": _op_reduce_comp("SumSquare"),
+    "ArgMax": _op_argminmax("ArgMax"),
+    "ArgMin": _op_argminmax("ArgMin"),
+    "LogSoftmax": lambda node, vals: [jax.nn.log_softmax(
+        jnp.asarray(vals[0]), axis=int(_attr(node, "axis", -1)))],
+    "Elu": lambda node, vals: [jnp.where(
+        jnp.asarray(vals[0]) > 0, vals[0],
+        float(_attr(node, "alpha", 1.0)) * (jnp.exp(jnp.asarray(vals[0])) - 1))],
+    "Selu": lambda node, vals: [float(_attr(node, "gamma", 1.0507009873554805))
+        * jnp.where(jnp.asarray(vals[0]) > 0, vals[0],
+                    float(_attr(node, "alpha", 1.6732632423543772))
+                    * (jnp.exp(jnp.asarray(vals[0])) - 1))],
+    "Softplus": _unop(lambda xp, a: jax.nn.softplus(jnp.asarray(a))),
+    "Softsign": _unop(lambda xp, a: jnp.asarray(a) / (1 + jnp.abs(jnp.asarray(a)))),
+    "HardSigmoid": lambda node, vals: [jnp.clip(
+        float(_attr(node, "alpha", 0.2)) * jnp.asarray(vals[0])
+        + float(_attr(node, "beta", 0.5)), 0.0, 1.0)],
+    "HardSwish": lambda node, vals: [jnp.asarray(vals[0]) * jnp.clip(
+        jnp.asarray(vals[0]) / 6.0 + 0.5, 0.0, 1.0)],
+    "PRelu": lambda node, vals: [jnp.where(
+        jnp.asarray(vals[0]) >= 0, vals[0],
+        jnp.asarray(vals[1]) * jnp.asarray(vals[0]))],
+    "ThresholdedRelu": lambda node, vals: [jnp.where(
+        jnp.asarray(vals[0]) > float(_attr(node, "alpha", 1.0)), vals[0], 0.0)],
+    "Gelu": _op_gelu,
+    "InstanceNormalization": _op_instancenorm,
 }
 
 

@@ -527,6 +527,120 @@ class TestCompilerEdgeSemantics:
         with pytest.raises(NotImplementedError, match="activations"):
             prog.apply(prog.params, {"x": x})
 
+    def test_activation_ops_match_torch_oracle(self, tmp_path):
+        """Elu/Selu/Softplus/Softsign/HardSigmoid/HardSwish/PRelu/
+        ThresholdedRelu/LogSoftmax/Gelu(none,tanh)/InstanceNormalization
+        against torch.nn.functional in one subprocess."""
+        rng = np.random.default_rng(48)
+        x = rng.normal(0, 1.5, (3, 7)).astype(np.float32)
+        slope = rng.normal(0, 0.5, (7,)).astype(np.float32)
+        xi = rng.normal(0, 1.5, (2, 3, 4, 5)).astype(np.float32)
+        w_in = rng.normal(1, 0.3, (3,)).astype(np.float32)
+        b_in = rng.normal(0, 0.3, (3,)).astype(np.float32)
+
+        def run(op_type, inputs, inits, in_infos, out_shape, **kwargs):
+            nodes = [op.encode_node(op_type, inputs, ["y"], **kwargs)]
+            prog = self._prog(tmp_path, nodes, inits, in_infos,
+                              [op.encode_value_info("y", out_shape)],
+                              fname=f"{op_type}.onnx")
+            feeds = {"x": x if op_type != "InstanceNormalization" else xi}
+            return np.asarray(prog.apply(prog.params, feeds)["y"])
+
+        xinfo = [op.encode_value_info("x", list(x.shape))]
+        got = {
+            "elu": run("Elu", ["x"], [], xinfo, list(x.shape), alpha=1.3),
+            "selu": run("Selu", ["x"], [], xinfo, list(x.shape)),
+            "softplus": run("Softplus", ["x"], [], xinfo, list(x.shape)),
+            "softsign": run("Softsign", ["x"], [], xinfo, list(x.shape)),
+            "hardsigmoid": run("HardSigmoid", ["x"], [], xinfo,
+                               list(x.shape), alpha=1.0 / 6.0, beta=0.5),
+            "hardswish": run("HardSwish", ["x"], [], xinfo, list(x.shape)),
+            "prelu": run("PRelu", ["x", "s"],
+                         [op.encode_tensor("s", slope)], xinfo, list(x.shape)),
+            "thresholded": run("ThresholdedRelu", ["x"], [], xinfo,
+                               list(x.shape), alpha=0.7),
+            "logsoftmax": run("LogSoftmax", ["x"], [], xinfo,
+                              list(x.shape), axis=1),
+            "gelu": run("Gelu", ["x"], [], xinfo, list(x.shape)),
+            "gelu_tanh": run("Gelu", ["x"], [], xinfo, list(x.shape),
+                             approximate="tanh"),
+            "instnorm": run("InstanceNormalization", ["x", "w", "b"],
+                            [op.encode_tensor("w", w_in),
+                             op.encode_tensor("b", b_in)],
+                            [op.encode_value_info("x", list(xi.shape))],
+                            list(xi.shape), epsilon=1e-5),
+        }
+        oracle = textwrap.dedent("""
+            import sys
+            import numpy as np
+            import torch
+            import torch.nn.functional as F
+            z = np.load(sys.argv[1])
+            x = torch.from_numpy(z["x"])
+            xi = torch.from_numpy(z["xi"])
+            out = dict(
+                elu=F.elu(x, 1.3), selu=F.selu(x), softplus=F.softplus(x),
+                softsign=F.softsign(x), hardsigmoid=F.hardsigmoid(x),
+                hardswish=F.hardswish(x),
+                prelu=F.prelu(x, torch.from_numpy(z["slope"])),
+                thresholded=F.threshold(x, 0.7, 0.0),
+                logsoftmax=F.log_softmax(x, dim=1),
+                gelu=F.gelu(x), gelu_tanh=F.gelu(x, approximate="tanh"),
+                instnorm=F.instance_norm(
+                    xi, weight=torch.from_numpy(z["w"]),
+                    bias=torch.from_numpy(z["b"]), eps=1e-5),
+            )
+            np.savez(sys.argv[2], **{k: v.numpy() for k, v in out.items()})
+        """)
+        in_npz, out_npz = str(tmp_path / "ai.npz"), str(tmp_path / "ao.npz")
+        script = str(tmp_path / "act_oracle.py")
+        np.savez(in_npz, x=x, xi=xi, slope=slope, w=w_in, b=b_in)
+        with open(script, "w") as f:
+            f.write(oracle)
+        r = subprocess.run([sys.executable, script, in_npz, out_npz],
+                           capture_output=True, text=True,
+                           env=dict(os.environ, JAX_PLATFORMS=""),
+                           timeout=300)
+        assert r.returncode == 0, f"torch oracle failed:\n{r.stderr[-2000:]}"
+        with np.load(out_npz) as want:
+            for k in got:
+                np.testing.assert_allclose(
+                    got[k], want[k], atol=1e-5, err_msg=k)
+
+    def test_reduce_composites_and_argminmax(self, tmp_path):
+        """ReduceL1/L2/LogSum/LogSumExp/SumSquare and ArgMax/ArgMin
+        (keepdims both ways) against numpy."""
+        rng = np.random.default_rng(49)
+        x = np.abs(rng.normal(1, 0.8, (3, 4, 5))).astype(np.float32)
+        xinfo = [op.encode_value_info("x", list(x.shape))]
+
+        def run(op_type, **kwargs):
+            nodes = [op.encode_node(op_type, ["x"], ["y"], **kwargs)]
+            prog = self._prog(tmp_path, nodes, [], xinfo,
+                              [op.encode_value_info("y", [])],
+                              fname=f"{op_type}.onnx")
+            return np.asarray(prog.apply(prog.params, {"x": x})["y"])
+
+        np.testing.assert_allclose(run("ReduceL1", axes=[1], keepdims=1),
+                                   np.abs(x).sum(1, keepdims=True), rtol=1e-5)
+        np.testing.assert_allclose(run("ReduceL2", axes=[-1], keepdims=0),
+                                   np.sqrt((x * x).sum(-1)), rtol=1e-5)
+        np.testing.assert_allclose(run("ReduceLogSum", axes=[0, 2]),
+                                   np.log(x.sum((0, 2), keepdims=True)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            run("ReduceLogSumExp", axes=[1], keepdims=0),
+            np.log(np.exp(x.astype(np.float64)).sum(1)), rtol=1e-5)
+        np.testing.assert_allclose(run("ReduceSumSquare"),
+                                   (x * x).sum(keepdims=True).reshape(1, 1, 1),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(run("ArgMax", axis=1, keepdims=1),
+                                      x.argmax(1)[:, None])
+        np.testing.assert_array_equal(run("ArgMin", axis=-1, keepdims=0),
+                                      x.argmin(-1))
+        with pytest.raises(NotImplementedError, match="select_last_index"):
+            run("ArgMax", axis=0, select_last_index=1)
+
     def test_lstm_peephole_clip_input_forget(self, tmp_path):
         """P peephole weights (Pi/Po/Pf on c_{t-1}/c_t), the `clip`
         pre-activation bound, and input_forget gate coupling (f = 1 - i)
