@@ -57,6 +57,7 @@ _OP_SLICE, _OP_SUM, _OP_SQRT, _OP_RSQRT, _OP_LOG = 65, 74, 75, 76, 73
 _OP_SQUARED_DIFFERENCE, _OP_REDUCE_MAX, _OP_LEAKY_RELU = 99, 82, 98
 _OP_REVERSE_V2, _OP_NEG, _OP_ABS, _OP_PRELU = 105, 59, 101, 54
 _OP_HARD_SWISH, _OP_GELU, _OP_SVDF = 117, 150, 27
+_OP_RNN, _OP_UNI_RNN, _OP_L2_NORMALIZATION = 24, 35, 11
 _OP_DEQUANTIZE, _OP_QUANTIZE = 6, 114
 
 _OP_NAMES = {
@@ -492,6 +493,46 @@ class TfliteProgram:
             env[outs[0]] = _fused(act, y)
             if len(ins) > 4 and ins[4] >= 0:              # persist the memory
                 env[ins[4]] = st.reshape(batch, n_filters * memory)
+        elif code in (_OP_RNN, _OP_UNI_RNN):
+            # lite/kernels/basic_rnn.cc / unidirectional_sequence_rnn.cc:
+            # h' = act(x·W^T + h·R^T + b), hidden state is a variable tensor
+            # (input 4) persisted across invokes under apply_stateful
+            x = jnp.asarray(a(0))
+            w, rw = jnp.asarray(a(1)), jnp.asarray(a(2))  # (U, I), (U, U)
+            b = a(3)
+            if code == _OP_RNN:
+                act = scalar_opt(0, "<b", 0)
+                time_major = False
+                xs = x[None]                              # (1, B, I)
+            else:
+                time_major = bool(scalar_opt(0, "<b", 0))
+                act = scalar_opt(1, "<b", 0)
+                xs = x if time_major else jnp.swapaxes(x, 0, 1)  # (T, B, I)
+            batch, units = xs.shape[1], int(w.shape[0])
+            h0 = a(4)
+            h0 = (jnp.zeros((batch, units), x.dtype)
+                  if h0 is None else jnp.asarray(h0).reshape(batch, units))
+            pre_x = jnp.einsum("tbi,ui->tbu", xs, w,
+                               precision=lax.Precision.HIGHEST)
+            if b is not None:
+                pre_x = pre_x + jnp.asarray(b)
+
+            def rnn_step(h, px):
+                h_new = _fused(act, px + jnp.matmul(
+                    h, rw.T, precision=lax.Precision.HIGHEST))
+                return h_new, h_new
+
+            h_fin, hs = lax.scan(rnn_step, h0, pre_x)     # (T, B, U)
+            if len(ins) > 4 and ins[4] >= 0:              # persist state
+                env[ins[4]] = h_fin
+            if code == _OP_RNN:
+                env[outs[0]] = hs[0]                      # (B, U)
+            else:
+                env[outs[0]] = hs if time_major else jnp.swapaxes(hs, 0, 1)
+        elif code == _OP_L2_NORMALIZATION:
+            x = jnp.asarray(a(0))
+            y = x * lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+            env[outs[0]] = _fused(scalar_opt(0, "<b", 0), y)
         elif code == _OP_UNI_LSTM:
             env[outs[0]] = self._uni_lstm(op, env)
         else:  # pragma: no cover — constructor pre-screens opcodes

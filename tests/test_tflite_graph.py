@@ -498,6 +498,99 @@ def test_lstm_state_threads_across_calls():
     assert set(st2) == {"t18", "t19"}
 
 
+class _FakeRnnOpts:
+    """RNNOptions: field 0 = activation. SequenceRNNOptions: field 0 =
+    time_major, field 1 = activation."""
+
+    def __init__(self, fields):
+        self._f = fields
+
+    def scalar(self, field, fmt, default):
+        return self._f.get(field, default)
+
+
+def _craft_rnn_model(rng, inp=3, units=4, sequence=False, time_major=False,
+                     act=4):
+    tensors = [{"name": f"t{i}", "shape": [], "dtype": 0, "data": None,
+                "is_variable": False, "quant": None} for i in range(6)]
+    w = rng.normal(0, 0.5, (units, inp)).astype(np.float32)
+    rw = rng.normal(0, 0.5, (units, units)).astype(np.float32)
+    b = rng.normal(0, 0.5, (units,)).astype(np.float32)
+    tensors[1]["data"], tensors[2]["data"], tensors[3]["data"] = w, rw, b
+    tensors[4]["is_variable"] = True
+    opts = (_FakeRnnOpts({0: int(time_major), 1: act}) if sequence
+            else _FakeRnnOpts({0: act}))
+    op = {"opcode": 35 if sequence else 24, "inputs": [0, 1, 2, 3, 4],
+          "outputs": [5], "options": opts}
+    model = {"tensors": tensors, "operators": [op],
+             "inputs": [0], "outputs": [5]}
+    return model, (w, rw, b)
+
+
+def _numpy_rnn(xs, w, rw, b, act=np.tanh):
+    """(T, B, I) -> (T, B, U); basic_rnn.cc: h' = act(x W^T + h R^T + b)."""
+    h = np.zeros((xs.shape[1], w.shape[0]), np.float64)
+    ys = []
+    for t in range(xs.shape[0]):
+        h = act(xs[t] @ w.T + h @ rw.T + b)
+        ys.append(h)
+    return np.stack(ys), h
+
+
+def test_rnn_streaming_equals_sequence_rnn():
+    """Basic RNN (one step per invoke, state threaded) scores identically
+    to UNIDIRECTIONAL_SEQUENCE_RNN over the whole sequence, both matching
+    an independent numpy RNN; time_major layout too."""
+    rng = np.random.default_rng(16)
+    model_s, (w, rw, b) = _craft_rnn_model(rng)
+    step_prog = TfliteProgram(model_s)
+    T, B = 6, 2
+    xs = rng.normal(0, 1.0, (T, B, 3)).astype(np.float32)
+    want, want_h = _numpy_rnn(xs, w, rw, b)
+
+    state = None
+    got = []
+    for t in range(T):
+        out, state = step_prog.apply_stateful(step_prog.params,
+                                              {"t0": xs[t]}, state)
+        got.append(np.asarray(out["t5"]))
+    np.testing.assert_allclose(np.stack(got), want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state["t4"]), want_h, atol=1e-5)
+
+    model_q, _ = _craft_rnn_model(rng, sequence=True)
+    model_q["tensors"][1]["data"] = w
+    model_q["tensors"][2]["data"] = rw
+    model_q["tensors"][3]["data"] = b
+    seq_prog = TfliteProgram(model_q)
+    seq = np.asarray(seq_prog.apply(
+        seq_prog.params, {"t0": np.swapaxes(xs, 0, 1)})["t5"])  # (B, T, U)
+    np.testing.assert_allclose(np.swapaxes(seq, 0, 1), want, atol=1e-5)
+
+    model_tm, _ = _craft_rnn_model(rng, sequence=True, time_major=True,
+                                   act=1)
+    model_tm["tensors"][1]["data"] = w
+    model_tm["tensors"][2]["data"] = rw
+    model_tm["tensors"][3]["data"] = b
+    tm_prog = TfliteProgram(model_tm)
+    got_tm = np.asarray(tm_prog.apply(tm_prog.params, {"t0": xs})["t5"])
+    want_relu, _ = _numpy_rnn(xs, w, rw, b,
+                              act=lambda v: np.maximum(v, 0.0))
+    np.testing.assert_allclose(got_tm, want_relu, atol=1e-5)
+
+
+def test_l2_normalization():
+    rng = np.random.default_rng(17)
+    tensors = [{"name": f"t{i}", "shape": [], "dtype": 0, "data": None,
+                "is_variable": False, "quant": None} for i in range(2)]
+    op = {"opcode": 11, "inputs": [0], "outputs": [1], "options": None}
+    prog = TfliteProgram({"tensors": tensors, "operators": [op],
+                          "inputs": [0], "outputs": [1]})
+    x = rng.normal(0, 2.0, (3, 8)).astype(np.float32)
+    got = np.asarray(prog.apply(prog.params, {"t0": x})["t1"])
+    np.testing.assert_allclose(
+        got, x / np.linalg.norm(x, axis=-1, keepdims=True), atol=1e-5)
+
+
 def test_stateful_unknown_state_key_rejected():
     rng = np.random.default_rng(15)
     model, _ = _craft_svdf_model(rng)
