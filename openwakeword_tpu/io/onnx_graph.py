@@ -150,6 +150,174 @@ def _op_conv(node, vals):
     return [y]
 
 
+def _op_convtranspose(node, vals):
+    """ConvTranspose as a fractionally-strided conv (lhs_dilation) with the
+    spatially-flipped, group-rearranged kernel. W: (Cin, Cout/g, *k);
+    supports strides/pads/output_padding/output_shape/dilations/group."""
+    x, w = jnp.asarray(vals[0]), jnp.asarray(vals[1])
+    b = vals[2] if len(vals) > 2 and vals[2] is not None else None
+    rank = x.ndim - 2
+    strides = tuple(_attr(node, "strides", [1] * rank))
+    dilations = tuple(_attr(node, "dilations", [1] * rank))
+    group = int(_attr(node, "group", 1))
+    auto_pad = _attr(node, "auto_pad", "NOTSET")
+    if isinstance(auto_pad, bytes):
+        auto_pad = auto_pad.decode()
+    if auto_pad not in ("NOTSET", ""):
+        raise NotImplementedError(
+            f"ONNX ConvTranspose auto_pad={auto_pad!r} is not supported")
+    pads = list(_attr(node, "pads", [0] * (2 * rank)))
+    out_pad = list(_attr(node, "output_padding", [0] * rank))
+    kdims = [int((w.shape[2 + i] - 1) * dilations[i] + 1) for i in range(rank)]
+    out_shape = _attr(node, "output_shape")
+    if out_shape is not None:
+        # spec: total_padding = stride*(in-1) + out_pad + k_eff - out_shape,
+        # split begin/end (begin gets the smaller half by default)
+        for i in range(rank):
+            total = (strides[i] * (x.shape[2 + i] - 1) + out_pad[i]
+                     + kdims[i] - int(out_shape[i]))
+            pads[i] = total // 2
+            pads[rank + i] = total - total // 2
+    cin, cout_g = int(w.shape[0]), int(w.shape[1])
+    spatial_axes = tuple(range(2, 2 + rank))
+    wk = jnp.flip(w, axis=spatial_axes)
+    wk = wk.reshape((group, cin // group, cout_g) + w.shape[2:])
+    wk = jnp.moveaxis(wk, 2, 1).reshape((group * cout_g, cin // group)
+                                        + w.shape[2:])
+    padding = [(kdims[i] - 1 - pads[i],
+                kdims[i] - 1 - pads[rank + i] + out_pad[i])
+               for i in range(rank)]
+    spatial = "DHW"[3 - rank:]
+    dn = ("NC" + spatial, "OI" + spatial, "NC" + spatial)
+    y = lax.conv_general_dilated(
+        x, wk, window_strides=(1,) * rank, padding=padding,
+        lhs_dilation=strides, rhs_dilation=dilations, dimension_numbers=dn,
+        feature_group_count=group, precision=lax.Precision.HIGHEST)
+    if b is not None:
+        y = y + jnp.asarray(b).reshape((1, -1) + (1,) * rank)
+    return [y]
+
+
+def _resize_axis(x, axis, out_size, scale, mode, coord, nearest_mode):
+    """One separable resize axis. ``scale`` is the spec's coordinate-map
+    scale: the explicit scales[] entry when the graph provides scales,
+    out/in when it provides sizes (they differ when floor(in*scale) !=
+    in*scale)."""
+    in_size = x.shape[axis]
+    if out_size == in_size and scale == 1.0:
+        return x
+    idx = jnp.arange(out_size, dtype=jnp.float32)
+    if coord == "half_pixel":
+        xo = (idx + 0.5) / scale - 0.5
+    elif coord == "asymmetric":
+        xo = idx / scale
+    elif coord == "align_corners":
+        xo = idx * ((in_size - 1) / max(out_size - 1, 1))
+    elif coord == "pytorch_half_pixel":
+        xo = ((idx + 0.5) / scale - 0.5) if out_size > 1 \
+            else jnp.zeros_like(idx)
+    else:
+        raise NotImplementedError(
+            f"ONNX Resize coordinate_transformation_mode={coord!r}")
+    if mode == "nearest":
+        j = {"floor": jnp.floor, "ceil": jnp.ceil,
+             "round_prefer_ceil": lambda v: jnp.floor(v + 0.5),
+             "round_prefer_floor": lambda v: jnp.ceil(v - 0.5)}[nearest_mode](xo)
+        j = jnp.clip(j, 0, in_size - 1).astype(jnp.int32)
+        return jnp.take(x, j, axis=axis)
+    x0 = jnp.clip(jnp.floor(xo), 0, in_size - 1)
+    x1 = jnp.clip(x0 + 1, 0, in_size - 1)
+    w1 = jnp.clip(xo - x0, 0.0, 1.0)
+    g0 = jnp.take(x, x0.astype(jnp.int32), axis=axis)
+    g1 = jnp.take(x, x1.astype(jnp.int32), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w1 = w1.reshape(shape)
+    return g0 * (1.0 - w1) + g1 * w1
+
+
+def _op_resize(node, vals):
+    """Resize (nearest/linear, separable per axis) with static
+    scales/sizes. Opset 11+ input order: X, roi, scales, sizes."""
+    x = jnp.asarray(vals[0])
+    mode = _attr(node, "mode", "nearest")
+    mode = mode.decode() if isinstance(mode, bytes) else mode
+    if mode not in ("nearest", "linear"):
+        raise NotImplementedError(f"ONNX Resize mode={mode!r}")
+    coord = _attr(node, "coordinate_transformation_mode", "half_pixel")
+    coord = coord.decode() if isinstance(coord, bytes) else coord
+    nearest_mode = _attr(node, "nearest_mode", "round_prefer_floor")
+    nearest_mode = nearest_mode.decode() \
+        if isinstance(nearest_mode, bytes) else nearest_mode
+    if _attr(node, "antialias", 0):
+        raise NotImplementedError("ONNX Resize with antialias=1")
+    if _attr(node, "exclude_outside", 0):
+        raise NotImplementedError("ONNX Resize with exclude_outside=1")
+    scales = vals[2] if len(vals) > 2 and vals[2] is not None else None
+    sizes = vals[3] if len(vals) > 3 and vals[3] is not None else None
+    if scales is not None and np.asarray(scales).size == 0:
+        scales = None
+    if sizes is not None:
+        out_sizes = [int(s) for s in _concrete(sizes, "Resize sizes")]
+        sc = [out_sizes[i] / x.shape[i] for i in range(len(out_sizes))]
+    elif scales is not None:
+        sc = [float(s) for s in
+              np.asarray(_concrete(scales, "Resize scales"), np.float64)]
+        out_sizes = [int(np.floor(x.shape[i] * sc[i]))
+                     for i in range(len(sc))]
+    else:
+        raise ValueError("ONNX Resize needs scales or sizes")
+    if len(out_sizes) != x.ndim:
+        raise NotImplementedError(
+            f"ONNX Resize with axes subset (got {len(out_sizes)} sizes "
+            f"for rank {x.ndim})")
+    for ax in range(x.ndim):
+        x = _resize_axis(x, ax, out_sizes[ax], sc[ax], mode, coord,
+                         nearest_mode)
+    return [x]
+
+
+def _op_topk(node, vals):
+    x = jnp.asarray(vals[0])
+    k = int(_concrete(vals[1], "TopK k").reshape(()))
+    axis = int(_attr(node, "axis", -1)) % x.ndim
+    if not _attr(node, "sorted", 1):
+        raise NotImplementedError("ONNX TopK with sorted=0")
+    xm = jnp.moveaxis(x, axis, -1)
+    if _attr(node, "largest", 1):
+        v, i = lax.top_k(xm, k)
+    else:
+        v, i = lax.top_k(-xm, k)
+        v = -v
+    return [jnp.moveaxis(v, -1, axis), jnp.moveaxis(i, -1, axis)]
+
+
+def _op_depthtospace(node, vals):
+    x = jnp.asarray(vals[0])
+    bs = int(_attr(node, "blocksize"))
+    mode = _attr(node, "mode", "DCR")
+    mode = mode.decode() if isinstance(mode, bytes) else mode
+    n, c, h, w = x.shape
+    if mode == "DCR":
+        y = x.reshape(n, bs, bs, c // (bs * bs), h, w)
+        y = y.transpose(0, 3, 4, 1, 5, 2)
+    elif mode == "CRD":
+        y = x.reshape(n, c // (bs * bs), bs, bs, h, w)
+        y = y.transpose(0, 1, 4, 2, 5, 3)
+    else:
+        raise NotImplementedError(f"ONNX DepthToSpace mode={mode!r}")
+    return [y.reshape(n, c // (bs * bs), h * bs, w * bs)]
+
+
+def _op_spacetodepth(node, vals):
+    x = jnp.asarray(vals[0])
+    bs = int(_attr(node, "blocksize"))
+    n, c, h, w = x.shape
+    y = x.reshape(n, c, h // bs, bs, w // bs, bs)
+    y = y.transpose(0, 3, 5, 1, 2, 4)
+    return [y.reshape(n, c * bs * bs, h // bs, w // bs)]
+
+
 def _op_batchnorm(node, vals):
     x, scale, bias, mean, var = vals[:5]
     eps = _attr(node, "epsilon", 1e-5)
@@ -794,6 +962,16 @@ _OPS = {
                      if xp is jnp else np.matmul(a, b)),
     "Gemm": _op_gemm,
     "Conv": _op_conv,
+    "ConvTranspose": _op_convtranspose,
+    "Resize": _op_resize,
+    "TopK": _op_topk,
+    "DepthToSpace": _op_depthtospace,
+    "SpaceToDepth": _op_spacetodepth,
+    "Einsum": lambda node, vals: [jnp.einsum(
+        (_attr(node, "equation").decode()
+         if isinstance(_attr(node, "equation"), bytes)
+         else _attr(node, "equation")),
+        *[jnp.asarray(v) for v in vals], precision=lax.Precision.HIGHEST)],
     "BatchNormalization": _op_batchnorm,
     "LSTM": _op_lstm,
     "GRU": _op_gru,

@@ -641,6 +641,141 @@ class TestCompilerEdgeSemantics:
         with pytest.raises(NotImplementedError, match="select_last_index"):
             run("ArgMax", axis=0, select_last_index=1)
 
+    def test_convtranspose_resize_match_torch_oracle(self, tmp_path):
+        """ConvTranspose (1d/2d, stride/pad/output_padding/groups) and
+        Resize (linear half_pixel & align_corners, nearest asymmetric
+        floor = torch's three interpolate modes) against torch."""
+        rng = np.random.default_rng(50)
+        x2 = rng.normal(0, 1, (2, 4, 5, 6)).astype(np.float32)
+        w2 = rng.normal(0, .5, (4, 3, 3, 3)).astype(np.float32)  # g=2
+        b2 = rng.normal(0, .5, (6,)).astype(np.float32)
+        x1 = rng.normal(0, 1, (2, 3, 9)).astype(np.float32)
+        w1 = rng.normal(0, .5, (3, 5, 4)).astype(np.float32)
+        xr = rng.normal(0, 1, (2, 3, 4, 5)).astype(np.float32)
+
+        def run(op_type, feeds, inputs, inits, out_rank, **kwargs):
+            nodes = [op.encode_node(op_type, inputs, ["y"], **kwargs)]
+            in_infos = [op.encode_value_info(k, list(v.shape))
+                        for k, v in feeds.items()]
+            prog = self._prog(tmp_path, nodes, inits, in_infos,
+                              [op.encode_value_info("y", [0] * out_rank)],
+                              fname=f"{op_type}{len(inits)}.onnx")
+            return np.asarray(prog.apply(prog.params, feeds)["y"])
+
+        got = {
+            "ct2": run("ConvTranspose", {"x": x2},
+                       ["x", "w", "b"],
+                       [op.encode_tensor("w", w2), op.encode_tensor("b", b2)],
+                       4, strides=[2, 2], pads=[1, 1, 1, 1],
+                       output_padding=[1, 1], group=2),
+            "ct1": run("ConvTranspose", {"x": x1}, ["x", "w"],
+                       [op.encode_tensor("w", w1)], 3,
+                       strides=[3], pads=[2, 2], dilations=[2]),
+            "rz_lin": run("Resize", {"x": xr}, ["x", "", "s"],
+                          [op.encode_tensor(
+                              "s", np.array([1, 1, 2, 1.5], np.float32))],
+                          4, mode="linear"),
+            "rz_ac": run("Resize", {"x": xr}, ["x", "", "s"],
+                         [op.encode_tensor(
+                             "s", np.array([1, 1, 2, 1.5], np.float32))],
+                         4, mode="linear",
+                         coordinate_transformation_mode="align_corners"),
+            "rz_nn": run("Resize", {"x": xr}, ["x", "", "", "z"],
+                         [op.encode_tensor(
+                             "z", np.array([2, 3, 7, 13], np.int64))],
+                         4, mode="nearest",
+                         coordinate_transformation_mode="asymmetric",
+                         nearest_mode="floor"),
+        }
+        oracle = textwrap.dedent("""
+            import sys
+            import numpy as np
+            import torch
+            import torch.nn.functional as F
+            z = np.load(sys.argv[1])
+            t = {k: torch.from_numpy(z[k]) for k in z.files}
+            out = dict(
+                ct2=F.conv_transpose2d(t["x2"], t["w2"], t["b2"], stride=2,
+                                       padding=1, output_padding=1, groups=2),
+                ct1=F.conv_transpose1d(t["x1"], t["w1"], stride=3, padding=2,
+                                       dilation=2),
+                rz_lin=F.interpolate(t["xr"], scale_factor=(2, 1.5),
+                                     mode="bilinear", align_corners=False),
+                rz_ac=F.interpolate(t["xr"], scale_factor=(2, 1.5),
+                                    mode="bilinear", align_corners=True),
+                rz_nn=F.interpolate(t["xr"], size=(7, 13), mode="nearest"),
+            )
+            np.savez(sys.argv[2], **{k: v.numpy() for k, v in out.items()})
+        """)
+        in_npz, out_npz = str(tmp_path / "ci.npz"), str(tmp_path / "co.npz")
+        script = str(tmp_path / "ct_oracle.py")
+        np.savez(in_npz, x2=x2, w2=w2, b2=b2, x1=x1, w1=w1, xr=xr)
+        with open(script, "w") as f:
+            f.write(oracle)
+        r = subprocess.run([sys.executable, script, in_npz, out_npz],
+                           capture_output=True, text=True,
+                           env=dict(os.environ, JAX_PLATFORMS=""),
+                           timeout=300)
+        assert r.returncode == 0, f"torch oracle failed:\n{r.stderr[-2000:]}"
+        with np.load(out_npz) as want:
+            for k in got:
+                np.testing.assert_allclose(got[k], want[k], atol=2e-5,
+                                           err_msg=k)
+
+    def test_topk_einsum_space_depth(self, tmp_path):
+        """TopK (largest & smallest), Einsum, DepthToSpace (DCR/CRD) and
+        SpaceToDepth against numpy."""
+        rng = np.random.default_rng(51)
+        x = rng.normal(0, 1, (3, 8)).astype(np.float32)
+        xe = rng.normal(0, 1, (2, 3, 4)).astype(np.float32)
+        we = rng.normal(0, 1, (4, 5)).astype(np.float32)
+        xd = np.arange(2 * 8 * 2 * 3, dtype=np.float32).reshape(2, 8, 2, 3)
+
+        def run(op_type, feeds, inputs, inits, n_out=1, **kwargs):
+            outs = [f"y{i}" for i in range(n_out)]
+            nodes = [op.encode_node(op_type, inputs, outs, **kwargs)]
+            in_infos = [op.encode_value_info(k, list(v.shape))
+                        for k, v in feeds.items()]
+            prog = self._prog(tmp_path, nodes, inits, in_infos,
+                              [op.encode_value_info(o, []) for o in outs],
+                              fname=f"{op_type}{n_out}{len(kwargs)}.onnx")
+            res = prog.apply(prog.params, feeds)
+            return [np.asarray(res[o]) for o in outs]
+
+        kt = op.encode_tensor("k", np.array([3], np.int64))
+        v, i = run("TopK", {"x": x}, ["x", "k"], [kt], n_out=2)
+        order = np.argsort(-x, axis=-1)[:, :3]
+        np.testing.assert_array_equal(i, order)
+        np.testing.assert_allclose(v, np.take_along_axis(x, order, -1))
+        v, i = run("TopK", {"x": x}, ["x", "k"], [kt], n_out=2, largest=0)
+        order = np.argsort(x, axis=-1)[:, :3]
+        np.testing.assert_array_equal(i, order)
+
+        (ye,) = run("Einsum", {"x": xe}, ["x", "w"],
+                    [op.encode_tensor("w", we)], equation="bij,jk->bik")
+        np.testing.assert_allclose(ye, np.einsum("bij,jk->bik", xe, we),
+                                   atol=1e-5)
+
+        bs = 2
+        n, c, h, w = xd.shape
+        dcr = xd.reshape(n, bs, bs, c // 4, h, w).transpose(
+            0, 3, 4, 1, 5, 2).reshape(n, c // 4, h * bs, w * bs)
+        crd = xd.reshape(n, c // 4, bs, bs, h, w).transpose(
+            0, 1, 4, 2, 5, 3).reshape(n, c // 4, h * bs, w * bs)
+        (yd,) = run("DepthToSpace", {"x": xd}, ["x"], [], blocksize=2)
+        np.testing.assert_array_equal(yd, dcr)
+        (yd,) = run("DepthToSpace", {"x": xd}, ["x"], [], blocksize=2,
+                    mode="CRD")
+        np.testing.assert_array_equal(yd, crd)
+        (ys,) = run("SpaceToDepth", {"x": dcr}, ["x"], [], blocksize=2)
+        # SpaceToDepth inverts DepthToSpace(DCR) up to the channel grouping
+        assert ys.shape == xd.shape
+        xs = np.arange(1 * 4 * 4 * 6, dtype=np.float32).reshape(1, 4, 4, 6)
+        want = xs.reshape(1, 4, 2, 2, 3, 2).transpose(
+            0, 3, 5, 1, 2, 4).reshape(1, 16, 2, 3)
+        (ys,) = run("SpaceToDepth", {"x": xs}, ["x"], [], blocksize=2)
+        np.testing.assert_array_equal(ys, want)
+
     def test_lstm_peephole_clip_input_forget(self, tmp_path):
         """P peephole weights (Pi/Po/Pf on c_{t-1}/c_t), the `clip`
         pre-activation bound, and input_forget gate coupling (f = 1 - i)
