@@ -58,11 +58,27 @@ _OP_SQUARED_DIFFERENCE, _OP_REDUCE_MAX, _OP_LEAKY_RELU = 99, 82, 98
 _OP_REVERSE_V2, _OP_NEG, _OP_ABS, _OP_PRELU = 105, 59, 101, 54
 _OP_HARD_SWISH, _OP_GELU, _OP_SVDF = 117, 150, 27
 _OP_RNN, _OP_UNI_RNN, _OP_L2_NORMALIZATION = 24, 35, 11
+_OP_DEPTH_TO_SPACE, _OP_SPACE_TO_DEPTH, _OP_FLOOR, _OP_CEIL = 5, 26, 8, 104
+_OP_RESIZE_BILINEAR, _OP_RESIZE_NEAREST_NEIGHBOR = 23, 97
+_OP_GATHER, _OP_CAST, _OP_TOPK_V2, _OP_LOG_SOFTMAX = 36, 53, 48, 50
+_OP_LESS, _OP_GREATER, _OP_GREATER_EQUAL, _OP_LESS_EQUAL = 58, 61, 62, 63
+_OP_EQUAL, _OP_NOT_EQUAL, _OP_SELECT, _OP_SELECT_V2 = 71, 72, 64, 123
+_OP_SIN, _OP_COS, _OP_TILE, _OP_EXPAND_DIMS, _OP_SHAPE = 66, 108, 69, 70, 77
+_OP_POW, _OP_ARG_MAX, _OP_ARG_MIN, _OP_PACK, _OP_UNPACK = 78, 56, 79, 83, 88
+_OP_REDUCE_MIN, _OP_REDUCE_PROD, _OP_FLOOR_DIV, _OP_FLOOR_MOD = 89, 81, 90, 95
+_OP_SQUARE, _OP_ZEROS_LIKE, _OP_FILL, _OP_RANGE, _OP_ROUND = 92, 93, 94, 96, 116
+_OP_MIRROR_PAD, _OP_ADD_N, _OP_ELU, _OP_BATCH_MATMUL = 100, 106, 111, 126
+_OP_TRANSPOSE_CONV, _OP_ONE_HOT = 67, 85
+_OP_LOGICAL_OR, _OP_LOGICAL_AND, _OP_LOGICAL_NOT = 84, 86, 87
 _OP_DEQUANTIZE, _OP_QUANTIZE = 6, 114
 
 _OP_NAMES = {
     v: k[4:] for k, v in list(globals().items()) if k.startswith("_OP_")
 }
+
+# TensorType code -> numpy dtype (flatbuffer schema enum)
+_TT_NP = {0: np.float32, 1: np.float16, 2: np.int32, 3: np.uint8,
+          4: np.int64, 6: np.bool_, 7: np.int16, 9: np.int8, 10: np.float64}
 
 
 def _fused(act: int, x):
@@ -533,6 +549,211 @@ class TfliteProgram:
             x = jnp.asarray(a(0))
             y = x * lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
             env[outs[0]] = _fused(scalar_opt(0, "<b", 0), y)
+        elif code in (_OP_SIN, _OP_COS, _OP_FLOOR, _OP_CEIL, _OP_ROUND,
+                      _OP_SQUARE, _OP_ZEROS_LIKE, _OP_LOGICAL_NOT, _OP_ELU,
+                      _OP_LOG_SOFTMAX):
+            x = jnp.asarray(a(0))
+            env[outs[0]] = {
+                _OP_SIN: jnp.sin, _OP_COS: jnp.cos, _OP_FLOOR: jnp.floor,
+                _OP_CEIL: jnp.ceil,
+                # lite/kernels/round.cc: round half to even (like jnp.round)
+                _OP_ROUND: jnp.round, _OP_SQUARE: jnp.square,
+                _OP_ZEROS_LIKE: jnp.zeros_like,
+                _OP_LOGICAL_NOT: jnp.logical_not,
+                _OP_ELU: jax.nn.elu,
+                _OP_LOG_SOFTMAX: lambda v: jax.nn.log_softmax(v, axis=-1),
+            }[code](x)
+        elif code in (_OP_LESS, _OP_GREATER, _OP_GREATER_EQUAL,
+                      _OP_LESS_EQUAL, _OP_EQUAL, _OP_NOT_EQUAL, _OP_POW,
+                      _OP_FLOOR_DIV, _OP_FLOOR_MOD, _OP_LOGICAL_OR,
+                      _OP_LOGICAL_AND):
+            x, y = jnp.asarray(a(0)), jnp.asarray(a(1))
+            env[outs[0]] = {
+                _OP_LESS: jnp.less, _OP_GREATER: jnp.greater,
+                _OP_GREATER_EQUAL: jnp.greater_equal,
+                _OP_LESS_EQUAL: jnp.less_equal, _OP_EQUAL: jnp.equal,
+                _OP_NOT_EQUAL: jnp.not_equal, _OP_POW: jnp.power,
+                _OP_FLOOR_DIV: jnp.floor_divide, _OP_FLOOR_MOD: jnp.mod,
+                _OP_LOGICAL_OR: jnp.logical_or,
+                _OP_LOGICAL_AND: jnp.logical_and,
+            }[code](x, y)
+        elif code in (_OP_SELECT, _OP_SELECT_V2):
+            env[outs[0]] = jnp.where(jnp.asarray(a(0)), jnp.asarray(a(1)),
+                                     jnp.asarray(a(2)))
+        elif code == _OP_ADD_N:
+            acc = jnp.asarray(a(0))
+            for i in range(1, len(ins)):
+                acc = acc + jnp.asarray(a(i))
+            env[outs[0]] = acc
+        elif code == _OP_GATHER:
+            axis = scalar_opt(0, "<i", 0)
+            if scalar_opt(1, "<i", 0):
+                raise NotImplementedError(
+                    "TFLite GATHER with batch_dims > 0")
+            idx = jnp.asarray(a(1)).astype(jnp.int32)
+            env[outs[0]] = jnp.take(jnp.asarray(a(0)), idx, axis=axis)
+        elif code == _OP_CAST:
+            to = _TT_NP.get(self._tensors[outs[0]]["dtype"])
+            if to is None:
+                raise NotImplementedError(
+                    f"TFLite CAST to tensor type "
+                    f"{self._tensors[outs[0]]['dtype']}")
+            env[outs[0]] = jnp.asarray(a(0)).astype(to)
+        elif code == _OP_TOPK_V2:
+            x = jnp.asarray(a(0))
+            k = int(np.asarray(_static(a(1), "TopKV2 k")).reshape(()))
+            v, i = lax.top_k(x, k)
+            env[outs[0]], env[outs[1]] = v, i
+        elif code == _OP_TILE:
+            reps = tuple(int(v) for v in
+                         np.atleast_1d(_static(a(1), "Tile multiples")))
+            env[outs[0]] = jnp.tile(jnp.asarray(a(0)), reps)
+        elif code == _OP_EXPAND_DIMS:
+            ax = int(np.asarray(_static(a(1), "ExpandDims axis")))
+            env[outs[0]] = jnp.expand_dims(jnp.asarray(a(0)), ax)
+        elif code == _OP_SHAPE:
+            env[outs[0]] = np.asarray(a(0).shape, np.int32)
+        elif code in (_OP_ARG_MAX, _OP_ARG_MIN):
+            x = jnp.asarray(a(0))
+            ax = int(np.asarray(_static(a(1), "ArgMax axis")))
+            env[outs[0]] = (jnp.argmax if code == _OP_ARG_MAX
+                            else jnp.argmin)(x, axis=ax)
+        elif code == _OP_PACK:
+            axis = scalar_opt(1, "<i", 0)
+            env[outs[0]] = jnp.stack(
+                [jnp.asarray(a(i)) for i in range(len(ins))], axis=axis)
+        elif code == _OP_UNPACK:
+            axis = scalar_opt(1, "<i", 0)
+            x = jnp.asarray(a(0))
+            for j, o in enumerate(outs):
+                env[o] = lax.index_in_dim(x, j, axis=axis, keepdims=False)
+        elif code in (_OP_REDUCE_MIN, _OP_REDUCE_PROD):
+            x = jnp.asarray(a(0))
+            axes = tuple(int(v) % x.ndim
+                         for v in np.atleast_1d(_static(a(1), "reduce axes")))
+            keep = bool(scalar_opt(0, "<b", 0))
+            env[outs[0]] = (jnp.min if code == _OP_REDUCE_MIN else jnp.prod)(
+                x, axis=axes, keepdims=keep)
+        elif code == _OP_FILL:
+            dims = tuple(int(v) for v in
+                         np.atleast_1d(_static(a(0), "Fill dims")))
+            env[outs[0]] = jnp.full(dims, jnp.asarray(a(1)))
+        elif code == _OP_RANGE:
+            env[outs[0]] = np.arange(
+                int(np.asarray(_static(a(0), "Range start"))),
+                int(np.asarray(_static(a(1), "Range limit"))),
+                int(np.asarray(_static(a(2), "Range delta"))), np.int32)
+        elif code == _OP_MIRROR_PAD:
+            pads = _static(a(1), "MirrorPad paddings").astype(int)
+            mode = "reflect" if scalar_opt(0, "<b", 0) == 0 else "symmetric"
+            env[outs[0]] = jnp.pad(
+                jnp.asarray(a(0)),
+                [(int(lo), int(hi)) for lo, hi in pads], mode=mode)
+        elif code == _OP_BATCH_MATMUL:
+            x, y = jnp.asarray(a(0)), jnp.asarray(a(1))
+            if scalar_opt(0, "<b", 0):
+                x = jnp.swapaxes(x, -1, -2)
+            if scalar_opt(1, "<b", 0):
+                y = jnp.swapaxes(y, -1, -2)
+            env[outs[0]] = jnp.matmul(x, y, precision=lax.Precision.HIGHEST)
+        elif code == _OP_ONE_HOT:
+            idx = jnp.asarray(a(0)).astype(jnp.int32)
+            depth = int(np.asarray(_static(a(1), "OneHot depth")))
+            on, off = jnp.asarray(a(2)), jnp.asarray(a(3))
+            axis = scalar_opt(0, "<i", -1)
+            oh = jax.nn.one_hot(idx, depth, axis=axis, dtype=on.dtype)
+            env[outs[0]] = oh * on + (1 - oh) * off
+        elif code in (_OP_DEPTH_TO_SPACE, _OP_SPACE_TO_DEPTH):
+            x = jnp.asarray(a(0))                         # NHWC
+            bs = scalar_opt(0, "<i", 2)
+            n, h, w, c = x.shape
+            if code == _OP_DEPTH_TO_SPACE:
+                y = x.reshape(n, h, w, bs, bs, c // (bs * bs))
+                y = y.transpose(0, 1, 3, 2, 4, 5)
+                env[outs[0]] = y.reshape(n, h * bs, w * bs, c // (bs * bs))
+            else:
+                y = x.reshape(n, h // bs, bs, w // bs, bs, c)
+                y = y.transpose(0, 1, 3, 2, 4, 5)
+                env[outs[0]] = y.reshape(n, h // bs, w // bs, c * bs * bs)
+        elif code in (_OP_RESIZE_BILINEAR, _OP_RESIZE_NEAREST_NEIGHBOR):
+            x = jnp.asarray(a(0))                         # NHWC
+            new_hw = [int(v) for v in _static(a(1), "Resize size")]
+            if code == _OP_RESIZE_BILINEAR:
+                # ResizeBilinearOptions: fields 0/1 are deprecated
+                # new_height/new_width, 2 = align_corners, 3 =
+                # half_pixel_centers
+                ac = bool(scalar_opt(2, "<b", 0))
+                hpc = bool(scalar_opt(3, "<b", 0))
+            else:
+                ac = bool(scalar_opt(0, "<b", 0))
+                hpc = bool(scalar_opt(1, "<b", 0))
+            if ac and hpc:
+                raise NotImplementedError(
+                    "TFLite Resize: align_corners with half_pixel_centers")
+            y = x
+            for ax, out_size in zip((1, 2), new_hw):
+                in_size = y.shape[ax]
+                if in_size == out_size:
+                    continue
+                idx = jnp.arange(out_size, dtype=jnp.float32)
+                scale = ((in_size - 1) / max(out_size - 1, 1) if ac
+                         else in_size / out_size)
+                if code == _OP_RESIZE_BILINEAR:
+                    xo = ((idx + 0.5) * scale - 0.5 if hpc
+                          else idx * scale)
+                    x0 = jnp.clip(jnp.floor(xo), 0, in_size - 1)
+                    x1 = jnp.clip(x0 + 1, 0, in_size - 1)
+                    w1 = jnp.clip(xo - x0, 0.0, 1.0)
+                    g0 = jnp.take(y, x0.astype(jnp.int32), axis=ax)
+                    g1 = jnp.take(y, x1.astype(jnp.int32), axis=ax)
+                    shape = [1] * y.ndim
+                    shape[ax] = out_size
+                    y = g0 * (1.0 - w1.reshape(shape)) \
+                        + g1 * w1.reshape(shape)
+                else:
+                    # reference_ops::ResizeNearestNeighbor rounding rules
+                    if hpc:
+                        j = jnp.floor((idx + 0.5) * scale)
+                    elif ac:
+                        j = jnp.round(idx * scale)
+                    else:
+                        j = jnp.floor(idx * scale)
+                    j = jnp.clip(j, 0, in_size - 1).astype(jnp.int32)
+                    y = jnp.take(y, j, axis=ax)
+            env[outs[0]] = y
+        elif code == _OP_TRANSPOSE_CONV:
+            # inputs: output_shape (const), weights (O, KH, KW, I), x (NHWC),
+            # optional bias; fractionally-strided conv with the flipped,
+            # IO-swapped kernel (lite/kernels/transpose_conv.cc)
+            out_shape = [int(v) for v in
+                         _static(a(0), "TransposeConv output_shape")]
+            w, x = jnp.asarray(a(1)), jnp.asarray(a(2))
+            b = a(3) if len(ins) > 3 else None
+            stride_w = scalar_opt(1, "<i", 1)
+            stride_h = scalar_opt(2, "<i", 1)
+            strides = (stride_h, stride_w)
+            kdims = (int(w.shape[1]), int(w.shape[2]))
+            pad_code = scalar_opt(0, "<b", 0)             # 0 SAME, 1 VALID
+            padding = []
+            for i in range(2):
+                if pad_code == 0:                         # SAME
+                    total = (strides[i] * (x.shape[1 + i] - 1) + kdims[i]
+                             - out_shape[1 + i])
+                    lo = total // 2
+                    hi = total - lo
+                else:                                     # VALID
+                    lo = hi = 0
+                padding.append((kdims[i] - 1 - lo, kdims[i] - 1 - hi))
+            wk = jnp.flip(w, axis=(1, 2))                 # (O, KH, KW, I)
+            wk = jnp.transpose(wk, (1, 2, 0, 3))          # (KH, KW, O, I)
+            y = lax.conv_general_dilated(
+                x, wk, window_strides=(1, 1), padding=padding,
+                lhs_dilation=strides,
+                dimension_numbers=("NHWC", "HWOI", "NHWC"),
+                precision=lax.Precision.HIGHEST)
+            if b is not None:
+                y = y + jnp.asarray(b)
+            env[outs[0]] = _fused(scalar_opt(3, "<b", 0), y)
         elif code == _OP_UNI_LSTM:
             env[outs[0]] = self._uni_lstm(op, env)
         else:  # pragma: no cover — constructor pre-screens opcodes

@@ -591,6 +591,232 @@ def test_l2_normalization():
         got, x / np.linalg.norm(x, axis=-1, keepdims=True), atol=1e-5)
 
 
+def _craft_generic(opcode, input_arrs, const_arrs, opt_fields=None,
+                   n_out=1, out_dtypes=None):
+    """One-op parsed-model dict: graph inputs first, then consts, then
+    outputs; `opt_fields` is a {flatbuffer field: value} dict."""
+    n_in, n_const = len(input_arrs), len(const_arrs)
+    total = n_in + n_const + n_out
+    tensors = [{"name": f"t{i}", "shape": [], "dtype": 0, "data": None,
+                "is_variable": False, "quant": None} for i in range(total)]
+    for j, arr in enumerate(const_arrs):
+        t = tensors[n_in + j]
+        t["data"] = np.asarray(arr)
+        if t["data"].dtype in (np.int32, np.int64):
+            t["dtype"] = 2 if t["data"].dtype == np.int32 else 4
+        elif t["data"].dtype == np.bool_:
+            t["dtype"] = 6
+    for j in range(n_out):
+        if out_dtypes:
+            tensors[n_in + n_const + j]["dtype"] = out_dtypes[j]
+    op = {"opcode": opcode,
+          "inputs": list(range(n_in + n_const)),
+          "outputs": list(range(n_in + n_const, total)),
+          "options": _FakeRnnOpts(opt_fields) if opt_fields else None}
+    model = {"tensors": tensors, "operators": [op],
+             "inputs": list(range(n_in)),
+             "outputs": list(range(n_in + n_const, total))}
+    return model
+
+
+def _run_generic(opcode, input_arrs, const_arrs, **kw):
+    model = _craft_generic(opcode, input_arrs, const_arrs, **kw)
+    prog = TfliteProgram(model)
+    feeds = {f"t{i}": arr for i, arr in enumerate(input_arrs)}
+    out = prog.apply(prog.params, feeds)
+    n_lead = len(input_arrs) + len(const_arrs)
+    return [np.asarray(out[f"t{n_lead + j}"])
+            for j in range(len(model["outputs"]))]
+
+
+def test_misc_ops_numpy_oracles():
+    """The converter-output op batch (gather/pack/select/cast/one-hot/
+    resize-company) against numpy semantics."""
+    rng = np.random.default_rng(18)
+    x = rng.normal(0, 1.5, (3, 7)).astype(np.float32)
+
+    (y,) = _run_generic(36, [x], [np.array([2, 0], np.int32)],
+                        opt_fields={0: 1})                    # GATHER axis 1
+    np.testing.assert_array_equal(y, x[:, [2, 0]])
+
+    (y,) = _run_generic(53, [x], [], out_dtypes=[2])          # CAST -> int32
+    np.testing.assert_array_equal(y, x.astype(np.int32))
+
+    v, i = _run_generic(48, [x], [np.array([3], np.int32)], n_out=2)
+    order = np.argsort(-x, axis=-1)[:, :3]                    # TOPK_V2
+    np.testing.assert_array_equal(i, order)
+    np.testing.assert_allclose(v, np.take_along_axis(x, order, -1))
+
+    a, b = x, np.float32(x[::-1])
+    (y,) = _run_generic(83, [a, b], [], opt_fields={0: 2, 1: 1})  # PACK ax 1
+    np.testing.assert_array_equal(y, np.stack([a, b], axis=1))
+    y0, y1, y2 = _run_generic(88, [x], [], opt_fields={0: 3, 1: 0},
+                              n_out=3)                        # UNPACK axis 0
+    np.testing.assert_array_equal(np.stack([y0, y1, y2]), x)
+
+    c = x > 0
+    (y,) = _run_generic(123, [c.astype(np.bool_), a, b], [])  # SELECT_V2
+    np.testing.assert_array_equal(y, np.where(c, a, b))
+
+    (y,) = _run_generic(126, [a], [b.T], opt_fields={0: 0, 1: 1})
+    np.testing.assert_allclose(y, a @ b, atol=1e-5)           # BMM adj_y
+
+    idx = np.array([0, 2, 1], np.int32)
+    (y,) = _run_generic(85, [idx],                            # ONE_HOT
+                        [np.array(4, np.int32), np.float32(5.0),
+                         np.float32(-1.0)], opt_fields={0: -1})
+    want = np.full((3, 4), -1.0, np.float32)
+    want[np.arange(3), idx] = 5.0
+    np.testing.assert_array_equal(y, want)
+
+    (y,) = _run_generic(100, [x], [np.array([[1, 1], [2, 0]], np.int32)],
+                        opt_fields={0: 0})                    # MIRROR_PAD
+    np.testing.assert_array_equal(y, np.pad(x, [(1, 1), (2, 0)],
+                                            mode="reflect"))
+
+    (y,) = _run_generic(70, [x], [np.array(1, np.int32)])     # EXPAND_DIMS
+    assert y.shape == (3, 1, 7)
+    (y,) = _run_generic(77, [x], [])                          # SHAPE
+    np.testing.assert_array_equal(y, [3, 7])
+    (y,) = _run_generic(94, [], [np.array([2, 3], np.int32),
+                                 np.float32(7.5)])            # FILL
+    np.testing.assert_array_equal(y, np.full((2, 3), 7.5, np.float32))
+    (y,) = _run_generic(96, [], [np.array(1, np.int32),
+                                 np.array(9, np.int32),
+                                 np.array(3, np.int32)])      # RANGE
+    np.testing.assert_array_equal(y, [1, 4, 7])
+
+    (y,) = _run_generic(56, [x], [np.array(1, np.int32)])     # ARG_MAX
+    np.testing.assert_array_equal(y, x.argmax(1))
+    (y,) = _run_generic(89, [x], [np.array([0], np.int32)],
+                        opt_fields={0: 0})                    # REDUCE_MIN
+    np.testing.assert_allclose(y, x.min(0))
+    (y,) = _run_generic(81, [np.abs(x)], [np.array([1], np.int32)],
+                        opt_fields={0: 1})                    # REDUCE_PROD
+    np.testing.assert_allclose(y, np.abs(x).prod(1, keepdims=True),
+                               rtol=1e-5)
+
+    n = np.array([[7, -7], [5, -5]], np.float32)
+    d = np.array([[2, 2], [-3, -3]], np.float32)
+    (y,) = _run_generic(90, [n, d], [])                       # FLOOR_DIV
+    np.testing.assert_array_equal(y, np.floor_divide(n, d))
+    (y,) = _run_generic(95, [n, d], [])                       # FLOOR_MOD
+    np.testing.assert_array_equal(y, np.mod(n, d))
+
+    (y,) = _run_generic(106, [a, b, a], [])                   # ADD_N
+    np.testing.assert_allclose(y, a + b + a, atol=1e-6)
+    (y,) = _run_generic(58, [a, b], [])                       # LESS
+    np.testing.assert_array_equal(y, a < b)
+    (y,) = _run_generic(71, [a, a], [])                       # EQUAL
+    assert y.all()
+    (y,) = _run_generic(86, [a > 0, b > 0], [])               # LOGICAL_AND
+    np.testing.assert_array_equal(y, (a > 0) & (b > 0))
+    (y,) = _run_generic(78, [np.abs(a), b], [])               # POW
+    np.testing.assert_allclose(y, np.abs(a) ** b, rtol=2e-5)
+
+    for code, fn in [(66, np.sin), (108, np.cos), (116, np.round),
+                     (92, np.square), (104, np.ceil), (8, np.floor)]:
+        (y,) = _run_generic(code, [x], [])
+        np.testing.assert_allclose(y, fn(x), atol=1e-6)
+    (y,) = _run_generic(111, [x], [])                         # ELU
+    np.testing.assert_allclose(y, np.where(x > 0, x, np.expm1(x)),
+                               atol=1e-6)
+    (y,) = _run_generic(50, [x], [])                          # LOG_SOFTMAX
+    want = x - np.log(np.exp(x - x.max(-1, keepdims=True)).sum(
+        -1, keepdims=True)) - x.max(-1, keepdims=True)
+    np.testing.assert_allclose(y, want, atol=1e-5)
+    (y,) = _run_generic(69, [x], [np.array([2, 1], np.int32)])  # TILE
+    np.testing.assert_array_equal(y, np.tile(x, (2, 1)))
+
+    xs = np.arange(1 * 2 * 2 * 8, dtype=np.float32).reshape(1, 2, 2, 8)
+    (y,) = _run_generic(5, [xs], [], opt_fields={0: 2})       # D2S NHWC
+    (z,) = _run_generic(26, [y], [], opt_fields={0: 2})       # S2D inverts
+    np.testing.assert_array_equal(z, xs)
+    assert y.shape == (1, 4, 4, 2)
+
+
+def test_transpose_conv_resize_match_torch():
+    """TRANSPOSE_CONV (SAME stride-1 k3, VALID stride-2) and
+    RESIZE_BILINEAR / RESIZE_NEAREST_NEIGHBOR against torch
+    (half_pixel_centers == align_corners=False bilinear; default
+    nearest == torch 'nearest')."""
+    rng = np.random.default_rng(19)
+    x = rng.normal(0, 1, (2, 4, 5, 3)).astype(np.float32)     # NHWC
+    w = rng.normal(0, .5, (6, 3, 3, 3)).astype(np.float32)    # OHWI
+    xr = rng.normal(0, 1, (2, 3, 4, 5)).astype(np.float32)    # NCHW for ref
+
+    # TRANSPOSE_CONV op inputs are (output_shape, weights, x); craft the
+    # model then reorder the op's input indices accordingly
+    def run_tc(pad_code, stride, out_hw):
+        model = _craft_generic(67, [x],
+                               [np.array([2, out_hw[0], out_hw[1], 6],
+                                         np.int32), w],
+                               opt_fields={0: pad_code, 1: stride, 2: stride})
+        op = model["operators"][0]
+        op["inputs"] = [1, 2, 0]        # (output_shape, weights, x)
+        prog = TfliteProgram(model)
+        return np.asarray(prog.apply(prog.params, {"t0": x})["t3"])
+
+    y_same = run_tc(0, 1, (4, 5))
+    y_valid = run_tc(1, 2, (9, 11))
+
+    def run_resize(code, size, fields):
+        model = _craft_generic(code, [xr.transpose(0, 2, 3, 1)],
+                               [np.array(size, np.int32)],
+                               opt_fields=fields)
+        prog = TfliteProgram(model)
+        out = prog.apply(prog.params,
+                         {"t0": xr.transpose(0, 2, 3, 1)})["t2"]
+        return np.asarray(out).transpose(0, 3, 1, 2)          # back to NCHW
+
+    got_bil = run_resize(23, [7, 9], {2: 0, 3: 1})            # hpc bilinear
+    got_bil_ac = run_resize(23, [7, 9], {2: 1, 3: 0})         # align_corners
+    got_nn = run_resize(97, [7, 9], {0: 0, 1: 0})             # default nn
+
+    oracle = textwrap.dedent("""
+        import sys
+        import numpy as np
+        import torch
+        import torch.nn.functional as F
+        z = np.load(sys.argv[1])
+        x = torch.from_numpy(z["x"]).permute(0, 3, 1, 2)      # NHWC->NCHW
+        w = torch.from_numpy(z["w"]).permute(3, 0, 1, 2)      # OHWI->IOHW
+        xr = torch.from_numpy(z["xr"])
+        out = dict(
+            tc_same=F.conv_transpose2d(x, w, stride=1, padding=1),
+            tc_valid=F.conv_transpose2d(x, w, stride=2, padding=0),
+            bil=F.interpolate(xr, size=(7, 9), mode="bilinear",
+                              align_corners=False),
+            bil_ac=F.interpolate(xr, size=(7, 9), mode="bilinear",
+                                 align_corners=True),
+            nn=F.interpolate(xr, size=(7, 9), mode="nearest"),
+        )
+        out["tc_same"] = out["tc_same"].permute(0, 2, 3, 1)
+        out["tc_valid"] = out["tc_valid"].permute(0, 2, 3, 1)
+        np.savez(sys.argv[2], **{k: v.numpy() for k, v in out.items()})
+    """)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        in_npz, out_npz = f"{td}/i.npz", f"{td}/o.npz"
+        script = f"{td}/oracle.py"
+        np.savez(in_npz, x=x, w=w, xr=xr)
+        with open(script, "w") as f:
+            f.write(oracle)
+        r = subprocess.run([sys.executable, script, in_npz, out_npz],
+                           capture_output=True, text=True,
+                           env=dict(os.environ, JAX_PLATFORMS=""),
+                           timeout=300)
+        assert r.returncode == 0, f"torch oracle failed:\n{r.stderr[-2000:]}"
+        with np.load(out_npz) as want:
+            np.testing.assert_allclose(y_same, want["tc_same"], atol=2e-5)
+            np.testing.assert_allclose(y_valid, want["tc_valid"], atol=2e-5)
+            np.testing.assert_allclose(got_bil,
+                                       want["bil"], atol=2e-5)
+            np.testing.assert_allclose(got_bil_ac,
+                                       want["bil_ac"], atol=2e-5)
+            np.testing.assert_allclose(got_nn, want["nn"], atol=0)
+
+
 def test_stateful_unknown_state_key_rejected():
     rng = np.random.default_rng(15)
     model, _ = _craft_svdf_model(rng)
