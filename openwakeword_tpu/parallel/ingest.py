@@ -66,7 +66,9 @@ def _i16p(a: np.ndarray):
 
 
 def _native_ok(dst: np.ndarray, src: np.ndarray) -> bool:
-    return (src.nbytes >= _MIN_NATIVE_BYTES
+    # threshold on the bytes actually moved (dst): gathering a few rows out
+    # of a large table must not pay the thread fan-out
+    return (dst.nbytes >= _MIN_NATIVE_BYTES
             and dst.ndim == 2 and src.ndim == 2
             and dst.dtype == np.int16 and src.dtype == np.int16
             and dst.flags.c_contiguous and src.flags.c_contiguous

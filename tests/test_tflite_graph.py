@@ -658,8 +658,12 @@ def test_misc_ops_numpy_oracles():
     (y,) = _run_generic(123, [c.astype(np.bool_), a, b], [])  # SELECT_V2
     np.testing.assert_array_equal(y, np.where(c, a, b))
 
-    (y,) = _run_generic(126, [a], [b.T], opt_fields={0: 0, 1: 1})
-    np.testing.assert_allclose(y, a @ b, atol=1e-5)           # BMM adj_y
+    (y,) = _run_generic(126, [a], [b], opt_fields={0: 0, 1: 1})
+    np.testing.assert_allclose(y, a @ b.T, atol=1e-5)         # BMM adj_y
+    (y,) = _run_generic(126, [a.T], [b], opt_fields={0: 1, 1: 1})
+    np.testing.assert_allclose(y, a @ b.T, atol=1e-5)         # BMM adj_x+y
+    (y,) = _run_generic(126, [a], [b.T], opt_fields={0: 0, 1: 0})
+    np.testing.assert_allclose(y, a @ b.T, atol=1e-5)         # BMM plain
 
     idx = np.array([0, 2, 1], np.int32)
     (y,) = _run_generic(85, [idx],                            # ONE_HOT
