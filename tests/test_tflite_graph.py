@@ -14,6 +14,7 @@ that capability on XLA.
 import os
 import subprocess
 import sys
+import textwrap
 
 import numpy as np
 import pytest
